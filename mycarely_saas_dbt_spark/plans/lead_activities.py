@@ -1,0 +1,365 @@
+"""``lead_activities_agg`` — CRM stage changes attributed to web sessions.
+
+Spark-first re-implementation of
+/root/reference/models/lead_activities_agg.sql (184 lines):
+  * argmax window (W2): per ``domain_userid`` keep the single most-relevant
+    page_view — paid-channel events first, then latest ``collector_tstamp``,
+    then highest ``event_id`` (models/lead_activities_agg.sql:45-55,74);
+  * ``SELECT DISTINCT`` dedup of CRM rows and of the spend-per-visit lookup
+    (A7 — prevents join fan-out);
+  * LEFT JOIN lead -> latest session on ``domain_userid`` (J2), then
+    -> spend-per-visit on (LOWER(campaign), visit_date, 'unique') (J3);
+  * LOWER normalization (F5), ``NVL(spend_per_visit, 0)`` (F2),
+    ``spend::float / NULLIF(traffic, 0)`` guard (F4),
+    ``CAST(product_price AS VARCHAR)`` (F7);
+  * md5 surrogate key over (company_id, domain_userid, event_id,
+    activity_date, new_stage_id) (F8); final multi-column NOT-NULL gate (P11).
+
+Scale notes (100 TB):
+  * The argmax is a single shuffle on ``domain_userid``; heavy (bot-like)
+    users skew it — AQE skew-join/partition splitting is on, and the
+    bounded alternative ``max_by``-style reduction would lose the multi-key
+    tiebreak, so we keep row_number + filter (it is partial-agg friendly:
+    only rn=1 survives).
+  * ``traffic_spend`` (daily campaign grain) is tiny -> broadcast.
+  * Reference scans the full event log every incremental run (B3 —
+    semantically required: a lead's latest session may predate the
+    watermark); only the CRM side takes the watermark filter.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.functions.dialect import nvl, surrogate_key
+from mycarely_saas_dbt_spark.plans.traffic_daily import traffic_daily_agg
+from mycarely_saas_dbt_spark.plans.traffic_pages import filtered_page_views
+
+PAID_MEDIA = ["cpc", "ppc", "paidsearch", "display", "social", "search", "email", "", "unknown"]
+
+
+def latest_events(events: DataFrame) -> DataFrame:
+    """Argmax: the most-relevant page_view per ``domain_userid`` (W2)."""
+    priority = F.when(
+        (
+            F.col("refr_medium").isin(PAID_MEDIA)
+            & (nvl(F.col("mkt_network"), F.lit("")) != "")
+        )
+        | (F.col("refr_medium") == "paid"),
+        1,
+    ).otherwise(2)
+    w = Window.partitionBy("domain_userid").orderBy(
+        priority.asc(), F.col("collector_tstamp").desc(), F.col("event_id").desc()
+    )
+    return (
+        filtered_page_views(events, require_urlpath=False)
+        .select(
+            "domain_userid",
+            "event_id",
+            "mkt_medium",
+            "mkt_source",
+            "mkt_campaign",
+            F.col("collector_tstamp").cast("date").alias("visit_date"),
+            "page_urlpath",
+            "refr_medium",
+            "mkt_network",
+            "collector_tstamp",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "domain_userid",
+            "event_id",
+            "mkt_medium",
+            "mkt_source",
+            "mkt_campaign",
+            "visit_date",
+            "page_urlpath",
+        )
+    )
+
+
+def traffic_spend(traffic_daily: DataFrame) -> DataFrame:
+    """Distinct spend-per-visit per (campaign, day) from traffic_daily_agg
+    output (models/lead_activities_agg.sql:105-115)."""
+    return (
+        traffic_daily.filter(
+            F.col("spend").isNotNull()
+            & (F.col("traffic") > 0)
+            & F.col("col_4").isNotNull()
+            & (F.col("col_1") == "unique")
+        )
+        .select(
+            "spend_date",
+            F.lower("col_4").alias("mkt_campaign"),
+            (
+                F.col("spend").cast("double")
+                / F.when(F.col("traffic") != 0, F.col("traffic"))
+            ).alias("spend_per_visit"),
+            "col_1",
+        )
+        .distinct()
+    )
+
+
+def lead_activities_agg(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    *,
+    events: DataFrame | None = None,
+    leads: DataFrame | None = None,
+    traffic_daily: DataFrame | None = None,
+    watermark: dt.date | None = None,
+) -> DataFrame:
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    if events is None or leads is None:
+        register_sources(spark, sf_dir)
+        events = events if events is not None else spark.table("atomic_events")
+        leads = leads if leads is not None else spark.table("lead_stage_change_events")
+    if traffic_daily is None:
+        traffic_daily = traffic_daily_agg(spark, sf_dir, events=events)
+
+    le = latest_events(events)
+
+    la = leads.select(
+        "company_domain",
+        "company_id",
+        "domain_userid",
+        "lead_id",
+        "person_id",
+        F.col("date").alias("activity_date"),
+        "lead_generator_id",
+        "lead_generator_name",
+        "lead_source_ehr_id",
+        "new_stage_id",
+        "new_stage_name",
+        "old_stage_id",
+        "old_stage_name",
+        "pipeline_id",
+        "pipeline_name",
+        "product_id",
+        "product_name",
+        "product_price",
+        "product_sku",
+    )
+    if watermark is not None:
+        la = la.filter(F.col("activity_date") > F.lit(watermark))
+    la = la.distinct()
+
+    ts = F.broadcast(traffic_spend(traffic_daily))
+
+    enriched = (
+        la.alias("la")
+        .join(le.alias("le"), F.col("la.domain_userid") == F.col("le.domain_userid"), "left")
+        .join(
+            ts.alias("ts"),
+            (F.lower(F.col("le.mkt_campaign")) == F.col("ts.mkt_campaign"))
+            & (F.col("le.visit_date") == F.col("ts.spend_date"))
+            & (F.col("ts.col_1") == "unique"),
+            "left",
+        )
+        .select(
+            F.col("la.company_id").alias("company_id"),
+            F.lower("la.company_domain").alias("company_name"),
+            F.lower("la.domain_userid").alias("domain_userid"),
+            F.col("le.event_id").alias("event_id"),
+            F.lower("le.mkt_medium").alias("mkt_medium"),
+            F.lower("le.mkt_source").alias("mkt_source"),
+            F.lower("le.mkt_campaign").alias("mkt_campaign"),
+            F.col("le.visit_date").alias("visit_date"),
+            F.lower("le.page_urlpath").alias("page_urlpath"),
+            nvl(F.col("ts.spend_per_visit"), F.lit(0)).cast("double").alias("mkt_spend"),
+            F.col("la.activity_date").alias("activity_date"),
+            F.col("la.lead_source_ehr_id").alias("lead_source_ehr_id"),
+            F.col("la.lead_generator_id").alias("lead_generator_id"),
+            F.lower("la.lead_generator_name").alias("lead_generator_name"),
+            F.col("la.old_stage_id").alias("old_stage_id"),
+            F.lower("la.old_stage_name").alias("old_stage_name"),
+            F.col("la.new_stage_id").alias("new_stage_id"),
+            F.lower("la.new_stage_name").alias("new_stage_name"),
+            F.col("la.pipeline_id").alias("pipeline_id"),
+            F.lower("la.pipeline_name").alias("pipeline_name"),
+            F.col("la.product_id").alias("product_id"),
+            F.lower("la.product_sku").alias("product_sku"),
+            F.lower("la.product_name").alias("product_name"),
+            F.col("la.product_price").cast("string").alias("product_price"),
+        )
+    )
+
+    return enriched.filter(
+        F.col("new_stage_id").isNotNull()
+        & F.col("new_stage_name").isNotNull()
+        & F.col("pipeline_id").isNotNull()
+        & F.col("pipeline_name").isNotNull()
+    ).select(
+        surrogate_key(
+            "company_id", "domain_userid", "event_id", "activity_date", "new_stage_id"
+        ).alias("id"),
+        "company_id",
+        "company_name",
+        "domain_userid",
+        "event_id",
+        "mkt_medium",
+        "mkt_source",
+        "mkt_campaign",
+        "visit_date",
+        "page_urlpath",
+        "mkt_spend",
+        "activity_date",
+        "lead_source_ehr_id",
+        "lead_generator_id",
+        "lead_generator_name",
+        "old_stage_id",
+        "old_stage_name",
+        "new_stage_id",
+        "new_stage_name",
+        "pipeline_id",
+        "pipeline_name",
+        "product_id",
+        "product_sku",
+        "product_name",
+        "product_price",
+    )
+
+
+_SURROGATE = (
+    "MD5(CONCAT_WS('-', "
+    "COALESCE(CAST(company_id AS STRING), '_dbt_utils_surrogate_key_null_'), "
+    "COALESCE(CAST(domain_userid AS STRING), '_dbt_utils_surrogate_key_null_'), "
+    "COALESCE(CAST(event_id AS STRING), '_dbt_utils_surrogate_key_null_'), "
+    "COALESCE(CAST(activity_date AS STRING), '_dbt_utils_surrogate_key_null_'), "
+    "COALESCE(CAST(new_stage_id AS STRING), '_dbt_utils_surrogate_key_null_')))"
+)
+
+# LA's own CTEs are prefixed la_ to avoid clashing with the traffic_daily CTE
+# chain that produces its `traffic_daily_agg` input.
+_ORACLE_MAIN = f"""
+, la_filtered_events AS (
+    SELECT
+        domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
+        CAST(collector_tstamp AS DATE) AS visit_date,
+        page_urlpath, refr_medium, mkt_network, collector_tstamp,
+        ROW_NUMBER() OVER (
+            PARTITION BY domain_userid
+            ORDER BY
+                CASE
+                    WHEN (refr_medium IN ('cpc', 'ppc', 'paidsearch',
+                                          'display', 'social', 'search',
+                                          'email', '', 'unknown')
+                          AND COALESCE(mkt_network, '') <> '')
+                         OR refr_medium = 'paid' THEN 1
+                    ELSE 2
+                END,
+                collector_tstamp DESC,
+                event_id DESC
+        ) AS rn
+    FROM atomic_events
+    WHERE event = 'page_view'
+      AND useragent NOT ILIKE '%bot%'
+      AND useragent NOT ILIKE '%spider%'
+      AND useragent NOT ILIKE '%crawl%'
+      AND refr_medium <> 'internal'
+),
+la_latest_events AS (
+    SELECT domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
+           visit_date, page_urlpath
+    FROM la_filtered_events
+    WHERE rn = 1
+),
+la_lead_activities AS (
+    SELECT DISTINCT
+        company_domain, company_id, domain_userid, lead_id, person_id,
+        date AS activity_date, lead_generator_id, lead_generator_name,
+        lead_source_ehr_id, new_stage_id, new_stage_name, old_stage_id,
+        old_stage_name, pipeline_id, pipeline_name, product_id, product_name,
+        product_price, product_sku
+    FROM lead_stage_change_events
+),
+la_traffic_spend AS (
+    SELECT DISTINCT
+        spend_date,
+        LOWER(col_4) AS mkt_campaign,
+        CAST(spend AS DOUBLE) / NULLIF(traffic, 0) AS spend_per_visit,
+        col_1
+    FROM traffic_daily_agg
+    WHERE spend IS NOT NULL
+      AND traffic > 0
+      AND col_4 IS NOT NULL
+      AND col_1 = 'unique'
+),
+la_enriched AS (
+    SELECT
+        la.company_id,
+        LOWER(la.company_domain) AS company_name,
+        LOWER(la.domain_userid) AS domain_userid,
+        le.event_id,
+        LOWER(le.mkt_medium) AS mkt_medium,
+        LOWER(le.mkt_source) AS mkt_source,
+        LOWER(le.mkt_campaign) AS mkt_campaign,
+        le.visit_date,
+        LOWER(le.page_urlpath) AS page_urlpath,
+        CAST(COALESCE(ts.spend_per_visit, 0) AS DOUBLE) AS mkt_spend,
+        la.activity_date,
+        la.lead_source_ehr_id,
+        la.lead_generator_id,
+        LOWER(la.lead_generator_name) AS lead_generator_name,
+        la.old_stage_id,
+        LOWER(la.old_stage_name) AS old_stage_name,
+        la.new_stage_id,
+        LOWER(la.new_stage_name) AS new_stage_name,
+        la.pipeline_id,
+        LOWER(la.pipeline_name) AS pipeline_name,
+        la.product_id,
+        LOWER(la.product_sku) AS product_sku,
+        LOWER(la.product_name) AS product_name,
+        CAST(la.product_price AS STRING) AS product_price
+    FROM la_lead_activities la
+    LEFT JOIN la_latest_events le
+        ON la.domain_userid = le.domain_userid
+    LEFT JOIN la_traffic_spend ts
+        ON LOWER(le.mkt_campaign) = ts.mkt_campaign
+        AND le.visit_date = ts.spend_date
+        AND ts.col_1 = 'unique'
+)
+SELECT
+    {_SURROGATE} AS id,
+    company_id, company_name, domain_userid, event_id, mkt_medium,
+    mkt_source, mkt_campaign, visit_date, page_urlpath, mkt_spend,
+    activity_date, lead_source_ehr_id, lead_generator_id,
+    lead_generator_name, old_stage_id, old_stage_name, new_stage_id,
+    new_stage_name, pipeline_id, pipeline_name, product_id, product_sku,
+    product_name, product_price
+FROM la_enriched
+WHERE new_stage_id IS NOT NULL
+  AND new_stage_name IS NOT NULL
+  AND pipeline_id IS NOT NULL
+  AND pipeline_name IS NOT NULL
+"""
+
+
+def oracle_sql() -> str:
+    from mycarely_saas_dbt_spark.plans import traffic_daily as td
+    from mycarely_saas_dbt_spark.sources.synthetic import (
+        ATOMIC_EVENTS_SQL,
+        CAMPAIGN_SPENDS_SQL,
+        LEAD_STAGE_CHANGE_EVENTS_SQL,
+    )
+
+    # traffic_daily's full oracle chain, wrapped as the `traffic_daily_agg`
+    # CTE that LA reads (the reference reads it back as a *source*,
+    # models/lead_activities_agg.sql:110 — SURVEY.md §1.1 schema quirk).
+    td_main = td._ORACLE_MAIN.lstrip()
+    assert td_main.startswith(",")
+    td_ctes, td_select = td_main[1:].rsplit("SELECT", 1)
+    return (
+        f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL}),\n"
+        f"campaign_spends AS ({CAMPAIGN_SPENDS_SQL}),\n"
+        f"lead_stage_change_events AS ({LEAD_STAGE_CHANGE_EVENTS_SQL}),\n"
+        + td_ctes
+        + f",\ntraffic_daily_agg AS (SELECT{td_select})"
+        + _ORACLE_MAIN
+    )

@@ -1,0 +1,180 @@
+"""``traffic_pages_agg`` — daily per-page traffic (total + unique visitors).
+
+Spark-first re-implementation of /root/reference/models/traffic_pages_agg.sql
+(78 lines): scan -> bot/referrer filter -> daily groupBy(count,
+countDistinct) -> UNION-ALL unpivot ('all' vs 'unique') -> row id -> final
+projection. Operator chain per SURVEY.md §2.11 (S1, P1-P6, F7, A1/A2, U1, W1).
+
+Scale notes (100 TB):
+  * Filters sit directly on the scan => Catalyst pushes them into the parquet
+    reader (PushedFilters) and prunes to the 6 consumed columns.
+  * count + countDistinct in one groupBy => Catalyst's
+    RewriteDistinctAggregates two-phase expansion with map-side partials.
+  * ``id_strategy='row_number'`` reproduces the reference's global
+    ROW_NUMBER (models/traffic_pages_agg.sql:60) — a single-partition sort,
+    kept only for oracle parity at test SF. At scale use
+    ``id_strategy='hash'``: a deterministic surrogate key over the grain
+    (date, company_domain, page_urlpath, type), which also fixes reference
+    bug B1 (row ids shifting between incremental runs; SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.functions.dialect import not_ilike, surrogate_key
+from mycarely_saas_dbt_spark.sources.registry import oracle_query, register_sources
+
+EPOCH_FALLBACK = dt.date(1900, 1, 1)
+
+
+def filtered_page_views(events: DataFrame, *, require_urlpath: bool = True) -> DataFrame:
+    """The shared Snowplow scrub: page_views, non-internal referrer, no bots.
+
+    NULL semantics are load-bearing (SURVEY.md B6): ``!=`` and ``NOT ILIKE``
+    drop NULL referrer/useragent rows — identical in Spark, do not null-safe.
+    (reference: models/traffic_pages_agg.sql:14-19)
+    """
+    out = events.filter(
+        (F.col("event") == "page_view")
+        & (F.col("refr_medium") != "internal")
+        & not_ilike("useragent", "%bot%")
+        & not_ilike("useragent", "%spider%")
+        & not_ilike("useragent", "%crawl%")
+    )
+    if require_urlpath:
+        out = out.filter(F.col("page_urlpath").isNotNull())
+    return out
+
+
+def traffic_pages_agg(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    *,
+    events: DataFrame | None = None,
+    watermark: dt.date | None = None,
+    id_strategy: str = "row_number",
+) -> DataFrame:
+    """Build the model as a lazy DataFrame plan.
+
+    ``watermark`` (incremental mode) keeps only event days strictly after it
+    (models/traffic_pages_agg.sql:20-24 — late rows for processed days are
+    deliberately dropped).
+    """
+    if events is None:
+        register_sources(spark, sf_dir)
+        events = spark.table("atomic_events")
+
+    fe = filtered_page_views(events).select(
+        F.col("collector_tstamp").cast("date").alias("event_date"),
+        "app_id",
+        "domain_userid",
+        "page_urlpath",
+    )
+    if watermark is not None:
+        fe = fe.filter(F.col("event_date") > F.lit(watermark))
+
+    page_traffic = fe.groupBy(
+        F.col("event_date").alias("date"),
+        F.col("app_id").alias("company_domain"),
+        "page_urlpath",
+    ).agg(
+        F.count(F.lit(1)).alias("total_visits"),
+        F.countDistinct("domain_userid").alias("unique_visits"),
+    )
+
+    def labeled(label: str, src_col: str) -> DataFrame:
+        return page_traffic.select(
+            "company_domain",
+            "date",
+            "page_urlpath",
+            F.lit(label).alias("type"),
+            F.col(src_col).alias("traffic"),
+        )
+
+    labeled_visits = labeled("all", "total_visits").unionByName(
+        labeled("unique", "unique_visits")
+    )
+
+    if id_strategy == "row_number":
+        # Parity with the reference's global ROW_NUMBER — deterministic
+        # because the ORDER BY key is the full (unique) output grain.
+        w = Window.orderBy("date", "company_domain", "page_urlpath", "type")
+        id_col = F.row_number().over(w).cast("long")
+    elif id_strategy == "hash":
+        id_col = surrogate_key("date", "company_domain", "page_urlpath", "type")
+    else:
+        raise ValueError(f"unknown id_strategy: {id_strategy}")
+
+    return labeled_visits.select(
+        id_col.alias("id"),
+        "date",
+        "type",
+        "page_urlpath",
+        "traffic",
+        F.lit(1).alias("company_id"),
+        "company_domain",
+    )
+
+
+# DuckDB oracle: same semantics in portable ANSI SQL over the same derived
+# view (CAST AS DATE replaces Redshift ::DATE; id cast to BIGINT matching the
+# Spark side).
+_ORACLE_MAIN = """
+, filtered_events AS (
+    SELECT
+        CAST(collector_tstamp AS DATE) AS event_date,
+        app_id,
+        domain_userid,
+        page_urlpath
+    FROM atomic_events
+    WHERE event = 'page_view'
+      AND refr_medium != 'internal'
+      AND useragent NOT ILIKE '%bot%'
+      AND useragent NOT ILIKE '%spider%'
+      AND useragent NOT ILIKE '%crawl%'
+      AND page_urlpath IS NOT NULL
+),
+page_traffic AS (
+    SELECT
+        event_date AS date,
+        app_id AS company_domain,
+        page_urlpath,
+        COUNT(*) AS total_visits,
+        COUNT(DISTINCT domain_userid) AS unique_visits
+    FROM filtered_events
+    GROUP BY 1, 2, 3
+),
+labeled_visits AS (
+    SELECT company_domain, date, page_urlpath, 'all' AS type,
+           total_visits AS traffic
+    FROM page_traffic
+    UNION ALL
+    SELECT company_domain, date, page_urlpath, 'unique' AS type,
+           unique_visits AS traffic
+    FROM page_traffic
+),
+final_rows AS (
+    SELECT
+        CAST(ROW_NUMBER() OVER (
+            ORDER BY date, company_domain, page_urlpath, type) AS BIGINT) AS id,
+        1 AS company_id,
+        company_domain,
+        date,
+        type,
+        page_urlpath,
+        traffic
+    FROM labeled_visits
+)
+SELECT id, date, type, page_urlpath, traffic, company_id, company_domain
+FROM final_rows
+"""
+
+
+def oracle_sql() -> str:
+    from mycarely_saas_dbt_spark.sources.synthetic import ATOMIC_EVENTS_SQL
+
+    return f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL})" + _ORACLE_MAIN

@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same configs are the
+ones we would set on a real cluster (AQE on, UTC session time zone so
+timestamp->date casts are calendar-stable and match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mycarely-saas-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    sp = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # broadcast conversion — the knobs that matter at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        # Calendar-stable timestamp semantics (parity with the DuckDB oracle).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata stores TIMESTAMP(NANOS) parquet (events.ts), which
+        # Spark's reader rejects; read as long and convert in the registry.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow for any pandas_udf path (extensions only; parity needs none).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,90 @@
+"""Source registry: driver parquet tables + derived reference-shaped views.
+
+Plays the role of the reference's ``source()`` resolution + sources.yml
+declarations (models/sources.yml:1-18) — a name -> relation mapping — with
+Spark temp views as the catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mycarely_saas_dbt_spark.sources.synthetic import DERIVED_VIEWS
+
+DRIVER_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+    (spark.sql.legacy.parquet.nanosAsLong) and we must convert back."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        # ns -> µs via integer div (float div loses precision on int64 nanos);
+        # testdata carries µs precision so this is lossless.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_sources(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver tables and the derived reference-shaped views.
+
+    Idempotent; cheap (temp views are lazy — Catalyst inlines them, so
+    filters/pruning still push down to the parquet scans).
+    """
+    for name in DRIVER_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    for name, sql in DERIVED_VIEWS.items():
+        spark.sql(sql).createOrReplaceTempView(name)
+
+
+def oracle_with_clause(*views: str) -> str:
+    """CTE prefix exposing the derived views to a DuckDB oracle query.
+
+    ``oracle_with_clause('atomic_events') + 'SELECT ... FROM atomic_events'``
+    yields self-contained ANSI SQL over the driver's pre-registered raw views.
+    Returns a prefix ending in a comma, so callers can chain their own CTEs:
+    ``oracle_with_clause('x') + 'main AS (...) SELECT * FROM main'`` — or use
+    :func:`oracle_query` for plain SELECTs.
+    """
+    parts = [f"{name} AS ({DERIVED_VIEWS[name]})" for name in views]
+    return "WITH " + ",\n".join(parts) + ",\n"
+
+
+def oracle_query(main_sql: str, *views: str) -> str:
+    """Self-contained oracle SQL: derived-view CTEs + a plain SELECT."""
+    if not views:
+        return main_sql
+    parts = [f"{name} AS ({DERIVED_VIEWS[name]})" for name in views]
+    return "WITH " + ",\n".join(parts) + "\n" + main_sql
