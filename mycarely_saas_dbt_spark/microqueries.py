@@ -1,11 +1,768 @@
 """Operator-level micro-queries: one registered (query, oracle) pair per
-inventory row of SURVEY.md §2 that isn't already covered end-to-end by the
-three model pipelines. Extended LLM-pipeline operators register here too.
+inventory row of SURVEY.md §2 not already proven end-to-end by the three
+model pipelines, plus classic TPC-H-shaped headline queries used by bench.py.
+
+Conventions:
+  * every Spark side is DataFrame-API (Spark-first) except A5/A6 which
+    deliberately exercise Spark SQL's ordinal/alias grouping;
+  * every aggregate/computed column is aliased identically in Spark and
+    oracle SQL (the driver sorts columns by name before hashing);
+  * sums over integers are CAST(... AS BIGINT) in the oracle (DuckDB SUM
+    yields HUGEINT, Spark yields long);
+  * raw timestamps are cast to date/string at the output edge.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.functions.dialect import (
+    not_ilike,
+    nvl,
+    surrogate_key,
+    surrogate_key_sql,
+)
+from mycarely_saas_dbt_spark.sources.registry import oracle_query, register_sources
+
+
+def _src(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_sources(spark, sf_dir)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# S / P series — scans, projections, predicates
+# --------------------------------------------------------------------------
+
+def q_s01_scan_counts(spark, sf_dir):
+    """S1: full scans of the raw sources, one row per table."""
+    register_sources(spark, sf_dir)
+    out = None
+    for t in ["lineitem", "orders", "customer", "events"]:
+        d = spark.table(t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        ).select("table_name", "n_rows")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+O_S01 = """
+SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows FROM lineitem
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'events', COUNT(*) FROM events
+"""
+
+
+def q_p01_projection(spark, sf_dir):
+    """P1+F7: projection, aliasing, arithmetic, casts on the fact table."""
+    return _src(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line_no"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+    )
+
+
+O_P01 = """
+SELECT l_orderkey AS okey, l_linenumber AS line_no,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(l_quantity AS STRING) AS qty_str
+FROM lineitem
+"""
+
+
+def q_p02_literals(spark, sf_dir):
+    """P2: literal/constant columns incl. typed NULL."""
+    return (
+        _src(spark, sf_dir, "region")
+        .select(
+            F.lit("all").alias("label"),
+            F.lit(999).alias("const_int"),
+            F.lit(None).cast("string").alias("col_5"),
+        )
+        .distinct()
+    )
+
+
+O_P02 = """
+SELECT DISTINCT 'all' AS label, 999 AS const_int, CAST(NULL AS STRING) AS col_5
+FROM region
+"""
+
+
+def q_p03_p04_filters(spark, sf_dir):
+    """P3/P4/B6: equality + NULL-rejecting inequality (NULL refr_medium rows
+    are dropped by `!=` — 3-valued logic, do not null-safe)."""
+    return (
+        _src(spark, sf_dir, "atomic_events")
+        .filter((F.col("event") == "page_view") & (F.col("refr_medium") != "internal"))
+        .groupBy("refr_medium")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_P03 = """
+SELECT refr_medium, COUNT(*) AS n
+FROM atomic_events
+WHERE event = 'page_view' AND refr_medium != 'internal'
+GROUP BY refr_medium
+"""
+
+
+def q_p05_not_ilike(spark, sf_dir):
+    """P5/B6: NOT ILIKE bot-scrub; NULL useragent rows drop out."""
+    ev = _src(spark, sf_dir, "atomic_events")
+    kept = ev.filter(
+        not_ilike("useragent", "%bot%")
+        & not_ilike("useragent", "%spider%")
+        & not_ilike("useragent", "%crawl%")
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.count("useragent").alias("kept_nonnull"),
+    )
+
+
+O_P05 = """
+SELECT COUNT(*) AS kept, COUNT(useragent) AS kept_nonnull
+FROM atomic_events
+WHERE useragent NOT ILIKE '%bot%'
+  AND useragent NOT ILIKE '%spider%'
+  AND useragent NOT ILIKE '%crawl%'
+"""
+
+
+def q_p06_null_predicates(spark, sf_dir):
+    """P6: IS NULL / IS NOT NULL."""
+    ev = _src(spark, sf_dir, "atomic_events")
+    return ev.agg(
+        F.sum(F.when(F.col("page_urlpath").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_paths"),
+        F.sum(F.when(F.col("page_urlpath").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nonnull_paths"),
+    )
+
+
+O_P06 = """
+SELECT CAST(SUM(CASE WHEN page_urlpath IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_paths,
+       CAST(SUM(CASE WHEN page_urlpath IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonnull_paths
+FROM atomic_events
+"""
+
+
+def q_p07_in_list(spark, sf_dir):
+    """P7: IN-list membership (includes '' member, not NULL)."""
+    return (
+        _src(spark, sf_dir, "atomic_events")
+        .filter(
+            F.col("refr_medium").isin(
+                ["cpc", "ppc", "paidsearch", "display", "social", "search", "email", "", "unknown"]
+            )
+        )
+        .groupBy("refr_medium")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_P07 = """
+SELECT refr_medium, COUNT(*) AS n
+FROM atomic_events
+WHERE refr_medium IN ('cpc','ppc','paidsearch','display','social','search','email','','unknown')
+GROUP BY refr_medium
+"""
+
+
+def q_p08_watermark_subquery(spark, sf_dir):
+    """P8: range predicate vs uncorrelated scalar subquery — evaluated
+    eagerly driver-side exactly like the incremental watermark (D2)."""
+    register_sources(spark, sf_dir)
+    orders = spark.table("orders")
+    wm = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.max(F.col("o_orderdate").cast("date")))
+        .first()[0]
+    )
+    li = spark.table("lineitem")
+    return li.filter(F.col("l_shipdate").cast("date") > F.lit(wm)).agg(
+        F.count(F.lit(1)).alias("n_after_watermark")
+    )
+
+
+O_P08 = """
+SELECT COUNT(*) AS n_after_watermark
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) > (
+    SELECT COALESCE(MAX(CAST(o_orderdate AS DATE)), DATE '1900-01-01')
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q_p10_derived_filter(spark, sf_dir):
+    """P10+F6: filter on a CASE-derived column (paid/organic classifier)."""
+    from mycarely_saas_dbt_spark.plans.traffic_daily import classify_traffic_type
+
+    return (
+        _src(spark, sf_dir, "atomic_events")
+        .withColumn("traffic_type", classify_traffic_type())
+        .filter(F.col("traffic_type").isNotNull())
+        .groupBy("traffic_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_P10 = """
+SELECT traffic_type, COUNT(*) AS n
+FROM (
+    SELECT CASE
+        WHEN (refr_medium IN ('cpc','ppc','paidsearch','display','social','search','email','','unknown')
+              AND COALESCE(mkt_network, '') <> '')
+             OR (refr_medium = 'paid') THEN 'paid'
+        WHEN refr_medium IN ('display','social','search','email','','unknown')
+             AND refr_medium <> 'paid'
+             AND COALESCE(mkt_network, '') = '' THEN 'organic'
+        ELSE NULL END AS traffic_type
+    FROM atomic_events
+) t
+WHERE traffic_type IS NOT NULL
+GROUP BY traffic_type
+"""
+
+
+def q_p11_notnull_gate(spark, sf_dir):
+    """P11: multi-column NOT-NULL output gate."""
+    return _src(spark, sf_dir, "lead_stage_change_events").filter(
+        F.col("new_stage_id").isNotNull()
+        & F.col("new_stage_name").isNotNull()
+        & F.col("pipeline_id").isNotNull()
+        & F.col("pipeline_name").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n_gated"))
+
+
+O_P11 = """
+SELECT COUNT(*) AS n_gated
+FROM lead_stage_change_events
+WHERE new_stage_id IS NOT NULL AND new_stage_name IS NOT NULL
+  AND pipeline_id IS NOT NULL AND pipeline_name IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# J series — joins
+# --------------------------------------------------------------------------
+
+def q_j01_left_join_const_pred(spark, sf_dir):
+    """J1: LEFT join, 2 keys + constant predicate in ON. The constant does
+    NOT filter left rows — it nulls the match side (spend defaulted to 0)."""
+    register_sources(spark, sf_dir)
+    o = spark.table("orders").alias("o")
+    c = F.broadcast(spark.table("customer").alias("c"))
+    return o.join(
+        c,
+        (F.col("o.o_custkey") == F.col("c.c_custkey"))
+        & (F.col("o.o_orderstatus") == F.lit("F")),
+        "left",
+    ).select(
+        F.col("o.o_orderkey").alias("okey"),
+        F.col("o.o_orderstatus").alias("status"),
+        nvl(F.col("c.c_name"), F.lit("no_match")).alias("cust_name"),
+        nvl(F.col("c.c_acctbal"), F.lit(0)).cast("double").alias("acctbal"),
+    )
+
+
+O_J01 = """
+SELECT o.o_orderkey AS okey, o.o_orderstatus AS status,
+       COALESCE(c.c_name, 'no_match') AS cust_name,
+       CAST(COALESCE(c.c_acctbal, 0) AS DOUBLE) AS acctbal
+FROM orders o
+LEFT JOIN customer c
+    ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+"""
+
+
+def q_j02_left_join_single_key(spark, sf_dir):
+    """J2: plain single-key LEFT join (dimension enrichment)."""
+    register_sources(spark, sf_dir)
+    c = spark.table("customer").alias("c")
+    n = F.broadcast(spark.table("nation").alias("n"))
+    return c.join(n, F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left").select(
+        F.col("c.c_custkey").alias("custkey"),
+        F.col("n.n_name").alias("nation_name"),
+    )
+
+
+O_J02 = """
+SELECT c.c_custkey AS custkey, n.n_name AS nation_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_j03_join_computed_key(spark, sf_dir):
+    """J3: LEFT join on a computed (LOWER) key + date + constant."""
+    register_sources(spark, sf_dir)
+    ev = spark.table("atomic_events").alias("ev")
+    cs = F.broadcast(
+        spark.table("campaign_spends")
+        .filter(F.col("spend").isNotNull())
+        .select("campaign_name", "spend_date", "spend")
+        .distinct()
+        .alias("cs")
+    )
+    return (
+        ev.filter(F.col("mkt_campaign").isNotNull())
+        .join(
+            cs,
+            (F.lower(F.col("ev.mkt_campaign")) == F.col("cs.campaign_name"))
+            & (F.col("ev.collector_tstamp").cast("date") == F.col("cs.spend_date")),
+            "left",
+        )
+        .groupBy(F.lower(F.col("ev.mkt_campaign")).alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("cs.spend").alias("n_matched"),
+        )
+    )
+
+
+O_J03 = """
+SELECT LOWER(ev.mkt_campaign) AS campaign,
+       COUNT(*) AS n_events,
+       COUNT(cs.spend) AS n_matched
+FROM atomic_events ev
+LEFT JOIN (
+    SELECT DISTINCT campaign_name, spend_date, spend
+    FROM campaign_spends WHERE spend IS NOT NULL
+) cs
+    ON LOWER(ev.mkt_campaign) = cs.campaign_name
+    AND CAST(ev.collector_tstamp AS DATE) = cs.spend_date
+WHERE ev.mkt_campaign IS NOT NULL
+GROUP BY LOWER(ev.mkt_campaign)
+"""
+
+
+def q_j04_distinct_before_join(spark, sf_dir):
+    """J4/A7: DISTINCT the lookup side before joining to prevent fan-out."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem").alias("li")
+    flags = (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_flags"))
+        .alias("fl")
+    )
+    return (
+        spark.table("orders")
+        .alias("o")
+        .join(F.broadcast(flags), F.col("o.o_orderkey") == F.col("fl.l_orderkey"), "left")
+        .select(
+            F.col("o.o_orderkey").alias("okey"),
+            nvl(F.col("fl.n_flags"), F.lit(0)).cast("long").alias("n_flags"),
+        )
+    )
+
+
+O_J04 = """
+SELECT o.o_orderkey AS okey,
+       CAST(COALESCE(fl.n_flags, 0) AS BIGINT) AS n_flags
+FROM orders o
+LEFT JOIN (
+    SELECT l_orderkey, COUNT(*) AS n_flags
+    FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem) d
+    GROUP BY l_orderkey
+) fl ON o.o_orderkey = fl.l_orderkey
+"""
+
+
+def q_j05_semi_anti(spark, sf_dir):
+    """Semi/anti joins — engine-delegated in the reference (SURVEY §2.3
+    'not present'), first-class here (the anti-join IS our upsert S3)."""
+    register_sources(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders").select("o_custkey").distinct()
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.lit("with_orders").alias("bucket"), F.count(F.lit(1)).alias("n")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.lit("without_orders").alias("bucket"), F.count(F.lit(1)).alias("n")
+    )
+    return with_orders.unionByName(without)
+
+
+O_J05 = """
+SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders', COUNT(*) FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# A series — aggregations
+# --------------------------------------------------------------------------
+
+def q_a01_a02_count_distinct(spark, sf_dir):
+    """A1+A2: COUNT(*) and COUNT(DISTINCT) in one hash aggregate
+    (Catalyst RewriteDistinctAggregates handles the two-phase split)."""
+    return (
+        _src(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+O_A01 = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a03_ungrouped_max(spark, sf_dir):
+    """A3: ungrouped MAX — the watermark aggregate."""
+    return _src(spark, sf_dir, "events").agg(
+        F.max(F.col("ts").cast("date")).alias("max_day"),
+        F.min(F.col("ts").cast("date")).alias("min_day"),
+    )
+
+
+O_A03 = """
+SELECT MAX(CAST(ts AS DATE)) AS max_day, MIN(CAST(ts AS DATE)) AS min_day
+FROM events
+"""
+
+
+def q_a04_ungrouped_counts(spark, sf_dir):
+    """A4/D3: observability counts (the run_query/log pattern)."""
+    return _src(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+O_A04 = "SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events"
+
+
+def q_a05_a06_ordinal_alias_group(spark, sf_dir):
+    """A5+A6: GROUP BY ordinal and by SELECT alias — Spark SQL mode
+    (spark.sql.groupByOrdinal / groupByAliases, both default-on)."""
+    register_sources(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT upper(l_returnflag) AS flag, l_linestatus AS status,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY 1, status
+        """
+    )
+
+
+O_A05 = """
+SELECT upper(l_returnflag) AS flag, l_linestatus AS status, COUNT(*) AS n
+FROM lineitem GROUP BY 1, status
+"""
+
+
+def q_a07_distinct(spark, sf_dir):
+    """A7: SELECT DISTINCT row dedup."""
+    return _src(spark, sf_dir, "lead_stage_change_events").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_rows")
+    )
+
+
+O_A07 = """
+SELECT COUNT(*) AS n_distinct_rows
+FROM (SELECT DISTINCT * FROM lead_stage_change_events) d
+"""
+
+
+# --------------------------------------------------------------------------
+# W series — windows
+# --------------------------------------------------------------------------
+
+def q_w01_global_row_number(spark, sf_dir):
+    """W1: global (unpartitioned) ROW_NUMBER — single-partition by design;
+    only ever applied to post-aggregation row counts (see traffic_pages
+    id_strategy note for the 100 TB alternative)."""
+    register_sources(spark, sf_dir)
+    n = spark.table("nation")
+    w = Window.orderBy("n_name")
+    return n.select(
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.col("n_name").alias("nation_name"),
+    )
+
+
+O_W01 = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS seq,
+       n_name AS nation_name
+FROM nation
+"""
+
+
+def q_w02_argmax_per_group(spark, sf_dir):
+    """W2: top-1-per-group with multi-level tiebreak (priority CASE, then
+    latest ts, then highest id) — the LA 'most relevant session' pattern."""
+    register_sources(spark, sf_dir)
+    ev = spark.table("events")
+    priority = F.when(F.col("event_type") == "purchase", 1).otherwise(2)
+    w = Window.partitionBy("user_id").orderBy(
+        priority.asc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("top_event_id"),
+            F.col("event_type").alias("top_event_type"),
+            F.col("ts").cast("date").alias("top_day"),
+        )
+    )
+
+
+O_W02 = """
+SELECT user_id, event_id AS top_event_id, event_type AS top_event_type,
+       CAST(ts AS DATE) AS top_day
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END,
+                 ts DESC, event_id DESC) AS rn
+    FROM events
+) t WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# U series — set ops
+# --------------------------------------------------------------------------
+
+def q_u01_unpivot(spark, sf_dir):
+    """U1: UNION-ALL unpivot — aggregate once, emit twice labeled."""
+    register_sources(spark, sf_dir)
+    agg = spark.table("lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("l_orderkey").alias("unique_orders"),
+    )
+
+    def branch(label, col):
+        return agg.select(
+            F.col("l_returnflag").alias("flag"),
+            F.lit(label).alias("type"),
+            F.col(col).alias("metric"),
+        )
+
+    return branch("all", "total_rows").unionByName(branch("unique", "unique_orders"))
+
+
+O_U01 = """
+WITH agg AS (
+    SELECT l_returnflag AS flag, COUNT(*) AS total_rows,
+           COUNT(DISTINCT l_orderkey) AS unique_orders
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT flag, 'all' AS type, total_rows AS metric FROM agg
+UNION ALL
+SELECT flag, 'unique' AS type, unique_orders AS metric FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# F series — scalar functions & expressions
+# --------------------------------------------------------------------------
+
+def q_f_scalar_suite(spark, sf_dir):
+    """F1-F9 in one projection over atomic_events: COALESCE, 2-arg and
+    variadic NVL, NULLIF guard, LOWER, CASE, casts, surrogate key,
+    ''-vs-NULL sentinel."""
+    ev = _src(spark, sf_dir, "atomic_events")
+    return (
+        ev.select(
+            F.col("event_id").alias("event_id"),
+            nvl("refr_source", F.lit("none")).alias("f2_nvl2"),
+            nvl("mkt_source", "refr_source", "mkt_network", F.lit("unknown")).alias(
+                "f3_nvl4"
+            ),
+            (
+                F.col("event_id").cast("double")
+                / F.when(
+                    F.col("event_id").cast("long") % 10 != 0,
+                    F.col("event_id").cast("long") % 10,
+                )
+            ).alias("f4_nullif_div"),
+            F.lower("mkt_campaign").alias("f5_lower"),
+            F.when(nvl(F.col("mkt_network"), F.lit("")) != "", "has_network")
+            .otherwise("no_network")
+            .alias("f9_empty_sentinel"),
+            F.col("collector_tstamp").cast("date").alias("f7_date"),
+            surrogate_key("event_id", "refr_medium", "mkt_campaign").alias("f8_key"),
+        )
+    )
+
+
+O_F = f"""
+SELECT
+    event_id,
+    COALESCE(refr_source, 'none') AS f2_nvl2,
+    COALESCE(mkt_source, refr_source, mkt_network, 'unknown') AS f3_nvl4,
+    CAST(event_id AS DOUBLE) / NULLIF(CAST(event_id AS BIGINT) % 10, 0) AS f4_nullif_div,
+    LOWER(mkt_campaign) AS f5_lower,
+    CASE WHEN COALESCE(mkt_network, '') <> '' THEN 'has_network'
+         ELSE 'no_network' END AS f9_empty_sentinel,
+    CAST(collector_tstamp AS DATE) AS f7_date,
+    {surrogate_key_sql(['event_id', 'refr_medium', 'mkt_campaign'])} AS f8_key
+FROM atomic_events
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped headline queries (bench workload)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: wide scan -> hash agg with multiple
+    measures. The bench's scan/agg throughput probe."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_extendedprice) AS avg_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped: selective dim filter -> 2 joins -> agg. The bench's
+    shuffle-join probe (customer broadcast, orders|xlineitem shuffle)."""
+    register_sources(spark, sf_dir)
+    c = F.broadcast(
+        spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = spark.table("orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+O_TPCH_Q3 = """
+SELECT l.l_orderkey AS okey, CAST(o.o_orderdate AS DATE) AS odate,
+       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+"""
+
+
+# --------------------------------------------------------------------------
+# registration
+# --------------------------------------------------------------------------
+
+PAIRS = [
+    ("s01_scan_counts", q_s01_scan_counts, O_S01),
+    ("p01_projection", q_p01_projection, O_P01),
+    ("p02_literals", q_p02_literals, O_P02),
+    ("p03_p04_filters", q_p03_p04_filters, O_P03),
+    ("p05_not_ilike", q_p05_not_ilike, O_P05),
+    ("p06_null_predicates", q_p06_null_predicates, O_P06),
+    ("p07_in_list", q_p07_in_list, O_P07),
+    ("p08_watermark_subquery", q_p08_watermark_subquery, O_P08),
+    ("p10_derived_filter", q_p10_derived_filter, O_P10),
+    ("p11_notnull_gate", q_p11_notnull_gate, O_P11),
+    ("j01_left_join_const_pred", q_j01_left_join_const_pred, O_J01),
+    ("j02_left_join_single_key", q_j02_left_join_single_key, O_J02),
+    ("j03_join_computed_key", q_j03_join_computed_key, O_J03),
+    ("j04_distinct_before_join", q_j04_distinct_before_join, O_J04),
+    ("j05_semi_anti", q_j05_semi_anti, O_J05),
+    ("a01_a02_count_distinct", q_a01_a02_count_distinct, O_A01),
+    ("a03_ungrouped_max", q_a03_ungrouped_max, O_A03),
+    ("a04_ungrouped_counts", q_a04_ungrouped_counts, O_A04),
+    ("a05_a06_ordinal_alias_group", q_a05_a06_ordinal_alias_group, O_A05),
+    ("a07_distinct", q_a07_distinct, O_A07),
+    ("w01_global_row_number", q_w01_global_row_number, O_W01),
+    ("w02_argmax_per_group", q_w02_argmax_per_group, O_W02),
+    ("u01_unpivot", q_u01_unpivot, O_U01),
+    ("f_scalar_suite", q_f_scalar_suite, O_F),
+    ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
+    ("tpch_q3", q_tpch_q3, O_TPCH_Q3),
+]
+
+# queries whose oracle needs the derived snowplow-shaped CTEs
+_NEEDS_VIEWS = {
+    "p03_p04_filters": ["atomic_events"],
+    "p05_not_ilike": ["atomic_events"],
+    "p06_null_predicates": ["atomic_events"],
+    "p07_in_list": ["atomic_events"],
+    "p10_derived_filter": ["atomic_events"],
+    "p11_notnull_gate": ["lead_stage_change_events"],
+    "j03_join_computed_key": ["atomic_events", "campaign_spends"],
+    "a07_distinct": ["lead_stage_change_events"],
+    "f_scalar_suite": ["atomic_events"],
+}
+
 
 def register_all(register) -> None:
-    # populated as operators land (P/J/A/W/U/F series + extensions)
-    pass
+    for name, fn, oracle in PAIRS:
+        views = _NEEDS_VIEWS.get(name, [])
+        register(name, fn, oracle_query(oracle, *views))
