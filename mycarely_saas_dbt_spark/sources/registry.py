@@ -61,6 +61,11 @@ def register_sources(spark: SparkSession, sf_dir: str) -> None:
     Idempotent; cheap (temp views are lazy — Catalyst inlines them, so
     filters/pruning still push down to the parquet scans).
     """
+    if sf_dir is None or not os.path.isdir(sf_dir):
+        raise FileNotFoundError(
+            f"sf_dir {sf_dir!r} does not exist (expected driver testdata dir "
+            "like /root/testdata/sf0.01)"
+        )
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
