@@ -137,6 +137,7 @@ _ORACLE_MAIN = """
       AND useragent NOT ILIKE '%spider%'
       AND useragent NOT ILIKE '%crawl%'
       AND page_urlpath IS NOT NULL
+      {extra_filter}
 ),
 page_traffic AS (
     SELECT
@@ -174,7 +175,12 @@ FROM final_rows
 """
 
 
-def oracle_sql() -> str:
+def oracle_sql(extra_filter: str = "") -> str:
+    """DuckDB oracle; ``extra_filter`` injects an additional predicate into
+    the event scrub (used by incremental two-batch tests to express the
+    watermark slice in SQL)."""
     from mycarely_saas_dbt_spark.sources.synthetic import ATOMIC_EVENTS_SQL
 
-    return f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL})" + _ORACLE_MAIN
+    return f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL})" + _ORACLE_MAIN.format(
+        extra_filter=extra_filter
+    )

@@ -1,0 +1,173 @@
+"""Two-batch incremental correctness: watermark slicing, unique-key upsert
+(delete+insert), late-data drop, and the reference's B1 row_number-id
+collision semantics — all differentially checked against DuckDB."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+SPLIT = dt.date(2024, 1, 15)
+
+
+@pytest.fixture()
+def target_root(tmp_path):
+    p = str(tmp_path / "target")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _tp_batch1_spec():
+    """TP restricted to events <= SPLIT — simulates the first load."""
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    def build(spark, sf_dir, wm):
+        register_sources(spark, sf_dir)
+        ev = spark.table("atomic_events").filter(
+            F.col("collector_tstamp").cast("date") <= F.lit(SPLIT)
+        )
+        return traffic_pages_agg(spark, sf_dir, events=ev, watermark=wm)
+
+    return ModelSpec(
+        name="traffic_pages_agg", unique_key="id", watermark_col="date", build=build
+    )
+
+
+def test_two_batch_upsert_matches_oracle(spark, duck, target_root):
+    """Run batch1 (<=SPLIT), then an incremental run over the full source.
+    Expected final state per reference semantics, expressed in SQL:
+    b1 rows whose id does NOT collide with b2 ids (B1: row_number ids
+    restart each batch and overwrite unrelated rows), plus all b2 rows
+    (strictly-after-watermark slice; late rows for processed days dropped).
+    """
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    runner = inc.IncrementalRunner(spark, target_root)
+
+    s1 = runner.run(_tp_batch1_spec(), SF_DIR)
+    assert s1["mode"] == "full"
+    wm = runner.watermark("traffic_pages_agg", "date")
+    assert wm == SPLIT  # events exist on the split day
+
+    s2 = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    assert s2["mode"] == "incremental"
+    assert s2["watermark"] == str(SPLIT)
+
+    b1 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'")
+    b2 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'")
+    expected = f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+    assert_df_matches_oracle(runner.read_target("traffic_pages_agg"), duck, expected)
+
+    # B1 really bites: batch2 ids collide with batch1 ids, so some old rows
+    # were overwritten (the reference bug we deliberately preserve).
+    n_b1 = duck.execute(f"SELECT COUNT(*) FROM ({b1})").fetchone()[0]
+    n_final = runner.read_target("traffic_pages_agg").count()
+    n_b2 = duck.execute(f"SELECT COUNT(*) FROM ({b2})").fetchone()[0]
+    assert n_final < n_b1 + n_b2  # collisions removed old rows
+
+
+def test_idempotent_rerun_and_late_data_drop(spark, target_root):
+    """A second incremental run with no new data must be a no-op (all
+    candidate days <= watermark are filtered out)."""
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    before = runner.read_target("traffic_pages_agg").toPandas()
+    stats = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    assert stats["mode"] == "incremental"
+    after = runner.read_target("traffic_pages_agg").toPandas()
+    cols = sorted(before.columns)
+    assert before[cols].sort_values(cols, ignore_index=True).equals(
+        after[cols].sort_values(cols, ignore_index=True)
+    )
+
+
+def test_full_refresh_equals_oneshot(spark, duck, target_root):
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(_tp_batch1_spec(), SF_DIR)
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR, full_refresh=True)
+    assert_df_matches_oracle(
+        runner.read_target("traffic_pages_agg"), duck, tp.oracle_sql()
+    )
+
+
+def test_dag_order_and_la_reads_td_target(spark, target_root):
+    """D5: TP -> TD -> LA; LA consumes TD's *materialized* output (the
+    source-read-back quirk), and its result matches the chained-plan oracle
+    because a full-refresh TD target equals the inline TD plan."""
+    from mycarely_saas_dbt_spark.incremental import run_dag
+
+    results = run_dag(spark, SF_DIR, target_root, full_refresh=True)
+    assert [r["model"] for r in results] == [
+        "traffic_pages_agg",
+        "traffic_daily_agg",
+        "lead_activities_agg",
+    ]
+    assert all(r["rows_written"] > 0 for r in results)
+
+
+def test_la_incremental_events_not_watermarked(spark, duck, target_root):
+    """B3: LA's event side is never watermark-filtered — after an
+    incremental LA run with an old watermark, enrichment still reflects the
+    full event history (matches the full chained oracle restricted to new
+    activity dates)."""
+    import __spark_entry__ as e
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.plans import lead_activities as la_mod
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    # materialize TD first (LA reads it back)
+    runner.run(inc.TRAFFIC_DAILY_SPEC, SF_DIR, full_refresh=True)
+
+    # batch1: leads with activity_date <= SPLIT
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+    from mycarely_saas_dbt_spark.plans.lead_activities import lead_activities_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    def b1_build(spark_, sf_dir, wm):
+        register_sources(spark_, sf_dir)
+        leads = spark_.table("lead_stage_change_events").filter(
+            F.col("date") <= F.lit(SPLIT)
+        )
+        return lead_activities_agg(
+            spark_, sf_dir, leads=leads,
+            traffic_daily=runner.read_target("traffic_daily_agg"), watermark=wm,
+        )
+
+    spec1 = ModelSpec(
+        name="lead_activities_agg", unique_key="id",
+        watermark_col="activity_date", build=b1_build,
+    )
+    runner.run(spec1, SF_DIR)
+    spec2 = inc.make_la_spec(runner)
+    stats = runner.run(spec2, SF_DIR)
+    assert stats["mode"] == "incremental"
+
+    # oracle: full chained LA, final state = b1-not-overwritten + b2
+    full = e.oracle_sql()["lead_activities_agg"]
+    expected = f"""
+    WITH la_full AS ({full}),
+    b1 AS (SELECT * FROM la_full WHERE activity_date <= DATE '{SPLIT}'),
+    b2 AS (SELECT * FROM la_full WHERE activity_date > DATE '{SPLIT}')
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+    assert_df_matches_oracle(
+        runner.read_target("lead_activities_agg"), duck, expected
+    )
