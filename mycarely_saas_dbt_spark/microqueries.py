@@ -766,3 +766,15 @@ def register_all(register) -> None:
     for name, fn, oracle in PAIRS:
         views = _NEEDS_VIEWS.get(name, [])
         register(name, fn, oracle_query(oracle, *views))
+
+    from mycarely_saas_dbt_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        textops,
+    )
+
+    textops.register_queries(register)
+    dedup.register_queries(register)
+    similarity.register_queries(register)
+    multimodal.register_queries(register)

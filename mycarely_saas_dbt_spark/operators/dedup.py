@@ -1,0 +1,348 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §7 M5):
+exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+
+Everything is built from JVM-side Catalyst expressions (md5, higher-order
+array functions) — no Python UDFs — so the hot path stays in whole-stage
+codegen, and every hash is engine-portable (md5 over explicit strings), so
+each operator has a byte-matching DuckDB oracle.
+
+Scale notes (100 TB):
+  * exact dedup = one shuffle on the fingerprint key (map-side combinable).
+  * MinHash+LSH is the classic scale path: per-doc signature (narrow),
+    band -> bucket shuffle keyed by (band, band_key) — candidate pairs only
+    within buckets, never the O(n²) cross join; the verify step touches
+    candidates only. Band/row counts (4x3 of 12 hashes) tune the jaccard
+    S-curve; at ~0.5 target similarity the false-candidate rate at corpus
+    scale stays sub-percent (see prototype numbers in the repo history).
+  * SimHash gives a single 16-bit bucket key — one shuffle, near-free;
+    widen to 64 bits for real corpora.
+  * n-gram Jaccard uses (lang, n_chars) blocking to bound the quadratic
+    verify to within-block pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+MINHASH_JACCARD_THRESHOLD = 0.5
+NGRAM_JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 16
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest doc_id per distinct
+    text; report each group's size."""
+    register_sources(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .groupBy(F.md5("text").alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS content_key, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct character shingles, k=8 stride 4."""
+    expr = (
+        f"transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1),"
+        f" {SHINGLE_STRIDE}), i -> substring(text, i, {SHINGLE_LEN}))"
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(expr)).alias("s")
+    ).distinct()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc with N_HASHES minhash columns mh0..mhN-1.
+    Hash family: md5('<i>:' || shingle) — portable and deterministic."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by true shingle Jaccard.
+
+    shingle -> 12 minhashes -> 4 bands of 3 -> bucket join on
+    (band, band_key) -> candidate pairs -> exact Jaccard >= 0.5.
+    """
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    sig = minhash_signatures(docs)
+
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(N_HASHES)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig".format(
+            b=b,
+            concat=" || ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS s
+    FROM documents,
+         UNNEST(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1,
+                      {SHINGLE_STRIDE})) AS t(i)
+),
+sig AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM candidates c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+FROM candidates c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0))
+      >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over the token multiset: bit j is the sign of the
+    weighted sum of bit j of md5(token) (top bit of hex digit j)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).withColumn("h", F.md5("t"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(list("89abcdef")), 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs = identical SimHash buckets."""
+    register_sources(spark, sf_dir)
+    s = simhash(spark.table("documents"))
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".replace(
+            "{j}", str(j)
+        )
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, md5(t) AS h
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM tok GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {bits} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# blocked n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard over (lang, n_chars)-blocked pairs — the
+    high-precision verifier with cheap blocking to bound the quadratic."""
+    register_sources(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    d = (
+        spark.table("documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.array_distinct(bigrams).alias("grams"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    j = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+O_NGRAM_JACCARD = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> list_extract(string_split(text, ' '), i) || ' ' ||
+                    list_extract(string_split(text, ' '), i + 1)
+           )) AS grams
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(a.grams || b.grams)) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(a.grams || b.grams)) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+PAIRS = [
+    ("dedup_exact", dedup_exact, O_DEDUP_EXACT),
+    ("dedup_minhash_lsh", dedup_minhash_lsh, None),  # oracle built lazily
+    ("dedup_simhash", dedup_simhash, None),
+    ("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD),
+]
+
+
+def register_queries(register) -> None:
+    register("dedup_exact", dedup_exact, O_DEDUP_EXACT)
+    register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
+    register("dedup_simhash", dedup_simhash, _simhash_oracle())
+    register("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD)

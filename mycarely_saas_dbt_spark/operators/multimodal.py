@@ -1,0 +1,159 @@
+"""Multimodal column plumbing (SURVEY §7 M5).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas functions via ``mapInPandas``.
+The decode step itself is STUBBED (image/audio libraries are not in this
+container): ``decode_image_real`` raises NotImplementedError unless PIL is
+importable, and the registered pipeline uses ``fake_decode_features`` — a
+deterministic pure-Python stand-in — so the Spark-side plumbing (schema,
+batch iteration, partitioning, output shape) is real and tested even though
+the codec is not.
+
+Scale notes (100 TB):
+  * payloads stay in executor memory as Arrow buffers — ``mapInPandas``
+    streams batches (spark.sql.execution.arrow.maxRecordsPerBatch), so a
+    1000-executor decode pass is bounded by batch size, not partition size;
+  * metadata-only queries (the ``mm_binary_meta`` path) never touch Python:
+    length/type checks are Catalyst expressions over the binary column;
+  * repartition by a size-balanced key before decode when payload sizes are
+    skewed (video >> thumbnail) — exposed via ``decode_partitions``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata. In production the
+    payload column comes from the lakehouse (image bytes etc.); here it is
+    the utf-8 text, which keeps the pipeline runnable on the testdata."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(payload: bytes):
+    """The real decode path — gated behind an import-try as the container
+    has no imaging stack."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires PIL; not available in this environment"
+        ) from exc
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature extractor: FEATURE_DIM floats derived
+    from byte statistics. STUB — replace with a real model/codec."""
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]) if n else 0.0,
+        float(payload[-1]) if n else 0.0,
+        float(sum(payload[:64]) % 997),
+        float(n % 251),
+        float(min(payload) if n else 0),
+        float(max(payload) if n else 0),
+        float(sum(payload) % 7919),
+    ]
+
+
+def extract_features(binary_df: DataFrame, decode_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column — the real
+    mapInPandas plumbing a production decoder would plug into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "features": [
+                        fake_decode_features(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    df = binary_df
+    if decode_partitions:
+        df = df.repartition(decode_partitions, "doc_id")
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only path: pure Catalyst expressions over the binary column
+    (never crosses into Python)."""
+    register_sources(spark, sf_dir)
+    b = with_binary_payload(spark.table("documents"))
+    return b.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+# DuckDB has no md5(BLOB); md5 over the varchar hashes the same utf-8 bytes
+# as Spark's md5 over the binary cast.
+O_MM_META = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode pipeline with the stub extractor (rows-only
+    driver check: the fake features are not SQL-expressible)."""
+    register_sources(spark, sf_dir)
+    feats = extract_features(with_binary_payload(spark.table("documents")))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.size("features").alias("feature_dim"),
+        F.element_at("features", 1).cast("double").alias("f0"),
+    )
+
+
+def register_queries(register) -> None:
+    register("mm_binary_meta", mm_binary_meta, O_MM_META)
+    register("mm_fake_features", mm_fake_features, None)  # rows-only

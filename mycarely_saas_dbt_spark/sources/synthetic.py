@@ -146,3 +146,9 @@ DERIVED_VIEWS: dict[str, str] = {
     "campaign_spends": CAMPAIGN_SPENDS_SQL,
     "lead_stage_change_events": LEAD_STAGE_CHANGE_EVENTS_SQL,
 }
+
+
+def atomic_events_sql(table: str = "events") -> str:
+    """The Snowplow derivation over an arbitrary relation name — used by the
+    streaming variant to apply the identical projection to a stream."""
+    return ATOMIC_EVENTS_SQL.replace("FROM events", f"FROM {table}")
