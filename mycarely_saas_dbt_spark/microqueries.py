@@ -778,3 +778,7 @@ def register_all(register) -> None:
     dedup.register_queries(register)
     similarity.register_queries(register)
     multimodal.register_queries(register)
+
+    from mycarely_saas_dbt_spark import runnerqueries
+
+    runnerqueries.register_queries(register)

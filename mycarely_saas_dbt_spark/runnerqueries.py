@@ -1,0 +1,88 @@
+"""Contract queries exercising the materialization runtimes (S2/S3/S4 and
+the streaming sink) end-to-end, so the driver's differential check covers
+them — not just pytest.
+
+Both build throwaway targets under /tmp (unique per invocation) and return
+the final materialized state as a DataFrame.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPLIT = dt.date(2024, 1, 15)
+
+
+def incremental_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3: load events<=SPLIT, then an incremental run over the full
+    source; returns the final upserted traffic_pages_agg target. Oracle
+    expresses the same delete+insert semantics in SQL (including the
+    preserved B1 row_number-collision behavior)."""
+    from mycarely_saas_dbt_spark.incremental import (
+        IncrementalRunner,
+        ModelSpec,
+        TRAFFIC_PAGES_SPEC,
+    )
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_inc_")
+    runner = IncrementalRunner(spark, root)
+
+    def b1_build(sp, sfd, wm):
+        register_sources(sp, sfd)
+        ev = sp.table("atomic_events").filter(
+            F.col("collector_tstamp").cast("date") <= F.lit(SPLIT)
+        )
+        return traffic_pages_agg(sp, sfd, events=ev, watermark=wm)
+
+    runner.run(
+        ModelSpec("traffic_pages_agg", "id", "date", b1_build), sf_dir
+    )
+    runner.run(TRAFFIC_PAGES_SPEC, sf_dir)
+    out = runner.read_target("traffic_pages_agg")
+    # materialize into the session before the temp dir is deleted
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def incremental_oracle() -> str:
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    b1 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'")
+    b2 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'")
+    return f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+
+
+def streaming_traffic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 streaming variant: drain the events file source (availableNow)
+    through the windowed/watermarked aggregation and foreachBatch merge
+    sink; returns the final target. Rows-only check — approx_count_distinct
+    (HLL) is not SQL-reproducible."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        traffic_pages_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_")
+    target = f"{root}/tp_stream"
+    q = traffic_pages_stream(spark, sf_dir, target)
+    q.awaitTermination(300)
+    out = spark.read.parquet(target)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def register_queries(register) -> None:
+    register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
+    register("streaming_traffic_pages", streaming_traffic_pages, None)

@@ -29,18 +29,22 @@ DRIVER_TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
     (spark.sql.legacy.parquet.nanosAsLong) and we must convert back."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
     schema = pq.read_schema(path)
-    return [
+    return tuple(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,12 +59,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_sources(spark: SparkSession, sf_dir: str) -> None:
+# sf_dir currently registered per session — registration is idempotent but
+# costs ~1-2s of JVM roundtrips, which would otherwise be paid per query in
+# the driver/bench loops. Keyed by CURRENT dir (not a seen-set): the temp
+# views are session-global, so switching sf_dir must re-register.
+_CURRENT: dict[int, str] = {}
+
+
+def register_sources(spark: SparkSession, sf_dir: str, *, force: bool = False) -> None:
     """Register the driver tables and the derived reference-shaped views.
 
-    Idempotent; cheap (temp views are lazy — Catalyst inlines them, so
-    filters/pruning still push down to the parquet scans).
+    Idempotent and memoized per session; temp views are lazy — Catalyst
+    inlines them, so filters/pruning still push down to the parquet scans.
     """
+    path = os.path.abspath(sf_dir) if sf_dir else ""
+    if _CURRENT.get(id(spark)) == path and not force:
+        return
     if sf_dir is None or not os.path.isdir(sf_dir):
         raise FileNotFoundError(
             f"sf_dir {sf_dir!r} does not exist (expected driver testdata dir "
@@ -72,6 +86,7 @@ def register_sources(spark: SparkSession, sf_dir: str) -> None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     for name, sql in DERIVED_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
+    _CURRENT[id(spark)] = path
 
 
 def oracle_with_clause(*views: str) -> str:
