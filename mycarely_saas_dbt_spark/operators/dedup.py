@@ -96,17 +96,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_sources(spark, sf_dir)
     docs = spark.table("documents")
-    sig = minhash_signatures(docs)
 
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_key"),
+    # The shingle set feeds signatures AND the Jaccard verify, and the band
+    # relation is self-joined — persist both so the text scan + explode and
+    # the 12-way min-agg run once, not 20x (on a production lake these
+    # intermediates would be checkpointed to the object store instead).
+    sh = _shingles(docs).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_exprs = ", ".join(
+        "{b}, md5(concat({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(N_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
+    ).persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -122,7 +135,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -144,22 +144,22 @@ def traffic_daily_agg(
         nvl(F.col("csd.spend"), F.lit(0)).cast("double").alias("spend"),
     )
 
-    def branch(label: str, measure: str) -> DataFrame:
-        return joined.select(
-            F.lit(999).alias("company_id"),
-            "company_domain",
-            "spend_date",
-            F.col(measure).alias("traffic"),
-            "spend",
-            F.lit(label).alias("col_1"),
-            "col_2",
-            "col_3",
-            "col_4",
-            F.lit(None).cast("string").alias("col_5"),
-            F.lit(None).cast("string").alias("col_6"),
-        )
-
-    combined = branch("all", "total_visits").unionByName(branch("unique", "unique_visitors"))
+    # UNION-ALL unpivot via stack(): the reference evaluates the spend join
+    # in BOTH union branches (models/traffic_daily_agg.sql:105-129); same
+    # output multiset, but the agg+join upstream runs ONCE (SURVEY §4 "safe
+    # improvement") — at 100 TB this halves the heavy event aggregation.
+    combined = joined.selectExpr(
+        "999 AS company_id",
+        "company_domain",
+        "spend_date",
+        "spend",
+        "col_2",
+        "col_3",
+        "col_4",
+        "stack(2, 'all', total_visits, 'unique', unique_visitors) AS (col_1, traffic)",
+        "CAST(NULL AS STRING) AS col_5",
+        "CAST(NULL AS STRING) AS col_6",
+    )
 
     return combined.select(
         surrogate_key(

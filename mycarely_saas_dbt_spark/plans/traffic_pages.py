@@ -86,17 +86,15 @@ def traffic_pages_agg(
         F.countDistinct("domain_userid").alias("unique_visits"),
     )
 
-    def labeled(label: str, src_col: str) -> DataFrame:
-        return page_traffic.select(
-            "company_domain",
-            "date",
-            "page_urlpath",
-            F.lit(label).alias("type"),
-            F.col(src_col).alias("traffic"),
-        )
-
-    labeled_visits = labeled("all", "total_visits").unionByName(
-        labeled("unique", "unique_visits")
+    # UNION-ALL unpivot via stack(): same multiset as the reference's two
+    # SELECTs over page_traffic (models/traffic_pages_agg.sql:38-56) but the
+    # upstream scan+aggregate runs ONCE — Catalyst does not dedup common
+    # subplans, so a literal UNION ALL would recompute it (SURVEY §4).
+    labeled_visits = page_traffic.selectExpr(
+        "company_domain",
+        "date",
+        "page_urlpath",
+        "stack(2, 'all', total_visits, 'unique', unique_visits) AS (type, traffic)",
     )
 
     if id_strategy == "row_number":

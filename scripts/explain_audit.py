@@ -1,0 +1,62 @@
+"""Plan-shape audit: for each headline query, report scan pruning
+(ReadSchema width, PushedFilters), join strategies, exchange count, and
+whole-stage-codegen coverage — the 100 TB health checks from SURVEY §4.
+
+Usage: python scripts/explain_audit.py [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDIT = [
+    "traffic_pages_agg",
+    "traffic_daily_agg",
+    "lead_activities_agg",
+    "tpch_q1",
+    "tpch_q3",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def audit(name: str, plan: str) -> None:
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)
+    exchanges = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    wsc = len(re.findall(r"WholeStageCodegen", plan))
+    print(f"== {name}")
+    for s in scans:
+        cols = [c.split("#")[0] for c in s.split(",")]
+        print(f"   scan cols ({len(cols)}): {cols}")
+    for p in pushed:
+        if p.strip():
+            print(f"   pushed: {p[:160]}")
+    from collections import Counter
+
+    print(f"   joins: {dict(Counter(joins))}  exchanges: {exchanges}  codegen spans: {wsc}")
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from mycarely_saas_dbt_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or AUDIT
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        audit(name, plan)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
