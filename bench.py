@@ -24,6 +24,11 @@ BENCH_QUERIES = [
     "lead_activities_agg",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
 ]
 
 # extension benches appended as they land (dedup, similarity, text analysis)

@@ -715,6 +715,206 @@ GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped: 5-way join (lineitem⋈orders⋈customer⋈supplier⋈nation
+    ⋈region) with the co-nation constraint, revenue by nation. Probes join
+    ordering + broadcast of the dim chain; at 100 TB only orders⋈lineitem
+    shuffles — nation/region/supplier/customer broadcast."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    c = spark.table("customer")
+    s = F.broadcast(spark.table("supplier"))
+    n = F.broadcast(spark.table("nation"))
+    r = F.broadcast(spark.table("region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+O_TPCH_Q5 = """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-shaped: fully-pushable selective scan -> single global sum.
+    The predicate-pushdown probe — all three filters reach the parquet
+    row-group stats, so at 100 TB this reads a fraction of the table."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1995-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+O_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-shaped: returned-item revenue per customer, one quarter of
+    orders, customer+nation enrichment. Probes fact⋈fact shuffle join plus
+    broadcast dim enrichment and a high-cardinality groupBy."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    c = spark.table("customer")
+    n = F.broadcast(spark.table("nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+O_TPCH_Q10 = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal AS acctbal, n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-shaped: promo-revenue ratio — conditional aggregation
+    (SUM(CASE WHEN ...)) over a part⋈lineitem join, one month of shipments.
+    Part is the broadcast side at any scale that fits; the conditional sum
+    runs map-side inside codegen."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
+    )
+    p = spark.table("part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+O_TPCH_Q14 = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1995-10-01'
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-shaped: large-volume customers — pre-aggregate lineitem per
+    order, HAVING-style filter on the aggregate, then semi-join back through
+    orders/customer. The agg-before-join pattern that keeps the shuffle on
+    the narrow pre-aggregated side (SURVEY §4 'pre-aggregate before join')."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 212)
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+O_TPCH_Q18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_totalprice AS totalprice, big.total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 212) big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registration
 # --------------------------------------------------------------------------
@@ -746,6 +946,11 @@ PAIRS = [
     ("f_scalar_suite", q_f_scalar_suite, O_F),
     ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
     ("tpch_q3", q_tpch_q3, O_TPCH_Q3),
+    ("tpch_q5", q_tpch_q5, O_TPCH_Q5),
+    ("tpch_q6", q_tpch_q6, O_TPCH_Q6),
+    ("tpch_q10", q_tpch_q10, O_TPCH_Q10),
+    ("tpch_q14", q_tpch_q14, O_TPCH_Q14),
+    ("tpch_q18", q_tpch_q18, O_TPCH_Q18),
 ]
 
 # queries whose oracle needs the derived snowplow-shaped CTEs
