@@ -25,11 +25,14 @@ AUDIT = [
 
 
 def audit(name: str, plan: str) -> None:
+    # drop AQE's "Initial Plan" echo so operators aren't double-counted
+    plan = plan.split("== Initial Plan ==")[0]
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)
     exchanges = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
-    wsc = len(re.findall(r"WholeStageCodegen", plan))
+    # simple plan strings mark codegen stages as "*(N) Operator"
+    wsc = len(set(re.findall(r"\*\((\d+)\)", plan)) | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
     print(f"== {name}")
     for s in scans:
         cols = [c.split("#")[0] for c in s.split(",")]
@@ -53,6 +56,10 @@ def main() -> None:
     names = sys.argv[1:] or AUDIT
     for name in names:
         df = qs[name](spark, sf_dir)
+        # Execute first: with AQE the physical plan (and its WholeStageCodegen
+        # spans) is only final after the job runs. collect() finalizes THIS
+        # DataFrame's queryExecution (a write would execute a fresh copy).
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         audit(name, plan)
     spark.stop()
