@@ -915,6 +915,148 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-shaped: EXISTS rewritten as LEFT SEMI join — orders with at
+    least one returned lineitem, counted by priority. The semi join never
+    materializes the probe side's payload; dedup is implicit."""
+    register_sources(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+O_TPCH_Q4 = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-shaped: orders-per-customer distribution — LEFT OUTER join
+    preserving order-less customers, COUNT of a nullable key (0 for no
+    match), then a second tiny aggregation over the counts."""
+    register_sources(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+O_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-shaped: correlated AVG subquery decorrelated into an
+    aggregate-then-join-back — lineitems below half their part's average
+    quantity. The per-part aggregate is small (one row per part) so it
+    broadcasts; the fact table is scanned once per side."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    half_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(half_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+O_TPCH_Q17 = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey) h
+  ON l.l_partkey = h.l_partkey
+WHERE l.l_quantity < h.half_avg_qty
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-shaped: disjunction of conjunctive predicates (OR-of-ANDs)
+    across a part⋈lineitem join. Catalyst extracts the common l_partkey
+    equi-key and keeps the disjunction as join residual — no cartesian."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    p = spark.table("part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond1 = (
+        F.col("p_type").like("PROMO%")
+        & (F.col("l_quantity") <= 10)
+        & (F.col("p_size") <= 20)
+    )
+    cond2 = (
+        F.col("p_type").like("STANDARD%")
+        & (F.col("l_quantity") >= 30)
+        & (F.col("p_size") >= 10)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(F.round(F.sum(disc), 2).alias("revenue"))
+    )
+
+
+O_TPCH_Q19 = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_type LIKE 'PROMO%' AND l.l_quantity <= 10 AND p.p_size <= 20)
+   OR (p.p_type LIKE 'STANDARD%' AND l.l_quantity >= 30 AND p.p_size >= 10)
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-shaped: above-average-balance customers with no orders —
+    an uncorrelated scalar aggregate (kept in-plan as a 1-row broadcast
+    cross join, not a driver collect) plus NOT EXISTS as LEFT ANTI join.
+    The anti side is restricted to finished ('F') orders so the predicate
+    is non-vacuous on the synthetic data (every customer has some order)."""
+    register_sources(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+O_TPCH_Q22 = """
+SELECT c.c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c.c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registration
 # --------------------------------------------------------------------------
@@ -951,6 +1093,11 @@ PAIRS = [
     ("tpch_q10", q_tpch_q10, O_TPCH_Q10),
     ("tpch_q14", q_tpch_q14, O_TPCH_Q14),
     ("tpch_q18", q_tpch_q18, O_TPCH_Q18),
+    ("tpch_q4", q_tpch_q4, O_TPCH_Q4),
+    ("tpch_q13", q_tpch_q13, O_TPCH_Q13),
+    ("tpch_q17", q_tpch_q17, O_TPCH_Q17),
+    ("tpch_q19", q_tpch_q19, O_TPCH_Q19),
+    ("tpch_q22", q_tpch_q22, O_TPCH_Q22),
 ]
 
 # queries whose oracle needs the derived snowplow-shaped CTEs
@@ -975,10 +1122,12 @@ def register_all(register) -> None:
     from mycarely_saas_dbt_spark.operators import (
         dedup,
         multimodal,
+        olap,
         similarity,
         textops,
     )
 
+    olap.register_queries(register)
     textops.register_queries(register)
     dedup.register_queries(register)
     similarity.register_queries(register)

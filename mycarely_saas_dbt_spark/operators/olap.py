@@ -1,0 +1,381 @@
+"""General OLAP operator extensions: window analytics, multi-dimensional
+aggregation (ROLLUP / CUBE / GROUPING SETS), pivot, top-k, sessionization,
+and exact percentiles.
+
+The reference's operator surface (SURVEY §2) stops at ranking windows and
+plain GROUP BY; a user migrating real analytics workloads onto this engine
+needs the rest of the standard OLAP vocabulary. Everything here is built-in
+Catalyst expressions — no UDFs — and each query ships a DuckDB oracle.
+
+Scale notes (100 TB):
+  * windowed analytics partition by a key (customer / user) — the shuffle is
+    one hash exchange on that key and each partition sorts locally; no global
+    sort anywhere except top-k, which Spark executes as TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows, never a full sort).
+  * ROLLUP/CUBE expand via Catalyst's Expand operator — one shuffle, rows
+    duplicated per grouping set map-side with partial aggregation, so the
+    exchange carries pre-combined rows.
+  * sessionization is the lag/cumsum formulation (deterministic, oracle-
+    checkable). In production-streaming form the same semantics are
+    F.session_window(ts, gap) / applyInPandasWithState — see
+    streaming/traffic_stream.py for the streaming scaffolding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+
+def _src(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_sources(spark, sf_dir)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# window analytics
+# --------------------------------------------------------------------------
+
+def q_win_lag_lead(spark, sf_dir):
+    """LAG/LEAD over a per-customer order timeline + day gap to the previous
+    order. One hash exchange on o_custkey, local sort per partition."""
+    o = _src(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
+    )
+
+
+O_WIN_LAG_LEAD = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_win_running(spark, sf_dir):
+    """Cumulative sum + 3-row moving sum per customer (explicit ROWS
+    frames). Moving SUM, not AVG: a 2-row frame's avg of 2-decimal prices
+    lands exactly on .xx5 where double representation tips Spark and DuckDB
+    to different sides of ROUND — sums of 2-decimal values round stably."""
+    o = _src(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(wcum), 2).alias("cum_spend"),
+        F.round(F.sum("o_totalprice").over(wmov), 2).alias("mov_sum3"),
+        F.count(F.lit(1)).over(wmov).alias("n_in_frame"),
+    )
+
+
+O_WIN_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS order_seq,
+       ROUND(SUM(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+       ROUND(SUM(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum3,
+       COUNT(*) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_win_rank_ntile(spark, sf_dir):
+    """RANK / DENSE_RANK / NTILE / PERCENT_RANK over urgent orders. The
+    ORDER BY carries a unique tiebreak (o_orderkey) so NTILE assignment is
+    deterministic. Global window — fine at report cardinality; at 100 TB
+    rank within partitions or top-k instead (see q_topk_orders)."""
+    o = _src(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+O_WIN_RANK_NTILE = """
+SELECT o_orderkey, o_totalprice,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# multi-dimensional aggregation
+# --------------------------------------------------------------------------
+
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP(l_returnflag, l_linestatus): detail + subtotal + grand total in
+    one pass (Expand + single shuffle, partials map-side combined)."""
+    li = _src(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+O_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark, sf_dir):
+    """CUBE(o_orderstatus, o_orderpriority): all 4 grouping sets."""
+    o = _src(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+O_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# one SQL string, two engines — Spark SQL and DuckDB parse it identically
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL front-end (the engine-portable
+    string doubles as the oracle)."""
+    register_sources(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# pivot / top-k / histogram / percentiles
+# --------------------------------------------------------------------------
+
+def q_pivot_returnflag(spark, sf_dir):
+    """groupBy().pivot() with an explicit value list (no extra distinct job;
+    one shuffle). Oracle is the conditional-aggregation rewrite."""
+    li = _src(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+O_PIVOT_RETURNFLAG = """
+SELECT l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """Top-15 orders by price (unique tiebreak). Spark plans this as
+    TakeOrderedAndProject: per-partition heaps, k rows to the driver — the
+    only safe 'ORDER BY' at 100 TB."""
+    o = _src(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+O_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+"""
+
+
+def q_hist_totalprice(spark, sf_dir):
+    """Fixed-width histogram via integer binning — a groupBy on a derived
+    key (map-side combinable; bins ≪ rows so the shuffle is tiny)."""
+    o = _src(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_HIST_TOTALPRICE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_percentile_qty(spark, sf_dir):
+    """Exact interpolated percentiles of l_quantity per return flag
+    (Spark `percentile` ≡ DuckDB `quantile_cont`). At 100 TB switch to
+    approx_percentile — exact percentile shuffles every value per group."""
+    li = _src(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
+    )
+
+
+O_PERCENTILE_QTY = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization of the event log (30-min inactivity gap):
+    lag → new-session flag → running sum = session id → per-session rollup.
+
+    Deterministic lag/cumsum formulation so the oracle can replicate it
+    exactly. Streaming/100 TB equivalents of the same semantics:
+    F.session_window(ts, '30 minutes') (native merging session windows,
+    single shuffle) or applyInPandasWithState for custom state; batch shape
+    here costs one exchange on user_id then a cheap (user_id, seq) groupBy.
+    """
+    ev = _src(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col("ts").cast("long")
+    prev_s = F.lag(ts_s).over(w)
+    new_sess = F.when(
+        prev_s.isNull() | ((ts_s - prev_s) > SESSION_GAP_S), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("session_seq", F.sum(new_sess).over(wcum))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_s).alias("start_s"),
+            F.max(ts_s).alias("end_s"),
+            (F.max(ts_s) - F.min(ts_s)).alias("duration_s"),
+        )
+    )
+
+
+O_SESSIONIZE_EVENTS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts_s,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts_s) AS start_s,
+       MAX(ts_s) AS end_s,
+       MAX(ts_s) - MIN(ts_s) AS duration_s
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# registration
+# --------------------------------------------------------------------------
+
+PAIRS = [
+    ("win_lag_lead", q_win_lag_lead, O_WIN_LAG_LEAD),
+    ("win_running", q_win_running, O_WIN_RUNNING),
+    ("win_rank_ntile", q_win_rank_ntile, O_WIN_RANK_NTILE),
+    ("agg_rollup", q_agg_rollup, O_AGG_ROLLUP),
+    ("agg_cube", q_agg_cube, O_AGG_CUBE),
+    ("agg_grouping_sets", q_agg_grouping_sets, GROUPING_SETS_SQL),
+    ("pivot_returnflag", q_pivot_returnflag, O_PIVOT_RETURNFLAG),
+    ("topk_orders", q_topk_orders, O_TOPK_ORDERS),
+    ("hist_totalprice", q_hist_totalprice, O_HIST_TOTALPRICE),
+    ("percentile_qty", q_percentile_qty, O_PERCENTILE_QTY),
+    ("sessionize_events", q_sessionize_events, O_SESSIONIZE_EVENTS),
+]
+
+
+def register_queries(register) -> None:
+    for name, fn, oracle in PAIRS:
+        register(name, fn, oracle)
