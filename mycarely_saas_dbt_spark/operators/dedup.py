@@ -30,6 +30,9 @@ from mycarely_saas_dbt_spark.sources.registry import register_sources
 SHINGLE_LEN = 8
 SHINGLE_STRIDE = 4
 N_HASHES = 12
+# Kirsch–Mitzenmacher: mh_i = (h1 + i*h2) mod P from ONE md5 per shingle.
+# P ~ 2^30 keeps h1 + 11*h2 well under 2^63 (no overflow in either engine).
+MINHASH_P = 1_000_000_007
 N_BANDS = 4
 ROWS_PER_BAND = 3
 MINHASH_JACCARD_THRESHOLD = 0.5
@@ -77,15 +80,30 @@ def _shingles(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """One row per doc with N_HASHES minhash columns mh0..mhN-1.
-    Hash family: md5('<i>:' || shingle) — portable and deterministic."""
-    sh = _shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, h1, h2): ONE md5 per shingle, split into two independent
+    60-bit halves reduced mod MINHASH_P. The N_HASHES minhash family is then
+    pure bigint arithmetic (h1 + i*h2) mod P — no per-hash string hashing,
+    and signatures shuffle as longs instead of 32-char hex strings."""
+    m = F.md5("s")
+    return _shingles(docs).select(
+        "doc_id",
+        "s",
+        (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % MINHASH_P).alias("h1"),
+        (F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % MINHASH_P).alias("h2"),
+    )
+
+
+def _minhash_aggs():
+    return [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_P).alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc with N_HASHES bigint minhash columns mh0..mhN-1."""
+    return _hashed_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,17 +117,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The shingle set feeds signatures AND the Jaccard verify, and the band
     # relation is self-joined — persist both so the text scan + explode and
-    # the 12-way min-agg run once, not 20x (on a production lake these
+    # the min-agg run once, not 20x (on a production lake these
     # intermediates would be checkpointed to the object store instead).
-    sh = _shingles(docs).persist()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    sh = _hashed_shingles(docs).persist()
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
     band_exprs = ", ".join(
-        "{b}, md5(concat({cols}))".format(
+        "{b}, md5(concat_ws('_', {cols}))".format(
             b=b,
             cols=", ".join(
                 f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
@@ -163,12 +176,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mh_cols = ",\n           ".join(
-        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(N_HASHES)
+        f"MIN((h1 + {i} * h2) % {MINHASH_P}) AS mh{i}" for i in range(N_HASHES)
     )
     band_rows = "\n    UNION ALL\n".join(
-        "    SELECT doc_id, {b} AS band, md5({concat}) AS band_key FROM sig".format(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_key FROM sig".format(
             b=b,
-            concat=" || ".join(
+            cols=", ".join(
                 f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
             ),
         )
@@ -181,10 +194,16 @@ WITH sh AS (
          UNNEST(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1,
                       {SHINGLE_STRIDE})) AS t(i)
 ),
+hh AS (
+    SELECT doc_id, s,
+           ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h1,
+           ('0x' || substr(md5(s), 17, 15))::BIGINT % {MINHASH_P} AS h2
+    FROM sh
+),
 sig AS (
     SELECT doc_id,
            {mh_cols}
-    FROM sh GROUP BY doc_id
+    FROM hh GROUP BY doc_id
 ),
 bands AS (
 {band_rows}
