@@ -1121,6 +1121,7 @@ def register_all(register) -> None:
 
     from mycarely_saas_dbt_spark.operators import (
         dedup,
+        joins,
         multimodal,
         olap,
         similarity,
@@ -1128,6 +1129,7 @@ def register_all(register) -> None:
     )
 
     olap.register_queries(register)
+    joins.register_queries(register)
     textops.register_queries(register)
     dedup.register_queries(register)
     similarity.register_queries(register)
