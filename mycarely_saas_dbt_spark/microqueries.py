@@ -1120,6 +1120,7 @@ def register_all(register) -> None:
         register(name, fn, oracle_query(oracle, *views))
 
     from mycarely_saas_dbt_spark.operators import (
+        approx,
         dedup,
         joins,
         multimodal,
@@ -1127,9 +1128,12 @@ def register_all(register) -> None:
         similarity,
         textops,
     )
+    from mycarely_saas_dbt_spark.sources import formats
 
     olap.register_queries(register)
     joins.register_queries(register)
+    approx.register_queries(register)
+    formats.register_queries(register)
     textops.register_queries(register)
     dedup.register_queries(register)
     similarity.register_queries(register)
