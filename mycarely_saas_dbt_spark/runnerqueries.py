@@ -83,6 +83,54 @@ def streaming_traffic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (F.session_window) drained with
+    availableNow; oracle-checked against the batch lag/cumsum formulation —
+    the session boundaries are provably identical (see sessionize_stream)."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import sessionize_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_sess_")
+    target = f"{root}/sessions"
+    q = sessionize_stream(spark, sf_dir, target)
+    q.awaitTermination(300)
+    out = spark.read.parquet(target)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def streaming_sessionize_oracle() -> str:
+    from mycarely_saas_dbt_spark.operators.olap import SESSION_GAP_S
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts_s,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_s) AS start_s,
+       MAX(ts_s) AS end_s,
+       COUNT(*) AS n_events,
+       MAX(ts_s) - MIN(ts_s) AS duration_s
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("streaming_traffic_pages", streaming_traffic_pages, None)
+    register("streaming_sessionize", streaming_sessionize, streaming_sessionize_oracle())

@@ -124,3 +124,74 @@ def traffic_pages_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# streaming sessionization (native merging session windows)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the raw driver events (ns->µs repaired)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    return (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str, target: str):
+    """Gap-based sessionization as a native streaming aggregation via
+    F.session_window — the stateful-merge operator the batch lag/cumsum
+    formulation (operators/olap.py q_sessionize_events) simulates.
+
+    Exact batch parity: the batch rule starts a new session when the
+    floored-second gap is STRICTLY > SESSION_GAP_S. session_window treats
+    adjacent windows as mergeable (an event merges iff ts <= prev_ts + gap
+    — verified empirically against the oracle), so on floor(ts) seconds a
+    gap of exactly SESSION_GAP_S yields identical session boundaries, and
+    the DuckDB oracle checks it.
+
+    Scale: session_window keeps per-key merging state bounded by the
+    watermark — one shuffle on user_id, state evicted once the watermark
+    passes a session's close; this is the 100 TB path where the batch
+    formulation's full-partition sort is replaced by incremental state.
+    Sink note: session-window aggregation supports append (emit only
+    watermark-finalized sessions) or complete output. Append would hold
+    back every session the watermark hasn't passed — wrong for a
+    drain-everything contract run — so this uses complete + overwrite:
+    each micro-batch rewrites the full session table. A production
+    deployment uses append mode with a lateness budget and lets the
+    watermark finalize sessions continuously.
+    """
+    ev = raw_events_stream(spark, sf_dir).select(
+        "user_id", F.timestamp_seconds(F.col("ts").cast("long")).alias("tss")
+    )
+    agg = (
+        ev.withWatermark("tss", "1 day")
+        .groupBy(F.session_window("tss", f"{SESSION_GAP_S} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("start_s"),
+            (F.col("session_window.end").cast("long") - SESSION_GAP_S).alias("end_s"),
+            "n_events",
+        )
+        .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", f"{target}.checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
