@@ -130,7 +130,28 @@ GROUP BY user_id, session_seq
 """
 
 
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics contract: batch 2 replays days 1-5 as late rows;
+    the watermark set by batch 1 must drop every replay, so the oracle is
+    the per-day count over the ORIGINAL events only."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import late_drop_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_late_")
+    out = late_drop_stream(spark, sf_dir, root)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_LATE_DROP = """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("streaming_traffic_pages", streaming_traffic_pages, None)
     register("streaming_sessionize", streaming_sessionize, streaming_sessionize_oracle())
+    register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)

@@ -195,3 +195,93 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, target: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# watermark semantics: late-data drop, proven by differential test
+# --------------------------------------------------------------------------
+
+LATE_SPLIT = "2024-01-16"     # file1: ts < SPLIT; file2: the rest + replays
+LATE_REPLAY_BEFORE = "2024-01-06"   # replayed (late) rows: days 1-5
+LATENESS = "2 days"
+
+
+def late_drop_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
+    """Three-micro-batch run proving watermark late-data semantics.
+
+    Batch 1 (days < LATE_SPLIT) advances the watermark to
+    max(ts) - LATENESS ≈ Jan 13; batch 2 is the on-time remainder. Batch 3
+    replays days 1-5 with negated event_ids — rows that would double those
+    days' counts if accepted. Their windows closed far below the watermark,
+    so the streaming aggregation must drop every one of them; the oracle is
+    simply the per-day count over the ORIGINAL events. If a regression ever
+    admits the late rows, the day counts double and the hash compare fails.
+
+    The replay ships in its own third batch because a watermark update
+    commits at a batch boundary and becomes operative for input filtering
+    one batch later (verified empirically: a replay sharing the batch that
+    follows the watermark-advancing one is still admitted).
+
+    This is the reference's incremental semantic (late rows for processed
+    days silently dropped, SURVEY §2.8) upgraded to event-time processing
+    with an explicit, bounded lateness budget.
+    """
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    f1 = ev.filter(F.col("ts") < LATE_SPLIT)
+    f2 = ev.filter(F.col("ts") >= LATE_SPLIT)
+    f3 = ev.filter(F.col("ts") < LATE_REPLAY_BEFORE).withColumn(
+        "event_id", -F.col("event_id")
+    )
+    for i, df in enumerate((f1, f2, f3), start=1):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch, in
+        .parquet(src)                     # modification-time order
+    )
+    agg = (
+        stream.withWatermark("ts", LATENESS)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("date").alias("day"), "n_events")
+    )
+
+    target = os.path.join(workdir, "daily")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if os.path.isdir(target):
+            old = sp.read.parquet(target)
+            merged = old.join(
+                batch_df.select("day").distinct(), ["day"], "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = f"{target}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        bak = f"{target}.bak"
+        if os.path.isdir(target):
+            os.rename(target, bak)
+        os.rename(tmp, target)
+        if os.path.isdir(bak):
+            import shutil
+
+            shutil.rmtree(bak)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
