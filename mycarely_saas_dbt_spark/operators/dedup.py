@@ -364,11 +364,103 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 """
 
 
+# --------------------------------------------------------------------------
+# near-dup cluster formation (connected components)
+# --------------------------------------------------------------------------
+
+CC_MAX_ITER = 20
+
+
+def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list (u, v) — each round every vertex takes the min of
+    its own and its neighbors' labels; converges in O(diameter) rounds.
+
+    Per-round cost: one shuffle to join labels onto edges, one to re-group
+    by vertex; `localCheckpoint` truncates lineage so the plan doesn't grow
+    per iteration. Near-dup graphs are forests of tiny cliques/chains, so
+    the diameter (and round count) stays small even at corpus scale; for
+    adversarial long-chain graphs switch to the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — same join primitives, O(log n)
+    rounds. The driver-side loop only checks a changed-row COUNT per round
+    (a scalar), it never collects the data.
+    """
+    # materialize the edge list once — the iteration re-reads it every
+    # round, and upstream (e.g. an LSH candidate join) must not re-run
+    edges = edges.localCheckpoint()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, "u")
+            .select(F.col("v").alias("u"), "label")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the MinHash-LSH near-dup pairs into components and assign
+    every member its cluster's canonical (minimum) doc_id — the step that
+    turns pairwise similarity into keep/drop decisions. Oracle: transitive
+    closure via DuckDB recursive CTE over the same pair set."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return connected_components(pairs).select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE lsh_pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()}) q
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
 PAIRS = [
     ("dedup_exact", dedup_exact, O_DEDUP_EXACT),
     ("dedup_minhash_lsh", dedup_minhash_lsh, None),  # oracle built lazily
     ("dedup_simhash", dedup_simhash, None),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD),
+    ("dedup_cc_clusters", dedup_cc_clusters, None),
 ]
 
 
@@ -377,3 +469,4 @@ def register_queries(register) -> None:
     register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
     register("dedup_simhash", dedup_simhash, _simhash_oracle())
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD)
+    register("dedup_cc_clusters", dedup_cc_clusters, _cc_oracle())
