@@ -1128,12 +1128,13 @@ def register_all(register) -> None:
         similarity,
         textops,
     )
-    from mycarely_saas_dbt_spark.sources import formats
+    from mycarely_saas_dbt_spark.sources import bucketing, formats
 
     olap.register_queries(register)
     joins.register_queries(register)
     approx.register_queries(register)
     formats.register_queries(register)
+    bucketing.register_queries(register)
     textops.register_queries(register)
     dedup.register_queries(register)
     similarity.register_queries(register)
