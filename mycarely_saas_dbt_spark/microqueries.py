@@ -1057,6 +1057,235 @@ GROUP BY c.c_nationkey
 """
 
 
+def _dec(c):
+    """Money math in DECIMAL(18,2): double sums land on half-cent rounding
+    ties that depend on summation order; decimal is exact in both engines."""
+    return F.col(c).cast("decimal(18,2)")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-shaped: bilateral shipping volume between two nations by
+    year — a 6-table snowflake join with a symmetric pair predicate. The
+    nation dimension joins broadcast; only lineitem⋈orders shuffles."""
+    register_sources(spark, sf_dir)
+    li, o = spark.table("lineitem"), spark.table("orders")
+    s, c = spark.table("supplier"), spark.table("customer")
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+O_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(CAST(l.l_shipdate AS DATE))
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-shaped: a nation's market share inside one region's trade
+    of one part type, by order year — conditional aggregation (share =
+    SUM(CASE)/SUM) over a 7-table join."""
+    register_sources(spark, sf_dir)
+    li, o = spark.table("lineitem"), spark.table("orders")
+    s, c, p = spark.table("supplier"), spark.table("customer"), spark.table("part")
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = spark.table("region")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .filter((F.col("r_name") == "EUROPE") & (F.col("p_type") == "STANDARD"))
+        .withColumn("volume", rev)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_8", F.col("volume")))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+O_TPCH_Q8 = f"""
+SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN n1.n_name = 'NATION_8' THEN {_REV} END)
+             / SUM({_REV}), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+GROUP BY year(CAST(o.o_orderdate AS DATE))
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-shaped (adapted: the driver's lineitem has no
+    commit/receipt dates, so "late" = shipped >60 days after the order
+    date): priority-class counts per lateness bucket via conditional
+    aggregation after an orders⋈lineitem join."""
+    register_sources(spark, sf_dir)
+    li, o = spark.table("lineitem"), spark.table("orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("bucket", F.when(late, "late").otherwise("ontime"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+O_TPCH_Q12 = """
+SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) > 60
+            THEN 'late' ELSE 'ontime' END AS bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-shaped: top supplier(s) by quarterly revenue — per-supplier
+    aggregate, then an in-plan scalar MAX joined back (no driver collect).
+    Decimal revenue so the MAX-equality join is exact."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-07-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    s = spark.table("supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+O_TPCH_Q15 = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM revenue r
+JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped (adapted to available columns): suppliers whose
+    lineitem was the LAST shipped in a multi-supplier order — EXISTS
+    (another supplier in the order) as LEFT SEMI + NOT EXISTS (anyone
+    shipping later) as LEFT ANTI, both self-joins on the order key."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    s = spark.table("supplier")
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    straggler = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        straggler.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+O_TPCH_Q21 = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE) > CAST(l1.l_shipdate AS DATE))
+GROUP BY s.s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registration
 # --------------------------------------------------------------------------
@@ -1098,6 +1327,11 @@ PAIRS = [
     ("tpch_q17", q_tpch_q17, O_TPCH_Q17),
     ("tpch_q19", q_tpch_q19, O_TPCH_Q19),
     ("tpch_q22", q_tpch_q22, O_TPCH_Q22),
+    ("tpch_q7", q_tpch_q7, O_TPCH_Q7),
+    ("tpch_q8", q_tpch_q8, O_TPCH_Q8),
+    ("tpch_q12", q_tpch_q12, O_TPCH_Q12),
+    ("tpch_q15", q_tpch_q15, O_TPCH_Q15),
+    ("tpch_q21", q_tpch_q21, O_TPCH_Q21),
 ]
 
 # queries whose oracle needs the derived snowplow-shaped CTEs
