@@ -1355,6 +1355,7 @@ def register_all(register) -> None:
 
     from mycarely_saas_dbt_spark.operators import (
         approx,
+        datatests,
         dedup,
         joins,
         multimodal,
@@ -1367,6 +1368,7 @@ def register_all(register) -> None:
     olap.register_queries(register)
     joins.register_queries(register)
     approx.register_queries(register)
+    datatests.register_queries(register)
     formats.register_queries(register)
     bucketing.register_queries(register)
     textops.register_queries(register)

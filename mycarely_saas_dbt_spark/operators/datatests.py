@@ -1,0 +1,203 @@
+"""dbt-style generic data tests as engine operators: not_null, unique,
+accepted_values, relationships.
+
+The reference bundles dbt_utils (packages.yml:2-3) whose generic tests it
+never invokes (SURVEY §5.1 — empty tests/, no schema.yml). An engine that
+replaces dbt still needs the capability: each test compiles to a violation
+COUNT over the table, exactly like dbt's generated test SQL, and a clean
+run returns zero violations. All four run in ONE pass where possible and
+ship as a single suite query (test_name, target, violations).
+
+Scale notes (100 TB):
+  * not_null / accepted_values are map-side only (no shuffle — a SUM of
+    flags per partition then one scalar combine).
+  * unique is a groupBy on the key (one shuffle) counting groups with >1
+    row — same cost profile as the dedup operator.
+  * relationships is a LEFT ANTI join to the parent (broadcast when the
+    parent is a dim, shuffle otherwise) counting orphans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+
+def not_null_violations(df: DataFrame, col: str) -> DataFrame:
+    return df.agg(
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias("violations")
+    )
+
+
+def unique_violations(df: DataFrame, col: str) -> DataFrame:
+    """Rows beyond the first per key value (dbt: count of keys seen >1)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("violations"))
+    )
+
+
+def accepted_values_violations(df: DataFrame, col: str, values: list[str]) -> DataFrame:
+    return df.agg(
+        F.sum(
+            F.when(~F.col(col).isin(values) | F.col(col).isNull(), 1).otherwise(0)
+        ).cast("long").alias("violations")
+    )
+
+
+def relationship_violations(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+    """Orphan child rows whose FK has no parent (NULL FKs pass, as in dbt)."""
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+
+
+def q_data_tests_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four generic tests over the driver tables, one result row each.
+    orders.o_orderkey is genuinely unique and o_custkey a genuine FK, so
+    the suite both proves clean paths (0) and, via events' small id-space
+    duplicates, a red path (>0)."""
+    register_sources(spark, sf_dir)
+    o = spark.table("orders")
+    c = spark.table("customer")
+    li = spark.table("lineitem")
+
+    def tag(df: DataFrame, test: str, target: str) -> DataFrame:
+        return df.select(
+            F.lit(test).alias("test_name"),
+            F.lit(target).alias("target"),
+            "violations",
+        )
+
+    out = tag(not_null_violations(o, "o_orderdate"), "not_null", "orders.o_orderdate")
+    out = out.unionByName(
+        tag(unique_violations(o, "o_orderkey"), "unique", "orders.o_orderkey")
+    )
+    out = out.unionByName(
+        tag(unique_violations(li, "l_orderkey"), "unique", "lineitem.l_orderkey")
+    )
+    out = out.unionByName(
+        tag(
+            accepted_values_violations(o, "o_orderstatus", ["F", "O", "P"]),
+            "accepted_values",
+            "orders.o_orderstatus",
+        )
+    )
+    out = out.unionByName(
+        tag(
+            relationship_violations(o, "o_custkey", c, "c_custkey"),
+            "relationships",
+            "orders.o_custkey->customer.c_custkey",
+        )
+    )
+    return out
+
+
+O_DATA_TESTS_SUITE = """
+SELECT 'not_null' AS test_name, 'orders.o_orderdate' AS target,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'unique', 'orders.o_orderkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+      GROUP BY o_orderkey HAVING COUNT(*) > 1) t
+UNION ALL
+SELECT 'unique', 'lineitem.l_orderkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+      GROUP BY l_orderkey HAVING COUNT(*) > 1) t
+UNION ALL
+SELECT 'accepted_values', 'orders.o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                     OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'relationships', 'orders.o_custkey->customer.c_custkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+SAMPLE_PCT = 10
+STRATA_PCT = {"A": 50, "N": 10, "R": 25}
+
+
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-portable sampling: keep a row iff
+    md5(key) mod 100 < pct — reproducible across engines and runs (unlike
+    Bernoulli rng sampling), splittable (pure function of the key), and the
+    standard way to cut stable training-data subsets."""
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.filter(bucket < SAMPLE_PCT)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+O_SAMPLE_SYSTEMATIC = f"""
+SELECT COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 < {SAMPLE_PCT}
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class keep rates via the same
+    md5 bucket against a per-class threshold (downsample dominant classes,
+    keep rare ones) — the class-rebalancing primitive for training sets."""
+    register_sources(spark, sf_dir)
+    li = spark.table("lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    thr = F.when(F.col("l_returnflag") == "A", F.lit(STRATA_PCT["A"])).when(
+        F.col("l_returnflag") == "N", F.lit(STRATA_PCT["N"])
+    ).otherwise(F.lit(STRATA_PCT["R"]))
+    return (
+        li.filter(bucket < thr)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+O_SAMPLE_STRATIFIED = f"""
+SELECT l_returnflag, COUNT(*) AS n_sampled
+FROM lineitem
+WHERE ('0x' || substr(md5(CAST(l_orderkey AS STRING) || '_'
+                          || CAST(l_linenumber AS STRING)), 1, 8))::BIGINT % 100
+      < CASE l_returnflag WHEN 'A' THEN {STRATA_PCT['A']}
+                          WHEN 'N' THEN {STRATA_PCT['N']}
+                          ELSE {STRATA_PCT['R']} END
+GROUP BY l_returnflag
+"""
+
+
+PAIRS = [
+    ("data_tests_suite", q_data_tests_suite, O_DATA_TESTS_SUITE),
+    ("sample_systematic", q_sample_systematic, O_SAMPLE_SYSTEMATIC),
+    ("sample_stratified", q_sample_stratified, O_SAMPLE_STRATIFIED),
+]
+
+
+def register_queries(register) -> None:
+    for name, fn, oracle in PAIRS:
+        register(name, fn, oracle)
