@@ -243,7 +243,61 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same brute-force cosine top-k, but scored by an Arrow-batched
+    mapInPandas matrix multiply — the vectorized Python path used when
+    scoring runs through numpy/BLAS (or a GPU) instead of Catalyst
+    expressions. The query set is tiny and rides to executors in the UDF
+    closure (a Spark broadcast variable at real scale); candidates stream
+    through as Arrow batches and never materialize driver-side.
+
+    Oracle parity is at RANK level (qid, vid, rank): BLAS pairwise
+    summation differs from a sequential fold in the last float bit, so raw
+    cosines are not byte-comparable across engines — the ranking is.
+    """
+    import numpy as np
+
+    register_sources(spark, sf_dir)
+    e = spark.table("embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            cos = (M / nrm) @ Qn.T  # (batch, n_queries)
+            n, k = cos.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(qids, n),
+                    "vid": np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), k),
+                    "cos": cos.ravel(),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "qid bigint, vid bigint, cos double"
+    ).filter(F.col("qid") != F.col("vid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vid", "rank")
+    )
+
+
+O_ANN_TOPK_RANKS = f"SELECT qid, vid, rank FROM ({O_ANN_TOPK}) t"
+
+
 def register_queries(register) -> None:
     register("ann_cosine_topk", ann_cosine_topk, O_ANN_TOPK)
     register("embedding_neardup", embedding_neardup, O_NEARDUP)
     register("ann_ivf_topk", ann_ivf_topk, O_ANN_IVF)
+    register("ann_cosine_topk_pandas", ann_cosine_topk_pandas, O_ANN_TOPK_RANKS)
