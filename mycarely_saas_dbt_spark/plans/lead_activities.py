@@ -352,7 +352,7 @@ def oracle_sql() -> str:
     # traffic_daily's full oracle chain, wrapped as the `traffic_daily_agg`
     # CTE that LA reads (the reference reads it back as a *source*,
     # models/lead_activities_agg.sql:110 — SURVEY.md §1.1 schema quirk).
-    td_main = td._ORACLE_MAIN.lstrip()
+    td_main = td._oracle_main().lstrip()
     assert td_main.startswith(",")
     td_ctes, td_select = td_main[1:].rsplit("SELECT", 1)
     return (

@@ -191,7 +191,8 @@ _SURROGATE = (
     "COALESCE(CAST(col_4 AS STRING), '_dbt_utils_surrogate_key_null_')))"
 )
 
-_ORACLE_MAIN = f"""
+def _oracle_main(ev_extra: str = "", sp_extra: str = "") -> str:
+    return f"""
 , filtered_events AS (
     SELECT
         CAST(collector_tstamp AS DATE) AS event_date,
@@ -203,6 +204,7 @@ _ORACLE_MAIN = f"""
       AND useragent NOT ILIKE '%bot%'
       AND useragent NOT ILIKE '%spider%'
       AND useragent NOT ILIKE '%crawl%'
+      {ev_extra}
 ),
 classified_events AS (
     SELECT
@@ -249,6 +251,7 @@ campaign_spend_data AS (
            cs.campaign_name, cs.spend
     FROM campaign_spends cs
     WHERE cs.spend IS NOT NULL
+      {sp_extra}
 ),
 combined_traffic AS (
     SELECT
@@ -295,7 +298,7 @@ FROM combined_traffic
 """
 
 
-def oracle_sql() -> str:
+def oracle_sql(ev_extra: str = "", sp_extra: str = "") -> str:
     from mycarely_saas_dbt_spark.sources.synthetic import (
         ATOMIC_EVENTS_SQL,
         CAMPAIGN_SPENDS_SQL,
@@ -303,5 +306,5 @@ def oracle_sql() -> str:
 
     return (
         f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL}),\n"
-        f"campaign_spends AS ({CAMPAIGN_SPENDS_SQL})" + _ORACLE_MAIN
+        f"campaign_spends AS ({CAMPAIGN_SPENDS_SQL})" + _oracle_main(ev_extra, sp_extra)
     )

@@ -83,6 +83,56 @@ def streaming_traffic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def incremental_td_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental run of traffic_daily_agg — exercises the
+    reference's TWO-watermark quirk (B2: both the events branch and the
+    spend branch filter on MAX(spend_date) of the target, which holds the
+    aliased event_date) and the content-hash unique_key upsert."""
+    from mycarely_saas_dbt_spark.incremental import (
+        IncrementalRunner,
+        ModelSpec,
+        TRAFFIC_DAILY_SPEC,
+    )
+    from mycarely_saas_dbt_spark.plans.traffic_daily import traffic_daily_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_inc_td_")
+    runner = IncrementalRunner(spark, root)
+
+    def b1_build(sp, sfd, wm):
+        register_sources(sp, sfd)
+        ev = sp.table("atomic_events").filter(
+            F.col("collector_tstamp").cast("date") <= F.lit(SPLIT)
+        )
+        return traffic_daily_agg(sp, sfd, events=ev, watermark=wm)
+
+    runner.run(ModelSpec("traffic_daily_agg", "id", "spend_date", b1_build), sf_dir)
+    runner.run(TRAFFIC_DAILY_SPEC, sf_dir)
+    out = runner.read_target("traffic_daily_agg")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def incremental_td_oracle() -> str:
+    from mycarely_saas_dbt_spark.plans import traffic_daily as td
+
+    b1 = td.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'"
+    )
+    # batch 2: watermark = MAX(spend_date) of the batch-1 target == SPLIT
+    # (spend_date carries the aliased event_date, B2); BOTH branches filter
+    b2 = td.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'",
+        f"AND CAST(cs.spend_date AS DATE) > DATE '{SPLIT}'",
+    )
+    return f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization (F.session_window) drained with
     availableNow; oracle-checked against the batch lag/cumsum formulation —
@@ -152,6 +202,7 @@ GROUP BY CAST(ts AS DATE)
 
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
+    register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
     register("streaming_traffic_pages", streaming_traffic_pages, None)
     register("streaming_sessionize", streaming_sessionize, streaming_sessionize_oracle())
     register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)
