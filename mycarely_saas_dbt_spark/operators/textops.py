@@ -212,12 +212,69 @@ GROUP BY lang, source
 """
 
 
+CURATION_MIN_QUALITY = 0.55
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data run actually executes:
+    exact-dedup keep-list (lowest doc_id per content hash) → quality gate →
+    per-language profile of the surviving corpus. One extra shuffle for the
+    keep-list join beyond the individual operators; the quality features are
+    computed once on the already-deduped survivors. Aggregates are
+    order-independent (count / min / max / integer sum) so the oracle
+    compare is exact."""
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    canonical = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    kept = (
+        docs.join(canonical.select("doc_id"), "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality_score") >= CURATION_MIN_QUALITY)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality_score"), 6).alias("min_quality"),
+        F.round(F.max("quality_score"), 6).alias("max_quality"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+O_CURATION = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ({_SQL_STOP_LIST}))) AS DOUBLE)
+                        / n_tokens) AS quality_score
+    FROM t
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.lang, COUNT(*) AS n_docs,
+       ROUND(MIN(q.quality_score), 6) AS min_quality,
+       ROUND(MAX(q.quality_score), 6) AS max_quality,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM documents d
+JOIN canon USING (doc_id)
+JOIN q USING (doc_id)
+WHERE q.quality_score >= {CURATION_MIN_QUALITY}
+GROUP BY d.lang
+"""
+
+
 PAIRS = [
     ("text_token_stats", token_stats, O_TOKEN_STATS),
     ("text_quality", quality_scores, O_QUALITY),
     ("text_lang_id", lang_id, O_LANG_ID),
     ("text_fingerprint", fingerprints, O_FINGERPRINT),
     ("text_corpus_stats", corpus_stats, O_CORPUS_STATS),
+    ("corpus_curation_pipeline", corpus_curation, O_CURATION),
 ]
 
 
