@@ -37,6 +37,8 @@ EXTENSION_QUERIES = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
+    "asof_join_spend",
+    "sessionize_events",
 ]
 
 

@@ -31,6 +31,13 @@ def _src(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def _d12(c):
+    return F.col(c).cast("decimal(12,2)")
+
+
+_ONE12 = F.lit(1).cast("decimal(12,2)")
+
+
 # --------------------------------------------------------------------------
 # S / P series — scans, projections, predicates
 # --------------------------------------------------------------------------
@@ -642,19 +649,28 @@ def q_tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
+            # money/avg math in DECIMAL then cast to double: double sums are
+            # summation-order-dependent in the last bits, and the oracle
+            # compare is exact — decimal sums are exact in both engines.
+            # DECIMAL(12,2) keeps the 3-factor charge product within p38.
+            F.sum(_d12("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d12("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+                _d12("l_extendedprice")
+                * (_ONE12 - _d12("l_discount"))
+                * (_ONE12 + _d12("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_d12("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(_d12("l_extendedprice")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price"),
+            (F.sum(_d12("l_discount")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -662,13 +678,18 @@ def q_tpch_q1(spark, sf_dir):
 
 O_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(l_extendedprice) AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-       AVG(l_quantity) AS avg_qty,
-       AVG(l_extendedprice) AS avg_price,
-       AVG(l_discount) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -697,14 +718,14 @@ def q_tpch_q3(spark, sf_dir):
             F.col("o_orderdate").cast("date").alias("odate"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))).cast("double").alias("revenue")
         )
     )
 
 
 O_TPCH_Q3 = """
 SELECT l.l_orderkey AS okey, CAST(o.o_orderdate AS DATE) AS odate,
-       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -738,16 +759,14 @@ def q_tpch_q5(spark, sf_dir):
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))), 2).cast("double").alias("revenue")
         )
     )
 
 
 O_TPCH_Q5 = """
 SELECT n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -776,7 +795,9 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(F.sum(_d12("l_extendedprice") * _d12("l_discount")), 2)
+            .cast("double")
+            .alias(
                 "revenue"
             )
         )
@@ -784,7 +805,7 @@ def q_tpch_q6(spark, sf_dir):
 
 
 O_TPCH_Q6 = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
   AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
@@ -816,16 +837,14 @@ def q_tpch_q10(spark, sf_dir):
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))), 2).cast("double").alias("revenue")
         )
     )
 
 
 O_TPCH_Q10 = """
 SELECT c.c_custkey, c.c_name, c.c_acctbal AS acctbal, n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -848,14 +867,14 @@ def q_tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
     )
     p = spark.table("part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0)))
-                / F.sum(disc),
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc)).cast("double")
+                / F.sum(disc).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -975,12 +994,16 @@ def q_tpch_q17(spark, sf_dir):
     return (
         li.join(F.broadcast(half_avg), "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(F.sum(_d12("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
 O_TPCH_Q17 = """
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN (SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg_qty
       FROM lineitem GROUP BY l_partkey) h
@@ -996,7 +1019,7 @@ def q_tpch_q19(spark, sf_dir):
     register_sources(spark, sf_dir)
     li = spark.table("lineitem")
     p = spark.table("part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))
     cond1 = (
         F.col("p_type").like("PROMO%")
         & (F.col("l_quantity") <= 10)
@@ -1010,12 +1033,14 @@ def q_tpch_q19(spark, sf_dir):
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
-        .agg(F.round(F.sum(disc), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc), 2).cast("double").alias("revenue"))
     )
 
 
 O_TPCH_Q19 = """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))), 2)
+       AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_type LIKE 'PROMO%' AND l.l_quantity <= 10 AND p.p_size <= 20)
