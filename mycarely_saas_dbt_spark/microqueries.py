@@ -35,7 +35,10 @@ def _d12(c):
     return F.col(c).cast("decimal(12,2)")
 
 
-_ONE12 = F.lit(1).cast("decimal(12,2)")
+def _one12():
+    # built lazily — constructing a Column at import time requires an
+    # active SparkContext, which pytest collection doesn't have yet
+    return F.lit(1).cast("decimal(12,2)")
 
 
 # --------------------------------------------------------------------------
@@ -655,13 +658,13 @@ def q_tpch_q1(spark, sf_dir):
             # DECIMAL(12,2) keeps the 3-factor charge product within p38.
             F.sum(_d12("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_d12("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount")))
+            F.sum(_d12("l_extendedprice") * (_one12() - _d12("l_discount")))
             .cast("double")
             .alias("sum_disc_price"),
             F.sum(
                 _d12("l_extendedprice")
-                * (_ONE12 - _d12("l_discount"))
-                * (_ONE12 + _d12("l_tax"))
+                * (_one12() - _d12("l_discount"))
+                * (_one12() + _d12("l_tax"))
             )
             .cast("double")
             .alias("sum_charge"),
@@ -718,7 +721,7 @@ def q_tpch_q3(spark, sf_dir):
             F.col("o_orderdate").cast("date").alias("odate"),
         )
         .agg(
-            F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))).cast("double").alias("revenue")
+            F.sum(_d12("l_extendedprice") * (_one12() - _d12("l_discount"))).cast("double").alias("revenue")
         )
     )
 
@@ -759,7 +762,7 @@ def q_tpch_q5(spark, sf_dir):
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))), 2).cast("double").alias("revenue")
+            F.round(F.sum(_d12("l_extendedprice") * (_one12() - _d12("l_discount"))), 2).cast("double").alias("revenue")
         )
     )
 
@@ -837,7 +840,7 @@ def q_tpch_q10(spark, sf_dir):
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.round(F.sum(_d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))), 2).cast("double").alias("revenue")
+            F.round(F.sum(_d12("l_extendedprice") * (_one12() - _d12("l_discount"))), 2).cast("double").alias("revenue")
         )
     )
 
@@ -867,7 +870,7 @@ def q_tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
     )
     p = spark.table("part")
-    disc = _d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))
+    disc = _d12("l_extendedprice") * (_one12() - _d12("l_discount"))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
@@ -1019,7 +1022,7 @@ def q_tpch_q19(spark, sf_dir):
     register_sources(spark, sf_dir)
     li = spark.table("lineitem")
     p = spark.table("part")
-    disc = _d12("l_extendedprice") * (_ONE12 - _d12("l_discount"))
+    disc = _d12("l_extendedprice") * (_one12() - _d12("l_discount"))
     cond1 = (
         F.col("p_type").like("PROMO%")
         & (F.col("l_quantity") <= 10)

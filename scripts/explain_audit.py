@@ -19,8 +19,17 @@ AUDIT = [
     "lead_activities_agg",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q21",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "asof_join_spend",
+    "skew_salted_join",
+    "sessionize_events",
+    "corpus_curation_pipeline",
+    "data_tests_suite",
+    "sample_stratified",
 ]
 
 
