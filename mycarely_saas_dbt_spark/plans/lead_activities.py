@@ -237,7 +237,8 @@ _SURROGATE = (
 
 # LA's own CTEs are prefixed la_ to avoid clashing with the traffic_daily CTE
 # chain that produces its `traffic_daily_agg` input.
-_ORACLE_MAIN = f"""
+def _oracle_main(lead_extra: str = "") -> str:
+    return f"""
 , la_filtered_events AS (
     SELECT
         domain_userid, event_id, mkt_medium, mkt_source, mkt_campaign,
@@ -278,6 +279,7 @@ la_lead_activities AS (
         old_stage_name, pipeline_id, pipeline_name, product_id, product_name,
         product_price, product_sku
     FROM lead_stage_change_events
+    {lead_extra}
 ),
 la_traffic_spend AS (
     SELECT DISTINCT
@@ -341,7 +343,7 @@ WHERE new_stage_id IS NOT NULL
 """
 
 
-def oracle_sql() -> str:
+def oracle_sql(lead_extra: str = "") -> str:
     from mycarely_saas_dbt_spark.plans import traffic_daily as td
     from mycarely_saas_dbt_spark.sources.synthetic import (
         ATOMIC_EVENTS_SQL,
@@ -361,5 +363,5 @@ def oracle_sql() -> str:
         f"lead_stage_change_events AS ({LEAD_STAGE_CHANGE_EVENTS_SQL}),\n"
         + td_ctes
         + f",\ntraffic_daily_agg AS (SELECT{td_select})"
-        + _ORACLE_MAIN
+        + _oracle_main(lead_extra)
     )

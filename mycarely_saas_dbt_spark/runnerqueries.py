@@ -133,6 +133,58 @@ def incremental_td_oracle() -> str:
     """
 
 
+def incremental_la_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental run of lead_activities_agg — only the CRM lead
+    side is watermarked (B3: the event log is re-scanned in full every run
+    because a lead's latest session may predate the watermark), and the
+    model reads traffic_daily_agg's MATERIALIZED target as a source (the
+    reference's public_public read-back, SURVEY §1.1)."""
+    from mycarely_saas_dbt_spark.incremental import (
+        IncrementalRunner,
+        ModelSpec,
+        TRAFFIC_DAILY_SPEC,
+        make_la_spec,
+    )
+    from mycarely_saas_dbt_spark.plans.lead_activities import lead_activities_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_inc_la_")
+    runner = IncrementalRunner(spark, root)
+    runner.run(TRAFFIC_DAILY_SPEC, sf_dir)  # LA's upstream DAG edge (D5)
+
+    def b1_build(sp, sfd, wm):
+        register_sources(sp, sfd)
+        leads = sp.table("lead_stage_change_events").filter(
+            F.col("date") <= F.lit(SPLIT)
+        )
+        return lead_activities_agg(
+            sp,
+            sfd,
+            leads=leads,
+            traffic_daily=runner.read_target("traffic_daily_agg"),
+            watermark=wm,
+        )
+
+    runner.run(ModelSpec("lead_activities_agg", "id", "activity_date", b1_build), sf_dir)
+    runner.run(make_la_spec(runner), sf_dir)
+    out = runner.read_target("lead_activities_agg")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def incremental_la_oracle() -> str:
+    from mycarely_saas_dbt_spark.plans import lead_activities as la
+
+    b1 = la.oracle_sql(f"WHERE date <= DATE '{SPLIT}'")
+    b2 = la.oracle_sql(f"WHERE date > DATE '{SPLIT}'")
+    return f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization (F.session_window) drained with
     availableNow; oracle-checked against the batch lag/cumsum formulation —
@@ -203,6 +255,7 @@ GROUP BY CAST(ts AS DATE)
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
+    register("incremental_la_two_batch", incremental_la_two_batch, incremental_la_oracle())
     register("streaming_traffic_pages", streaming_traffic_pages, None)
     register("streaming_sessionize", streaming_sessionize, streaming_sessionize_oracle())
     register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)
