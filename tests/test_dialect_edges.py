@@ -105,3 +105,45 @@ def test_variadic_nvl(spark):
     assert got == ["c", "b", "a", "fb"]
     with pytest.raises(ValueError):
         nvl("x")
+
+
+# --------------------------------------------------------------------------
+# property-based parity (SURVEY §5.2 — hypothesis for null-handling edges)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+
+_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+        ),
+        max_size=24,
+    ),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.tuples(_text, _text, st.integers(-(2**62), 2**62) | st.none()), min_size=1, max_size=16))
+def test_surrogate_key_parity_property(spark, tmp_path_factory, rows):
+    """For ANY (nullable text, nullable text, nullable int) rows, the Spark
+    surrogate key byte-matches DuckDB's rendering of the same macro."""
+    p = str(tmp_path_factory.mktemp("hyp") / "rows.parquet")
+    pdf = pd.DataFrame(rows, columns=["a", "b", "i"]).astype({"i": "Int64"})
+    pdf.to_parquet(p)
+    got = [
+        r.key
+        for r in spark.read.parquet(p)
+        .select(surrogate_key("a", "b", "i").alias("key"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    sql = surrogate_key_sql(["a", "b", "i"])
+    want = [r[0] for r in con.execute(f"SELECT {sql} FROM '{p}'").fetchall()]
+    assert got == want
