@@ -1388,6 +1388,7 @@ def register_all(register) -> None:
         joins,
         multimodal,
         olap,
+        semistructured,
         similarity,
         textops,
     )
@@ -1397,6 +1398,7 @@ def register_all(register) -> None:
     joins.register_queries(register)
     approx.register_queries(register)
     datatests.register_queries(register)
+    semistructured.register_queries(register)
     formats.register_queries(register)
     bucketing.register_queries(register)
     textops.register_queries(register)

@@ -1,0 +1,88 @@
+"""Semi-structured data operators: JSON extraction and array/collection
+aggregation — the extension surface SURVEY §2.7 notes the reference lacks
+("no regex, no JSON/array/map functions") but any event-log engine needs
+(Snowplow contexts ship as JSON columns in practice).
+
+Scale notes (100 TB):
+  * get_json_object is JVM-side (Jackson) and codegen-friendly; for hot
+    paths with a FIXED schema use from_json once into a struct column and
+    prune fields — one parse instead of one per extraction.
+  * collect_set/array_sort run per group post-shuffle; output arrays are
+    bounded by the group's distinct count (here: event types, ≤5). Never
+    collect unbounded per-group arrays — aggregate instead.
+  * outputs cross the oracle boundary as STRINGS (array_join) because
+    array stringification differs between engines; inside the plan they
+    stay arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a JSON field from the event props payload and aggregate it
+    per event type — parse, cast, and a null-safety edge (malformed or
+    missing keys yield NULL, which the aggregates skip)."""
+    register_sources(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+O_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(props->>'k' AS INT)) AS n_with_k,
+       CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'k' AS INT)) AS min_k,
+       MAX(CAST(props->>'k' AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: per user, the sorted distinct event-type
+    vocabulary (collect_set → array_sort → array_join) plus its size —
+    emitted as a string so the compare is engine-portable."""
+    register_sources(spark, sf_dir)
+    ev = spark.table("events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.size(types).cast("long").alias("n_types"),
+        F.array_join(types, ",").alias("type_vocab"),
+    )
+
+
+O_ARRAY_AGG = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_vocab
+FROM events
+GROUP BY user_id
+"""
+
+
+PAIRS = [
+    ("json_extract_stats", q_json_extract, O_JSON_EXTRACT),
+    ("array_agg_vocab", q_array_agg, O_ARRAY_AGG),
+]
+
+
+def register_queries(register) -> None:
+    for name, fn, oracle in PAIRS:
+        register(name, fn, oracle)
