@@ -361,6 +361,94 @@ GROUP BY user_id, session_seq
 # registration
 # --------------------------------------------------------------------------
 
+def q_max_by(spark, sf_dir):
+    """Built-in argmax/argmin (max_by/min_by): per customer, the order key
+    of the priciest and cheapest order — the single-pass aggregate form of
+    the W2 window argmax (no sort, no rank; one shuffle, map-side partials).
+    Tie-break made deterministic by folding (price, orderkey) into one
+    exact bigint key (cents × 1e8 ± orderkey) — DuckDB's arg_max does not
+    order on composite struct keys."""
+    o = _src(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    kmax = cents * F.lit(100_000_000).cast("long") + F.col("o_orderkey")
+    kmin = cents * F.lit(100_000_000).cast("long") - F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", kmax).alias("best_order"),
+        F.min_by("o_orderkey", kmin).alias("worst_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+O_MAX_BY = """
+SELECT o_custkey,
+       arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           * 100000000 + o_orderkey) AS best_order,
+       arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           * 100000000 - o_orderkey) AS worst_order,
+       MAX(o_totalprice) AS best_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def q_nullsafe_join(spark, sf_dir):
+    """Null-safe equality (<=>): join event rows on a nullable derived key
+    where NULL must match NULL — standard equi-join machinery applies (the
+    null bucket co-locates), unlike `=` which drops NULL keys."""
+    register_sources(spark, sf_dir)
+    ev = spark.table("atomic_events")
+    left = ev.groupBy(F.col("refr_source").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    right = ev.groupBy(F.col("refr_source").alias("k")).agg(
+        F.countDistinct("domain_userid").alias("n_users")
+    )
+    return left.join(right, left.k.eqNullSafe(right.k)).select(
+        left.k.alias("refr_source"), "n_events", "n_users"
+    )
+
+
+# continues the oracle_query() view-CTE list (leading comma)
+O_NULLSAFE_JOIN = """
+, l AS (SELECT refr_source AS k, COUNT(*) AS n_events
+        FROM atomic_events GROUP BY refr_source),
+  r AS (SELECT refr_source AS k, COUNT(DISTINCT domain_userid) AS n_users
+        FROM atomic_events GROUP BY refr_source)
+SELECT l.k AS refr_source, l.n_events, r.n_users
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+def q_regex_normalize(spark, sf_dir):
+    """Regex text normalization: strip non-alphanumerics, collapse runs of
+    whitespace — the canonicalization step before fingerprinting. Pattern
+    syntax kept to the common RE2/Java subset; DuckDB needs the explicit
+    'g' flag where Spark's regexp_replace is global by default."""
+    docs = _src(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+    )
+
+
+O_REGEX_NORMALIZE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS raw_len,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len,
+       substr(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 40) AS norm_prefix
+FROM documents
+"""
+
+
 PAIRS = [
     ("win_lag_lead", q_win_lag_lead, O_WIN_LAG_LEAD),
     ("win_running", q_win_running, O_WIN_RUNNING),
@@ -373,9 +461,15 @@ PAIRS = [
     ("hist_totalprice", q_hist_totalprice, O_HIST_TOTALPRICE),
     ("percentile_qty", q_percentile_qty, O_PERCENTILE_QTY),
     ("sessionize_events", q_sessionize_events, O_SESSIONIZE_EVENTS),
+    ("agg_max_by", q_max_by, O_MAX_BY),
+    ("nullsafe_join", q_nullsafe_join, O_NULLSAFE_JOIN),
+    ("regex_normalize", q_regex_normalize, O_REGEX_NORMALIZE),
 ]
 
 
 def register_queries(register) -> None:
+    from mycarely_saas_dbt_spark.sources.registry import oracle_query
+
+    needs_views = {"nullsafe_join": ["atomic_events"]}
     for name, fn, oracle in PAIRS:
-        register(name, fn, oracle)
+        register(name, fn, oracle_query(oracle, *needs_views.get(name, [])))
