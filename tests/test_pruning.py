@@ -1,0 +1,47 @@
+"""Physical-plan guarantees for partitioned layouts: a filter on the
+partition column must become a PartitionFilter (directory pruning), and
+data-column predicates must reach the parquet reader as PushedFilters."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    path = str(tmp_path / f"orders_part_{uuid.uuid4().hex[:6]}")
+    spark.table("orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # partition predicate must NOT be evaluated against row data
+    assert "DataFilters: []" in plan, plan
+
+
+def test_data_filter_pushed_to_scan(spark):
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    df = spark.table("lineitem").filter(F.col("l_quantity") < 5.0).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "LessThan(l_quantity,5.0)" in pushed, plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema, read_schema  # column pruning
