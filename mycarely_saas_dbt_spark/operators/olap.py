@@ -449,6 +449,101 @@ FROM documents
 """
 
 
+def q_set_ops(spark, sf_dir):
+    """UNION (dedup) / INTERSECT / EXCEPT — absent from the reference
+    (SURVEY §2.6 'not present'), table stakes for an engine. Compares the
+    purchaser and clicker user populations."""
+    ev = _src(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    u = buyers.union(clickers).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = buyers.intersect(clickers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = buyers.distinct().exceptAll(clickers.distinct()).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except").alias("op"), "n")
+    return u.unionByName(i).unionByName(e)
+
+
+O_SET_OPS = """
+WITH b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id FROM events WHERE event_type = 'click')
+SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT user_id FROM b UNION SELECT user_id FROM c) t
+UNION ALL
+SELECT 'intersect', COUNT(*) FROM (SELECT user_id FROM b INTERSECT SELECT user_id FROM c) t
+UNION ALL
+SELECT 'except', COUNT(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM c) t
+"""
+
+
+def q_date_scaffold(spark, sf_dir):
+    """Gap-filling densification: generate the complete day×event-type grid
+    (sequence + explode ⋈ distinct dims) and left-join actual daily counts,
+    zero-filling missing days — the scaffold pattern for complete time
+    series. The scaffold is generated, never scanned; the dims side is tiny
+    and broadcast."""
+    ev = _src(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    dims = ev.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(dims))
+    actual = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(actual, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+O_DATE_SCAFFOLD = """
+WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+dims AS (SELECT DISTINCT event_type FROM events),
+actual AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT g.day, g.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+FROM (SELECT day, event_type FROM days, dims) g
+LEFT JOIN actual a ON a.day = g.day AND a.event_type = g.event_type
+"""
+
+
+def q_win_first_last(spark, sf_dir):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over the full partition frame —
+    each order row sees its customer's first, latest, and second order."""
+    o = _src(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+O_WIN_FIRST_LAST = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 PAIRS = [
     ("win_lag_lead", q_win_lag_lead, O_WIN_LAG_LEAD),
     ("win_running", q_win_running, O_WIN_RUNNING),
@@ -464,6 +559,9 @@ PAIRS = [
     ("agg_max_by", q_max_by, O_MAX_BY),
     ("nullsafe_join", q_nullsafe_join, O_NULLSAFE_JOIN),
     ("regex_normalize", q_regex_normalize, O_REGEX_NORMALIZE),
+    ("set_ops", q_set_ops, O_SET_OPS),
+    ("date_scaffold_gapfill", q_date_scaffold, O_DATE_SCAFFOLD),
+    ("win_first_last_nth", q_win_first_last, O_WIN_FIRST_LAST),
 ]
 
 
