@@ -101,18 +101,24 @@ FROM events
 
 def q_approx_percentile_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-memory quantiles: approx_percentile vs exact interpolated
-    percentile per return flag, with the accuracy contract as output."""
+    percentile per return flag, with the accuracy contract as output.
+    The exact p50 itself is NOT emitted: interpolated medians of prices
+    land on half-cent ties ((a+b)/2 = x.xx5) where Spark's and DuckDB's
+    interpolation formulas differ in the last bit and ROUND flips — the
+    deterministic percentile VALUE check lives in percentile_qty (integral
+    quantities interpolate exactly); here the contract is the bound."""
     register_sources(spark, sf_dir)
     li = spark.table("lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.count(F.lit(1)).alias("n_rows"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
             F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
         )
         .select(
             "l_returnflag",
-            F.round("exact_p50", 2).alias("exact_p50"),
+            "n_rows",
             _within(F.col("approx_p50"), F.col("exact_p50")).alias("within_tol"),
         )
     )
@@ -120,7 +126,7 @@ def q_approx_percentile_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_APPROX_PERCENTILE_TOL = """
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+       COUNT(*) AS n_rows,
        TRUE AS within_tol
 FROM lineitem
 GROUP BY l_returnflag
