@@ -1314,6 +1314,276 @@ GROUP BY s.s_name
 """
 
 
+# The driver testdata has no partsupp table; the five remaining TPC-H shapes
+# (q2/q9/q11/q16/q20) run over a partsupp-LIKE relation derived
+# deterministically from lineitem: supply cost = min observed unit price,
+# availability = total shipped quantity. Both engines derive it identically,
+# so the oracle compare still proves the operator shapes. MIN and integral
+# SUM are summation-order-independent — no decimal gymnastics needed.
+
+PARTSUPP_SQL = """
+SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       MIN(l_extendedprice) AS ps_supplycost,
+       CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+FROM lineitem
+GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark):
+    li = spark.table("lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-shaped: the minimum-cost supplier per part within one
+    region — correlated MIN subquery decorrelated into a per-part aggregate
+    joined back on (part, cost) equality."""
+    register_sources(spark, sf_dir)
+    ps = _partsupp(spark)
+    s = spark.table("supplier")
+    p = spark.table("part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").isin("STANDARD")
+    )
+    n = spark.table("nation")
+    r = spark.table("region").filter(F.col("r_name") == "EUROPE")
+    eu_ps = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eu_ps.groupBy(
+        F.col("ps_partkey").alias("mk_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mk_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+    )
+
+
+O_TPCH_Q2 = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eu_ps AS (
+    SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name AS nation, p.p_partkey, p.p_brand,
+       e.ps_supplycost AS supplycost
+FROM eu_ps e
+JOIN part p ON e.ps_partkey = p.p_partkey
+WHERE p.p_size = 15 AND p.p_type IN ('STANDARD')
+  AND e.ps_supplycost = (SELECT MIN(ps_supplycost) FROM eu_ps m
+                         WHERE m.ps_partkey = e.ps_partkey)
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-shaped: profit by supplier nation × order year for one part
+    family — revenue minus supply cost, 5-table join through the derived
+    partsupp."""
+    register_sources(spark, sf_dir)
+    li, o = spark.table("lineitem"), spark.table("orders")
+    s, p, n = spark.table("supplier"), spark.table("part"), spark.table("nation")
+    ps = _partsupp(spark)
+    amount = _d12("l_extendedprice") * (_one12() - _d12("l_discount")) - _d12(
+        "ps_supplycost"
+    ) * _d12("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("p_name").like("%widget%"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+O_TPCH_Q9 = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT n.n_name AS nation,
+       CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+                      - CAST(ps.ps_supplycost AS DECIMAL(12,2))
+                        * CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS sum_profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN partsupp ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(CAST(o.o_orderdate AS DATE))
+"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-shaped: stock value by part within one nation, keeping
+    parts above a fraction of the national total — a HAVING against an
+    uncorrelated scalar aggregate kept in-plan as a 1-row broadcast."""
+    register_sources(spark, sf_dir)
+    ps = _partsupp(spark)
+    s = spark.table("supplier")
+    n = spark.table("nation").filter(F.col("n_name") == "NATION_7")
+    value = _d12("ps_supplycost") * F.col("ps_availqty").cast("decimal(12,0)")
+    nat = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("v", value)
+    )
+    per_part = nat.groupBy("ps_partkey").agg(F.sum("v").alias("part_value"))
+    # scale-free threshold (1.5x the mean per-part value) — a fixed share
+    # of the national total goes vacuous as part cardinality grows
+    total = per_part.agg(
+        (F.sum("part_value").cast("double") / F.count(F.lit(1)) * 1.5).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            "ps_partkey",
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+O_TPCH_Q11 = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+nat AS (
+    SELECT ps.ps_partkey,
+           CAST(ps.ps_supplycost AS DECIMAL(12,2))
+           * CAST(ps.ps_availqty AS DECIMAL(12,0)) AS v
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+)
+, per_part AS (
+    SELECT ps_partkey, SUM(v) AS part_value FROM nat GROUP BY ps_partkey
+)
+SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) * 1.5
+                    FROM per_part)
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-shaped: supplier count per (brand, type, size) excluding a
+    blacklisted supplier set — NOT IN as LEFT ANTI join, then
+    COUNT DISTINCT per grouped dimension."""
+    register_sources(spark, sf_dir)
+    ps = _partsupp(spark)
+    p = spark.table("part").filter(
+        (F.col("p_brand") != "BRAND_1") & (F.col("p_size").isin(5, 10, 15, 20))
+    )
+    bad = spark.table("supplier").filter(F.col("s_name").like("%_3%")).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+O_TPCH_Q16 = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand != 'BRAND_1' AND p.p_size IN (5, 10, 15, 20)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%_3%')
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-shaped: suppliers holding excess stock of a part family —
+    nested IN subqueries decorrelated into semi joins against a per-
+    (part,supplier) shipped-quantity aggregate."""
+    register_sources(spark, sf_dir)
+    ps = _partsupp(spark)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = spark.table("part").filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("ps_partkey")
+    )
+    s = spark.table("supplier")
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg((F.sum("l_quantity") * 0.5).alias("half_qty"))
+    excess = (
+        ps.join(F.broadcast(p), "ps_partkey", "left_semi")
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+O_TPCH_Q20 = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT ps.ps_suppkey
+    FROM partsupp ps
+    JOIN (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 SUM(l_quantity) * 0.5 AS half_qty
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          GROUP BY l_partkey, l_suppkey) sh
+      ON ps.ps_partkey = sh.ps_partkey AND ps.ps_suppkey = sh.ps_suppkey
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+      AND ps.ps_availqty > sh.half_qty
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # registration
 # --------------------------------------------------------------------------
@@ -1360,6 +1630,11 @@ PAIRS = [
     ("tpch_q12", q_tpch_q12, O_TPCH_Q12),
     ("tpch_q15", q_tpch_q15, O_TPCH_Q15),
     ("tpch_q21", q_tpch_q21, O_TPCH_Q21),
+    ("tpch_q2", q_tpch_q2, O_TPCH_Q2),
+    ("tpch_q9", q_tpch_q9, O_TPCH_Q9),
+    ("tpch_q11", q_tpch_q11, O_TPCH_Q11),
+    ("tpch_q16", q_tpch_q16, O_TPCH_Q16),
+    ("tpch_q20", q_tpch_q20, O_TPCH_Q20),
 ]
 
 # queries whose oracle needs the derived snowplow-shaped CTEs
