@@ -65,34 +65,46 @@ def main() -> None:
     # min of N_RUNS passes per query: first pass absorbs per-plan codegen and
     # file-listing cold costs; min is the standard steady-state estimator for
     # single-machine wall-clock with noisy neighbors.
+    # Crash-proof: one broken query must never erase the whole artifact
+    # (BENCH_r02 lesson — a single AnalysisException zeroed all 16 timings).
+    # Each query is caught individually, its timing/error is flushed to
+    # stderr as it completes, and the final JSON line always prints.
     N_RUNS = 2
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     names = [n for n in BENCH_QUERIES + EXTENSION_QUERIES if n in qs]
     for name in names:
         best = None
-        for _ in range(N_RUNS):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": N_RUNS,
-                "aggregation": "min",
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": N_RUNS,
+        "aggregation": "min",
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

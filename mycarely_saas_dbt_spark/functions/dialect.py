@@ -79,3 +79,18 @@ def surrogate_key_sql(cols: list[str]) -> str:
 def to_date(col: ColumnOrName) -> Column:
     """``x::DATE`` / ``DATE(x)`` (models/traffic_pages_agg.sql:9)."""
     return _col(col).cast("date")
+
+
+def epoch_seconds(col: ColumnOrName) -> Column:
+    """Floored epoch seconds of a TIMESTAMP **or** TIMESTAMP_NTZ column.
+
+    The driver testdata has shipped ``events.ts`` as both parquet
+    TIMESTAMP(NANOS) (read as TIMESTAMP via the registry repair) and
+    timestamp[us] (read as TIMESTAMP_NTZ); a bare ``cast("long")`` is a
+    DATATYPE_MISMATCH on NTZ in Spark 4. Casting through TIMESTAMP first is
+    a no-op for TIMESTAMP and reinterprets NTZ under the session time zone —
+    pinned to UTC in session.py — so naive micros == UTC epoch, matching
+    DuckDB's ``FLOOR(epoch(ts))`` on naive timestamps. The final
+    timestamp→long cast floor-divides micros, i.e. floors.
+    """
+    return _col(col).cast("timestamp").cast("long")

@@ -34,7 +34,13 @@ REL_TOL = 0.05
 
 
 def _within(approx, exact):
-    return (F.abs(approx - exact) / exact) <= REL_TOL
+    """Accuracy-contract flag, total over the whole domain: exact == 0 would
+    make the relative error NULL (0/0 or x/0), flipping the oracle's literal
+    TRUE into a hash mismatch on an empty group — treat it as within-bound
+    iff the approximation also says zero."""
+    return F.when(exact == 0, approx == 0).otherwise(
+        (F.abs(approx - exact) / exact) <= REL_TOL
+    )
 
 
 def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -419,6 +419,16 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Returning unconverged labels would silently split clusters —
+        # wrong keep/drop decisions downstream. Fail loudly; callers with
+        # adversarial long-chain graphs should raise max_iter or switch to
+        # the O(log n)-round large-star/small-star variant (docstring).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use the "
+            "large-star/small-star formulation for long-chain graphs"
+        )
     return labels
 
 

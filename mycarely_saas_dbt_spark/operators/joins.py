@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mycarely_saas_dbt_spark.functions.dialect import epoch_seconds
 from mycarely_saas_dbt_spark.sources.registry import oracle_query, register_sources
 
 __all__ = ["asof_join", "register_queries"]
@@ -140,7 +141,7 @@ def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, no cross product."""
     register_sources(spark, sf_dir)
     ev = spark.table("events").select(
-        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s")
+        "user_id", "event_id", epoch_seconds("ts").alias("ts_s")
     )
     a, b = ev.alias("a"), ev.alias("b")
     return (

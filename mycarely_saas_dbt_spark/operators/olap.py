@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mycarely_saas_dbt_spark.functions.dialect import epoch_seconds
 from mycarely_saas_dbt_spark.sources.registry import register_sources
 
 
@@ -312,7 +313,7 @@ def q_sessionize_events(spark, sf_dir):
     ev = _src(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ts_s = F.col("ts").cast("long")
+    ts_s = epoch_seconds("ts")
     prev_s = F.lag(ts_s).over(w)
     new_sess = F.when(
         prev_s.isNull() | ((ts_s - prev_s) > SESSION_GAP_S), 1
@@ -331,7 +332,7 @@ def q_sessionize_events(spark, sf_dir):
 
 O_SESSIONIZE_EVENTS = f"""
 WITH flagged AS (
-  SELECT user_id, event_id,
+  SELECT user_id, event_id, ts,
          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
          CASE WHEN LAG(ts) OVER w IS NULL
               OR CAST(FLOOR(epoch(ts)) AS BIGINT)
@@ -340,9 +341,12 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
+-- the cumsum window must order by the SAME key as the lag window
+-- (full-precision ts, event_id) — ordering one window by floored ts_s
+-- risks a data-dependent mismatch when two events share a floored second
 sessions AS (
   SELECT user_id, event_id, ts_s,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_seq
   FROM flagged
@@ -366,27 +370,42 @@ def q_max_by(spark, sf_dir):
     of the priciest and cheapest order — the single-pass aggregate form of
     the W2 window argmax (no sort, no rank; one shuffle, map-side partials).
     Tie-break made deterministic by folding (price, orderkey) into one
-    exact bigint key (cents × 1e8 ± orderkey) — DuckDB's arg_max does not
-    order on composite struct keys."""
+    exact bigint key (cents × mult ± orderkey) — DuckDB's arg_max does not
+    order on composite struct keys. The fold multiplier is DERIVED from the
+    key domain (next power of 10 above max(o_orderkey), via a broadcast
+    scalar subquery — a cheap single-column partial agg) instead of a
+    hard-coded 1e8, so the fold stays injective at any scale factor.
+    int64 headroom: cents ≤ ~6e7 × mult 1e10 (sf100 keys) ≈ 6e17 < 2^63."""
     o = _src(spark, sf_dir, "orders")
+    mult_df = o.agg(
+        F.pow(F.lit(10), F.ceil(F.log10(F.max("o_orderkey") + F.lit(1))))
+        .cast("long")
+        .alias("__mult")
+    )
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    kmax = cents * F.lit(100_000_000).cast("long") + F.col("o_orderkey")
-    kmin = cents * F.lit(100_000_000).cast("long") - F.col("o_orderkey")
-    return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", kmax).alias("best_order"),
-        F.min_by("o_orderkey", kmin).alias("worst_order"),
-        F.max("o_totalprice").alias("best_price"),
+    kmax = cents * F.col("__mult") + F.col("o_orderkey")
+    kmin = cents * F.col("__mult") - F.col("o_orderkey")
+    return (
+        o.join(F.broadcast(mult_df))
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", kmax).alias("best_order"),
+            F.min_by("o_orderkey", kmin).alias("worst_order"),
+            F.max("o_totalprice").alias("best_price"),
+        )
     )
 
 
 O_MAX_BY = """
 SELECT o_custkey,
        arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                           * 100000000 + o_orderkey) AS best_order,
+                           * m.__mult + o_orderkey) AS best_order,
        arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                           * 100000000 - o_orderkey) AS worst_order,
+                           * m.__mult - o_orderkey) AS worst_order,
        MAX(o_totalprice) AS best_price
-FROM orders
+FROM orders,
+     (SELECT CAST(POWER(10, CEIL(LOG10(MAX(o_orderkey) + 1))) AS BIGINT)
+          AS __mult FROM orders) m
 GROUP BY o_custkey
 """
 

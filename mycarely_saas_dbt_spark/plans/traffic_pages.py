@@ -10,12 +10,15 @@ Scale notes (100 TB):
     reader (PushedFilters) and prunes to the 6 consumed columns.
   * count + countDistinct in one groupBy => Catalyst's
     RewriteDistinctAggregates two-phase expansion with map-side partials.
+  * ``id_strategy='hash'`` (the DEFAULT) derives the row id as a
+    deterministic surrogate key over the grain (date, company_domain,
+    page_urlpath, type): embarrassingly parallel, and it fixes reference
+    bug B1 (row_number ids restart each incremental batch and overwrite
+    unrelated target rows; SURVEY.md §2.12).
   * ``id_strategy='row_number'`` reproduces the reference's global
-    ROW_NUMBER (models/traffic_pages_agg.sql:60) — a single-partition sort,
-    kept only for oracle parity at test SF. At scale use
-    ``id_strategy='hash'``: a deterministic surrogate key over the grain
-    (date, company_domain, page_urlpath, type), which also fixes reference
-    bug B1 (row ids shifting between incremental runs; SURVEY.md §2.12).
+    ROW_NUMBER (models/traffic_pages_agg.sql:60) — a single-partition sort
+    that cannot scale; kept ONLY for the oracle-parity registered entry and
+    the B1-semantics regression test.
 """
 
 from __future__ import annotations
@@ -56,7 +59,7 @@ def traffic_pages_agg(
     *,
     events: DataFrame | None = None,
     watermark: dt.date | None = None,
-    id_strategy: str = "row_number",
+    id_strategy: str = "hash",
 ) -> DataFrame:
     """Build the model as a lazy DataFrame plan.
 
@@ -158,8 +161,7 @@ labeled_visits AS (
 ),
 final_rows AS (
     SELECT
-        CAST(ROW_NUMBER() OVER (
-            ORDER BY date, company_domain, page_urlpath, type) AS BIGINT) AS id,
+        {id_expr} AS id,
         1 AS company_id,
         company_domain,
         date,
@@ -173,12 +175,24 @@ FROM final_rows
 """
 
 
-def oracle_sql(extra_filter: str = "") -> str:
+def oracle_sql(extra_filter: str = "", *, id_strategy: str = "row_number") -> str:
     """DuckDB oracle; ``extra_filter`` injects an additional predicate into
     the event scrub (used by incremental two-batch tests to express the
-    watermark slice in SQL)."""
+    watermark slice in SQL). ``id_strategy`` mirrors the Spark-side option:
+    'row_number' for the reference-parity registered entry, 'hash' (the
+    engine default) for the incremental runners."""
+    from mycarely_saas_dbt_spark.functions.dialect import surrogate_key_sql
     from mycarely_saas_dbt_spark.sources.synthetic import ATOMIC_EVENTS_SQL
 
+    if id_strategy == "row_number":
+        id_expr = (
+            "CAST(ROW_NUMBER() OVER (\n"
+            "            ORDER BY date, company_domain, page_urlpath, type) AS BIGINT)"
+        )
+    elif id_strategy == "hash":
+        id_expr = surrogate_key_sql(["date", "company_domain", "page_urlpath", "type"])
+    else:
+        raise ValueError(f"unknown id_strategy: {id_strategy}")
     return f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL})" + _ORACLE_MAIN.format(
-        extra_filter=extra_filter
+        extra_filter=extra_filter, id_expr=id_expr
     )

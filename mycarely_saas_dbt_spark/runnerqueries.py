@@ -20,9 +20,11 @@ SPLIT = dt.date(2024, 1, 15)
 
 def incremental_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+S3: load events<=SPLIT, then an incremental run over the full
-    source; returns the final upserted traffic_pages_agg target. Oracle
-    expresses the same delete+insert semantics in SQL (including the
-    preserved B1 row_number-collision behavior)."""
+    source; returns the final upserted traffic_pages_agg target. Runs on the
+    engine-default hash (surrogate-key) row ids — the scale-safe B1 fix —
+    so the delete+insert upsert replaces exactly the re-emitted grain rows.
+    (The reference's B1 row_number-collision behavior stays covered by
+    tests/test_incremental.py::test_b1_row_number_collision_semantics.)"""
     from mycarely_saas_dbt_spark.incremental import (
         IncrementalRunner,
         ModelSpec,
@@ -31,7 +33,7 @@ def incremental_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
     from mycarely_saas_dbt_spark.sources.registry import register_sources
 
-    root = tempfile.mkdtemp(prefix="mycarely_q_inc_")
+    root = tempfile.mkdtemp(prefix="mycarely_q_inc_")  # hash ids (default)
     runner = IncrementalRunner(spark, root)
 
     def b1_build(sp, sfd, wm):
@@ -55,8 +57,12 @@ def incremental_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_oracle() -> str:
     from mycarely_saas_dbt_spark.plans import traffic_pages as tp
 
-    b1 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'")
-    b2 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'")
+    b1 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'", id_strategy="hash"
+    )
+    b2 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'", id_strategy="hash"
+    )
     return f"""
     WITH b1 AS ({b1}), b2 AS ({b2})
     SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
@@ -206,7 +212,7 @@ def streaming_sessionize_oracle() -> str:
 
     return f"""
 WITH flagged AS (
-  SELECT user_id, event_id,
+  SELECT user_id, event_id, ts,
          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
          CASE WHEN LAG(ts) OVER w IS NULL
               OR CAST(FLOOR(epoch(ts)) AS BIGINT)
@@ -215,9 +221,11 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
+-- cumsum ordered by the SAME (full-precision ts, event_id) key as the lag
+-- window — see operators/olap.py O_SESSIONIZE_EVENTS
 sessions AS (
   SELECT user_id, ts_s,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_seq
   FROM flagged

@@ -29,8 +29,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         # Calendar-stable timestamp semantics (parity with the DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
-        # Driver testdata stores TIMESTAMP(NANOS) parquet (events.ts), which
-        # Spark's reader rejects; read as long and convert in the registry.
+        # Defensive: round-1 driver testdata stored events.ts as parquet
+        # TIMESTAMP(NANOS) (rejected by Spark's reader without this conf);
+        # round-2+ testdata is timestamp[us]. Keeping the conf costs nothing
+        # and keeps the engine robust to either encoding — the registry
+        # repairs ns-as-long columns conditionally (registry.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas_udf path (extensions only; parity needs none).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -30,30 +30,47 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mycarely_saas_dbt_spark.functions.dialect import epoch_seconds
 from mycarely_saas_dbt_spark.plans.traffic_pages import filtered_page_views
-from mycarely_saas_dbt_spark.sources.registry import load_table
+from mycarely_saas_dbt_spark.sources.registry import _nanos_timestamp_cols, load_table
 from mycarely_saas_dbt_spark.sources.synthetic import atomic_events_sql
 
 GRAIN = ["date", "company_domain", "page_urlpath"]
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the raw events, with the same ns->µs repair
-    and Snowplow derivation as the batch registry."""
+def _repaired_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the raw events with the same *conditional*
+    ns->µs repair as the batch registry (registry.load_table): the repair
+    applies only to columns the on-disk footer declares TIMESTAMP(NANOS)
+    (read as long under nanosAsLong). Current driver testdata is
+    timestamp[us] (read natively as TIMESTAMP_NTZ) — no repair needed, and
+    applying it unconditionally is a type error."""
     path = os.path.join(sf_dir, "events.parquet")
-    schema = load_table(spark, sf_dir, "events").schema  # post-repair schema
     # the file stream source watches a DIRECTORY; glob-filter to the events
     # table within the sf dir
     raw = (
-        spark.readStream.schema(
-            spark.read.parquet(path).schema  # on-disk schema (ts as long)
-        )
+        spark.readStream.schema(spark.read.parquet(path).schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
-    assert raw.schema["ts"].dataType == schema["ts"].dataType
+    for c in _nanos_timestamp_cols(path):
+        raw = raw.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Event-time ops (withWatermark / window / session_window) require
+    # TIMESTAMP, not TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    # Under the pinned UTC session tz the cast is value-preserving, so the
+    # streaming results still hash-match the batch/DuckDB oracles.
+    for f in raw.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            raw = raw.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return raw
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream of the raw events with the Snowplow derivation applied —
+    identical column semantics to the batch registry's atomic_events view."""
+    raw = _repaired_stream(spark, sf_dir)
+    assert raw.schema["ts"].dataType.typeName() == "timestamp"
     raw.createOrReplaceTempView("events_stream_raw")
     return spark.sql(atomic_events_sql("events_stream_raw"))
 
@@ -134,15 +151,8 @@ SESSION_GAP_S = 1800
 
 
 def raw_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the raw driver events (ns->µs repaired)."""
-    path = os.path.join(sf_dir, "events.parquet")
-    return (
-        spark.readStream.schema(spark.read.parquet(path).schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-    )
+    """File-source stream of the raw driver events (repair as needed)."""
+    return _repaired_stream(spark, sf_dir)
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str, target: str):
@@ -170,7 +180,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, target: str):
     watermark finalize sessions continuously.
     """
     ev = raw_events_stream(spark, sf_dir).select(
-        "user_id", F.timestamp_seconds(F.col("ts").cast("long")).alias("tss")
+        "user_id", F.timestamp_seconds(epoch_seconds("ts")).alias("tss")
     )
     agg = (
         ev.withWatermark("tss", "1 day")
@@ -229,6 +239,9 @@ def late_drop_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFram
     src = os.path.join(workdir, "src")
     os.makedirs(src, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
+    # withWatermark needs TIMESTAMP (not NTZ); UTC session tz keeps values.
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     f1 = ev.filter(F.col("ts") < LATE_SPLIT)
     f2 = ev.filter(F.col("ts") >= LATE_SPLIT)
     f3 = ev.filter(F.col("ts") < LATE_REPLAY_BEFORE).withColumn(

@@ -1,0 +1,53 @@
+"""The driver's correctness harness checks exactly the FIRST 50 registered
+queries. These assertions pin the priority window so a future registration
+change can't silently push the LLM-pipeline surface back out of it
+(round-2 lesson: the TPC-H sweep occupied slots 28-49 and everything past
+`win_lag_lead` was invisible to CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+
+def test_driver_window_is_exactly_the_priority_list():
+    from mycarely_saas_dbt_spark.entry import DRIVER_WINDOW, build_queries
+
+    names = list(build_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == DRIVER_WINDOW
+    assert len(names) == len(set(names))
+
+
+def test_driver_window_covers_llm_pipeline_surface():
+    from mycarely_saas_dbt_spark.entry import build_queries
+
+    first50 = set(list(build_queries())[:50])
+    must_have = {
+        # reference models
+        "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg",
+        # dedup family
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_cc_clusters",
+        # ANN family
+        "ann_cosine_topk", "ann_ivf_topk", "ann_cosine_topk_pandas",
+        "embedding_neardup",
+        # text analysis
+        "text_token_stats", "text_quality", "text_lang_id",
+        "text_fingerprint", "text_corpus_stats", "corpus_curation_pipeline",
+        # incremental + streaming runtimes
+        "incremental_two_batch_upsert", "incremental_td_two_batch",
+        "incremental_la_two_batch", "streaming_traffic_pages",
+        "streaming_sessionize", "streaming_late_drop",
+        # heaviest OLAP extensions
+        "sessionize_events", "approx_distinct_daily",
+    }
+    assert must_have <= first50
+
+
+def test_every_query_has_an_oracle_except_documented_rows_only():
+    """103/105 oracle-checked; the two rows-only entries are justified in
+    SURVEY §8 (HLL streaming distinct is not SQL-reproducible; fake
+    multimodal features are container-stubbed)."""
+    from mycarely_saas_dbt_spark.entry import build_oracle_sql, build_queries
+
+    qs, os_ = build_queries(), build_oracle_sql()
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"streaming_traffic_pages", "mm_fake_features"}

@@ -41,11 +41,12 @@ def _tp_batch1_spec():
 
 
 def test_two_batch_upsert_matches_oracle(spark, duck, target_root):
-    """Run batch1 (<=SPLIT), then an incremental run over the full source.
-    Expected final state per reference semantics, expressed in SQL:
-    b1 rows whose id does NOT collide with b2 ids (B1: row_number ids
-    restart each batch and overwrite unrelated rows), plus all b2 rows
-    (strictly-after-watermark slice; late rows for processed days dropped).
+    """Run batch1 (<=SPLIT), then an incremental run over the full source,
+    on the engine-default hash (surrogate-key) ids. Expected final state:
+    b1 rows not re-emitted by b2, plus all b2 rows (strictly-after-watermark
+    slice; late rows for processed days dropped). With grain-derived ids the
+    two batches are id-disjoint (date is in the grain), so nothing is
+    overwritten — the B1 fix.
     """
     from mycarely_saas_dbt_spark import incremental as inc
     from mycarely_saas_dbt_spark.plans import traffic_pages as tp
@@ -60,6 +61,56 @@ def test_two_batch_upsert_matches_oracle(spark, duck, target_root):
     s2 = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
     assert s2["mode"] == "incremental"
     assert s2["watermark"] == str(SPLIT)
+
+    b1 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'", id_strategy="hash"
+    )
+    b2 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'", id_strategy="hash"
+    )
+    expected = f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+    assert_df_matches_oracle(runner.read_target("traffic_pages_agg"), duck, expected)
+
+    # Hash ids are grain-derived and the batches split on date (a grain
+    # column), so no upsert collisions: the final state is the full union.
+    n_b1 = duck.execute(f"SELECT COUNT(*) FROM ({b1})").fetchone()[0]
+    n_final = runner.read_target("traffic_pages_agg").count()
+    n_b2 = duck.execute(f"SELECT COUNT(*) FROM ({b2})").fetchone()[0]
+    assert n_final == n_b1 + n_b2
+
+
+def test_b1_row_number_collision_semantics(spark, duck, target_root):
+    """Reference-parity regression (B1, SURVEY §2.12): with
+    id_strategy='row_number' — the reference's global ROW_NUMBER ids
+    (models/traffic_pages_agg.sql:60) — batch2 ids restart at 1 and collide
+    with batch1 ids, so the delete+insert upsert overwrites unrelated old
+    rows. Deliberately preserved behind the non-default strategy."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    def b1_build(spark_, sf_dir, wm):
+        register_sources(spark_, sf_dir)
+        ev = spark_.table("atomic_events").filter(
+            F.col("collector_tstamp").cast("date") <= F.lit(SPLIT)
+        )
+        return traffic_pages_agg(
+            spark_, sf_dir, events=ev, watermark=wm, id_strategy="row_number"
+        )
+
+    def b2_build(spark_, sf_dir, wm):
+        return traffic_pages_agg(spark_, sf_dir, watermark=wm, id_strategy="row_number")
+
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(
+        ModelSpec("traffic_pages_agg", "id", "date", b1_build), SF_DIR
+    )
+    runner.run(ModelSpec("traffic_pages_agg", "id", "date", b2_build), SF_DIR)
 
     b1 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'")
     b2 = tp.oracle_sql(f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'")
@@ -103,7 +154,8 @@ def test_full_refresh_equals_oneshot(spark, duck, target_root):
     runner.run(_tp_batch1_spec(), SF_DIR)
     runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR, full_refresh=True)
     assert_df_matches_oracle(
-        runner.read_target("traffic_pages_agg"), duck, tp.oracle_sql()
+        runner.read_target("traffic_pages_agg"), duck,
+        tp.oracle_sql(id_strategy="hash"),
     )
 
 
