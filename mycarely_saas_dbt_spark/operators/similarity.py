@@ -106,19 +106,60 @@ QUALIFY rank <= {TOP_K}
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by cosine within label blocks (the
-    embedding-space analog of the text dedup family)."""
+    embedding-space analog of the text dedup family).
+
+    EXACT centroid-cover blocking (not raw label all-pairs, which explodes
+    quadratically on a hot label at corpus scale): on unit-normalized
+    vectors, cos(a,b) >= τ  ⟺  ||â-b̂|| <= D with D = sqrt(2-2τ). Assign
+    every vector to ALL centroids within (its own nearest-centroid distance
+    + 2D); then for any qualifying pair (a,b), b provably lands in a's
+    nearest cell:
+        ||b-ca|| <= ||a-b|| + ||a-ca|| <= D + d_nn(a)
+        d_nn(a)  <= ||a-c_nn(b)|| <= ||a-b|| + d_nn(b) <= D + d_nn(b)
+        ⟹ ||b-ca|| <= d_nn(b) + 2D.
+    So candidates = pairs sharing a (label, cid) bucket — no recall loss,
+    output identical to the all-pairs formulation, and the verify join's
+    input is bucket-bounded. Per-bucket size shrinks as τ rises (real
+    near-dup thresholds are ~0.9 ⟹ D≈0.45); the demo τ of {0.45} is set
+    by the synthetic testdata's low max cosine, the structure is what
+    scales. Cost: one narrow corpus×centroids pass (broadcast), one
+    shuffle on (label, cid), pair-dedup, exact verify on candidates only.
+    """
     register_sources(spark, sf_dir)
+    import math
+
+    cover = 2.0 * math.sqrt(max(0.0, 2.0 - 2.0 * NEARDUP_COS))
     e = _with_norm(spark.table("embeddings"))
-    a = e.select(
-        F.col("vec_id").alias("vid_a"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
     )
-    b = e.select(
+    # distance between unit-normalized vectors, from the cosine
+    cdist = F.sqrt(F.greatest(F.lit(0.0), 2.0 - 2.0 * cosine("embedding", "ce", "nrm", "cn")))
+    scored = e.join(cent, F.lit(True)).select(
+        "vec_id", "label", "embedding", "nrm", "cid", cdist.alias("cdist")
+    )
+    wmin = Window.partitionBy("vec_id")
+    assigned = (
+        scored.withColumn("d_nn", F.min("cdist").over(wmin))
+        .filter(F.col("cdist") <= F.col("d_nn") + F.lit(cover))
+        .select("vec_id", "label", "embedding", "nrm", "cid")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vid_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "cid",
+    )
+    b = assigned.select(
         F.col("vec_id").alias("vid_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "cid",
     )
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vid_a") < F.col("vid_b")))
+        a.join(b, ["cid"])
+        .filter((F.col("la") == F.col("lb")) & (F.col("vid_a") < F.col("vid_b")))
+        .dropDuplicates(["vid_a", "vid_b"])  # a pair may share several cells
         .select(
             "vid_a", "vid_b", F.col("la").alias("label"),
             cosine("ea", "eb", "na", "nb").alias("cos"),

@@ -12,6 +12,8 @@ import datetime as dt
 import shutil
 import tempfile
 
+from mycarely_saas_dbt_spark.util import materialize
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,8 +50,8 @@ def incremental_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runner.run(TRAFFIC_PAGES_SPEC, sf_dir)
     out = runner.read_target("traffic_pages_agg")
-    # materialize into the session before the temp dir is deleted
-    result = spark.createDataFrame(out.collect(), out.schema)
+    # detach from the temp target before it is deleted (distributed copy)
+    result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -84,7 +86,7 @@ def streaming_traffic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = traffic_pages_stream(spark, sf_dir, target)
     q.awaitTermination(300)
     out = spark.read.parquet(target)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -115,7 +117,7 @@ def incremental_td_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner.run(ModelSpec("traffic_daily_agg", "id", "spend_date", b1_build), sf_dir)
     runner.run(TRAFFIC_DAILY_SPEC, sf_dir)
     out = runner.read_target("traffic_daily_agg")
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -174,7 +176,7 @@ def incremental_la_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner.run(ModelSpec("lead_activities_agg", "id", "activity_date", b1_build), sf_dir)
     runner.run(make_la_spec(runner), sf_dir)
     out = runner.read_target("lead_activities_agg")
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -202,7 +204,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sessionize_stream(spark, sf_dir, target)
     q.awaitTermination(300)
     out = spark.read.parquet(target)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -248,7 +250,7 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="mycarely_q_late_")
     out = late_drop_stream(spark, sf_dir, root)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
     return result
 

@@ -70,7 +70,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = f"bucketdemo_{uuid.uuid4().hex[:8]}"
     out = bucketed_join_plan(spark, sf_dir, db)
     try:
-        return spark.createDataFrame(out.collect(), out.schema)
+        from mycarely_saas_dbt_spark.util import materialize
+
+        return materialize(out)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 

@@ -72,7 +72,9 @@ def _roundtrip(
                 F.max("o_orderdate").alias("last_date"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        from mycarely_saas_dbt_spark.util import materialize
+
+        return materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

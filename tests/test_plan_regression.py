@@ -1,0 +1,78 @@
+"""Physical-plan regression gates for the scale-design claims in
+PLAN_AUDIT.md — enforced, not descriptive. If a code or Spark-version
+change degrades a broadcast join to a sort-merge join, re-introduces a
+second source scan under the unpivot, or turns a bucketed candidate join
+into a cross product, these fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_traffic_daily_small_sides_broadcast(spark):
+    """TD joins the (tiny) spend/company dims — they must ride as
+    broadcasts, never a shuffled sort-merge join."""
+    from mycarely_saas_dbt_spark.plans.traffic_daily import traffic_daily_agg
+
+    plan = _plan(traffic_daily_agg(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lead_activities_small_sides_broadcast(spark):
+    """LA's lead/company/TD-rollup sides are small: all joins broadcast."""
+    from mycarely_saas_dbt_spark.plans.lead_activities import lead_activities_agg
+
+    plan = _plan(lead_activities_agg(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_traffic_pages_unpivot_scans_source_once(spark):
+    """The stack() unpivot must reuse ONE scan+aggregate (a literal
+    UNION ALL would re-scan events and re-aggregate twice, SURVEY §4)."""
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+
+    plan = _plan(traffic_pages_agg(spark, SF_DIR))
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_traffic_pages_hash_default_needs_no_global_window(spark):
+    """The engine-default hash id is computed per-row: no Window operator
+    (the row_number parity mode pays a deliberate single-partition sort)."""
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+
+    assert "Window" not in _plan(traffic_pages_agg(spark, SF_DIR))
+    assert "Window" in _plan(
+        traffic_pages_agg(spark, SF_DIR, id_strategy="row_number")
+    )
+
+
+def test_minhash_lsh_has_no_cross_product(spark):
+    """LSH candidate generation is a bucketed equi-join on (band,
+    band_key) — an all-pairs CartesianProduct would be the quadratic
+    blow-up the whole design avoids."""
+    from mycarely_saas_dbt_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_neardup_pairs_join_is_bucketed(spark):
+    """The near-dup candidate join must be an equi-join on the centroid
+    cell (cid) — only the corpus×centroids assignment pass may be a
+    broadcast nested loop (N_CENTROIDS rows). The pair join itself being
+    a nested-loop/cartesian would mean the label-block quadratic is back."""
+    from mycarely_saas_dbt_spark.operators.similarity import embedding_neardup
+
+    plan = _plan(embedding_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*cid", plan
+    ), plan
