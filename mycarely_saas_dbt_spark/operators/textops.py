@@ -268,6 +268,142 @@ GROUP BY d.lang
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard pre-training
+    sequence-preparation step (split every document into CHUNK_TOKENS-token
+    windows advancing CHUNK_STEP tokens, so consecutive chunks share
+    CHUNK_OVERLAP tokens of context).
+
+    Pure Catalyst: sequence() generates the chunk starts, posexplode fans
+    them out, slice()+array_join materializes each window — a narrow
+    per-row explode, no shuffle, no Python. At 100 TB this is one corpus
+    pass whose output is ~n_tokens/CHUNK_STEP rows per doc; downstream
+    packing/batching reads it partitioned by doc_id."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").withColumn("__toks", _toks())
+    d = d.withColumn("n_tokens", F.size("__toks"))
+    starts = F.expr(f"sequence(0, n_tokens - 1, {CHUNK_STEP})")
+    return (
+        d.select("doc_id", "__toks", "n_tokens", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.expr(f"slice(__toks, start + 1, {CHUNK_TOKENS})"), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+O_CHUNKS = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, toks, n_tokens,
+           unnest(generate_series(0, n_tokens - 1, {CHUNK_STEP})) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STEP} AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_TOKENS}, n_tokens - start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM starts
+"""
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape filters (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1): top-bigram repetition fraction,
+    symbol-to-char ratio, mean token length, and the combined keep flag.
+    The repetition stat needs a per-(doc, bigram) count — explode + two
+    map-side-combining aggregations (the only shuffle here); everything
+    else is narrow Catalyst expressions."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").withColumn("__toks", _toks())
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(__toks) - 2), i -> "
+                   "concat(__toks[i], ' ', __toks[i + 1]))")
+        ).alias("gram"),
+    )
+    rep = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("n").cast("double") / F.sum("n")).alias("top_bigram_frac")
+        )
+    )
+    shape = d.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+            / F.length("text")
+        ).alias("symbol_ratio"),
+        (
+            F.expr("aggregate(transform(__toks, t -> length(t)), 0, (a, x) -> a + x)")
+            .cast("double")
+            / F.size("__toks")
+        ).alias("mean_token_len"),
+    )
+    out = shape.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "symbol_ratio",
+        "mean_token_len",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+    keep = (
+        (F.col("top_bigram_frac") <= 0.2)
+        & (F.col("symbol_ratio") <= 0.1)
+        & F.col("mean_token_len").between(2.0, 12.0)
+    )
+    return out.withColumn("passes_gopher", keep)
+
+
+O_GOPHER = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM t
+),
+rep AS (
+    SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac
+    FROM (SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram)
+    GROUP BY doc_id
+),
+shape AS (
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS mean_token_len
+    FROM t
+)
+SELECT s.doc_id, s.symbol_ratio, s.mean_token_len,
+       COALESCE(r.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(r.top_bigram_frac, 0.0) <= 0.2
+           AND s.symbol_ratio <= 0.1
+           AND s.mean_token_len BETWEEN 2.0 AND 12.0 AS passes_gopher
+FROM shape s LEFT JOIN rep r USING (doc_id)
+"""
+
+
 PAIRS = [
     ("text_token_stats", token_stats, O_TOKEN_STATS),
     ("text_quality", quality_scores, O_QUALITY),
@@ -275,6 +411,8 @@ PAIRS = [
     ("text_fingerprint", fingerprints, O_FINGERPRINT),
     ("text_corpus_stats", corpus_stats, O_CORPUS_STATS),
     ("corpus_curation_pipeline", corpus_curation, O_CURATION),
+    ("doc_chunking", chunk_documents, O_CHUNKS),
+    ("text_gopher_quality", gopher_quality, O_GOPHER),
 ]
 
 

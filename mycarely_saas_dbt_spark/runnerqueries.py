@@ -262,6 +262,121 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+SNAP_CUTOFF = dt.date(1998, 1, 1)
+SNAP_RUN1 = dt.date(1998, 1, 2)
+SNAP_RUN2 = dt.date(2001, 9, 1)
+_SNAP_CHECK_COLS = ["n_orders", "last_order_date"]
+
+
+def _order_profile(spark: SparkSession, cutoff: dt.date | None) -> DataFrame:
+    """Per-customer order profile — the slowly-changing source the snapshot
+    tracks (customers who order after the cutoff change their profile)."""
+    o = spark.table("orders")
+    if cutoff is not None:
+        o = o.filter(F.col("o_orderdate").cast("date") <= F.lit(cutoff))
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+    )
+
+
+def scd2_snapshot_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt snapshot (SCD2, check strategy) over two runs: run 1 snapshots
+    the order profiles as of SNAP_CUTOFF; run 2 snapshots the full history.
+    Customers with post-cutoff orders get their run-1 version closed
+    (dbt_valid_to = run-2 date) and a new open version; the rest keep one
+    open version. Oracle reproduces the whole version table in SQL,
+    including the check-strategy content hash."""
+    from mycarely_saas_dbt_spark.incremental import run_snapshot
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_q_snap_")
+    target = f"{root}/customer_profile_snapshot"
+    run_snapshot(
+        spark, target, _order_profile(spark, SNAP_CUTOFF),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS, run_date=SNAP_RUN1,
+    )
+    run_snapshot(
+        spark, target, _order_profile(spark, None),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS, run_date=SNAP_RUN2,
+    )
+    result = materialize(spark.read.parquet(target))
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def scd2_snapshot_oracle() -> str:
+    from mycarely_saas_dbt_spark.functions.dialect import surrogate_key_sql
+
+    h = surrogate_key_sql(_SNAP_CHECK_COLS)
+    profile = """
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+        FROM orders {where} GROUP BY o_custkey
+    """
+    s1 = profile.format(
+        where=f"WHERE CAST(o_orderdate AS DATE) <= DATE '{SNAP_CUTOFF}'"
+    )
+    s2 = profile.format(where="")
+    return f"""
+WITH h1 AS (SELECT *, {h} AS dbt_scd_hash FROM ({s1})),
+h2 AS (SELECT *, {h} AS dbt_scd_hash FROM ({s2})),
+changed AS (
+    SELECT h2.custkey FROM h2 JOIN h1 USING (custkey)
+    WHERE h2.dbt_scd_hash != h1.dbt_scd_hash
+),
+new_keys AS (
+    SELECT custkey FROM h2
+    WHERE custkey NOT IN (SELECT custkey FROM h1)
+)
+SELECT custkey, n_orders, last_order_date, dbt_scd_hash,
+       DATE '{SNAP_RUN1}' AS dbt_valid_from,
+       CASE WHEN custkey IN (SELECT custkey FROM changed)
+            THEN DATE '{SNAP_RUN2}' ELSE CAST(NULL AS DATE) END AS dbt_valid_to
+FROM h1
+UNION ALL
+SELECT custkey, n_orders, last_order_date, dbt_scd_hash,
+       DATE '{SNAP_RUN2}' AS dbt_valid_from, CAST(NULL AS DATE) AS dbt_valid_to
+FROM h2
+WHERE custkey IN (SELECT custkey FROM changed)
+   OR custkey IN (SELECT custkey FROM new_keys)
+"""
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup drained with availableNow: every
+    (user_id, event_type) pair survives exactly once, so the per-user
+    distinct-type count matches the batch DISTINCT oracle."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import dedup_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_dedup_")
+    target = f"{root}/deduped"
+    q = dedup_stream(spark, sf_dir, target)
+    q.awaitTermination(300)
+    out = (
+        spark.read.parquet(target)
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_event_types"))
+    )
+    # also prove exactly-once at key level: total rows == distinct keys
+    n_rows = spark.read.parquet(target).count()
+    n_keys = (
+        spark.read.parquet(target).select("user_id", "event_type").distinct().count()
+    )
+    assert n_rows == n_keys, f"streaming dedup emitted duplicates: {n_rows} != {n_keys}"
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_DEDUP = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_event_types
+FROM events
+GROUP BY user_id
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
@@ -269,3 +384,5 @@ def register_queries(register) -> None:
     register("streaming_traffic_pages", streaming_traffic_pages, None)
     register("streaming_sessionize", streaming_sessionize, streaming_sessionize_oracle())
     register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)
+    register("streaming_dedup", streaming_dedup, O_STREAMING_DEDUP)
+    register("scd2_snapshot_two_batch", scd2_snapshot_two_batch, scd2_snapshot_oracle())

@@ -208,6 +208,42 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, target: str):
 
 
 # --------------------------------------------------------------------------
+# streaming stateful dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str, target: str):
+    """Streaming exact dedup on a content key via the stateful
+    ``dropDuplicates`` operator — the streaming counterpart of the batch
+    ``dedup_exact``: each (user_id, event_type) pair is emitted exactly
+    once across ALL micro-batches (state keeps seen keys; with a watermark
+    column in the key set, state for closed windows is evicted — here the
+    key set is unbounded by design, matching the batch semantics, so a
+    production run bounds it with dropDuplicatesWithinWatermark and a
+    lateness budget).
+
+    Sink appends each batch's first-seen rows to parquet; the drained
+    result therefore holds every distinct key exactly once — deterministic
+    at the key level (which row carried it first is not), so the contract
+    aggregates per-user distinct-type counts."""
+    ev = raw_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = ev.withWatermark("ts", "30 days").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target)
+
+    return (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", f"{target}.checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
 # watermark semantics: late-data drop, proven by differential test
 # --------------------------------------------------------------------------
 

@@ -159,6 +159,44 @@ def test_full_refresh_equals_oneshot(spark, duck, target_root):
     )
 
 
+def test_snapshot_rerun_without_changes_is_noop(spark, target_root):
+    """SCD2 snapshot (check strategy): a third run over an unchanged source
+    must not close or insert any version — same rows, byte for byte."""
+    import datetime as _dt
+
+    from mycarely_saas_dbt_spark.incremental import run_snapshot
+    from mycarely_saas_dbt_spark.runnerqueries import (
+        SNAP_CUTOFF,
+        SNAP_RUN1,
+        SNAP_RUN2,
+        _SNAP_CHECK_COLS,
+        _order_profile,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    target = f"{target_root}/snap"
+    run_snapshot(
+        spark, target, _order_profile(spark, SNAP_CUTOFF),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS, run_date=SNAP_RUN1,
+    )
+    run_snapshot(
+        spark, target, _order_profile(spark, None),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS, run_date=SNAP_RUN2,
+    )
+    before = spark.read.parquet(target).toPandas()
+    run_snapshot(
+        spark, target, _order_profile(spark, None),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS,
+        run_date=SNAP_RUN2 + _dt.timedelta(days=30),
+    )
+    after = spark.read.parquet(target).toPandas()
+    cols = sorted(before.columns)
+    assert before[cols].sort_values(cols, ignore_index=True).equals(
+        after[cols].sort_values(cols, ignore_index=True)
+    )
+
+
 def test_dag_order_and_la_reads_td_target(spark, target_root):
     """D5: TP -> TD -> LA; LA consumes TD's *materialized* output (the
     source-read-back quirk), and its result matches the chained-plan oracle
