@@ -56,6 +56,58 @@ class ModelSpec:
     # D3: observability hook run before materialization (LA's run_query+log)
     pre_counts: Callable[[SparkSession, str], dict[str, int]] | None = None
     partition_by: list[str] = field(default_factory=list)
+    # dbt's on_schema_change: ignore | fail | append_new_columns |
+    # sync_all_columns (incremental runs only; first run/CTAS just writes)
+    on_schema_change: str = "ignore"
+
+
+def _reconcile_schema(
+    target: DataFrame, new: DataFrame, mode: str, model: str
+) -> tuple[DataFrame, DataFrame]:
+    """dbt's ``on_schema_change`` contract for incremental runs.
+
+    ignore (dbt default): new columns are NOT added to the target — the
+    insert happens on the target's column list (a model column vanishing
+    from under the target is still an error). fail: any drift errors.
+    append_new_columns: target gains the new columns (NULL backfill for
+    history); columns the model dropped stay, NULL-filled in new rows.
+    sync_all_columns: gains new AND drops removed.
+
+    Scale note: the NULL backfills are projection-only (no rewrite of old
+    files happens here — the merge writer rewrites anyway; on a lakehouse
+    this is a metadata-only ALTER TABLE ADD COLUMN).
+    """
+    tcols, ncols = target.columns, new.columns
+    added = [c for c in ncols if c not in tcols]
+    removed = [c for c in tcols if c not in ncols]
+    if not added and not removed:
+        return target, new
+    if mode == "fail":
+        raise RuntimeError(
+            f"{model}: schema changed (added={added}, removed={removed}) "
+            "and on_schema_change='fail'"
+        )
+    if mode == "ignore":
+        if removed:
+            raise RuntimeError(
+                f"{model}: target columns {removed} missing from the model "
+                "— on_schema_change='ignore' cannot insert into them"
+            )
+        return target, new.select(*tcols)
+    ntypes = dict(new.dtypes)
+    ttypes = dict(target.dtypes)
+    if mode == "append_new_columns":
+        for c in added:
+            target = target.withColumn(c, F.lit(None).cast(ntypes[c]))
+        for c in removed:
+            new = new.withColumn(c, F.lit(None).cast(ttypes[c]))
+        return target, new.select(*target.columns)
+    if mode == "sync_all_columns":
+        for c in added:
+            target = target.withColumn(c, F.lit(None).cast(ntypes[c]))
+        target = target.drop(*removed)
+        return target.select(*ncols), new
+    raise ValueError(f"unknown on_schema_change mode: {mode}")
 
 
 class IncrementalRunner:
@@ -102,6 +154,9 @@ class IncrementalRunner:
 
         if incremental:
             target = self.read_target(spec.name)
+            target, new = _reconcile_schema(
+                target, new, spec.on_schema_change, spec.name
+            )
             # delete+insert by unique_key == anti-join old rows, append new
             merged = target.join(
                 new.select(spec.unique_key).distinct(),

@@ -404,6 +404,131 @@ FROM shape s LEFT JOIN rep r USING (doc_id)
 """
 
 
+PACK_BUDGET = 256
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: concatenate chunks in deterministic
+    (doc_id, chunk_id) order per source partition and cut packs at
+    PACK_BUDGET tokens — the training-batch preparation step downstream of
+    chunking. pack_id = floor(start_offset / budget), via a running-sum
+    window PARTITIONED BY source (packing within a corpus shard keeps the
+    window parallel — a single global ordering would serialize on one
+    partition at 100 TB; shard-local packs are what a distributed loader
+    consumes anyway). Output: per (source, pack) token totals + chunk
+    counts."""
+    register_sources(spark, sf_dir)
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(spark, sf_dir).join(
+        spark.table("documents").select("doc_id", "source"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens"))
+            / PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("pack_tokens"),
+    )
+
+
+O_PACKING = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens, source
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, source,
+           CAST(start / {CHUNK_STEP} AS BIGINT) AS chunk_id,
+           CAST(least({CHUNK_TOKENS}, n_tokens - start) AS BIGINT) AS n_chunk_tokens
+    FROM (SELECT doc_id, source, n_tokens,
+                 unnest(generate_series(0, n_tokens - 1, {CHUNK_STEP})) AS start
+          FROM t)
+),
+packed AS (
+    SELECT source, n_chunk_tokens,
+           CAST(FLOOR((SUM(n_chunk_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id, chunk_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chunk_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM chunks
+)
+SELECT source, pack_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
+# deterministic synthetic PII injected per doc so the scrub is measurable on
+# the synthetic corpus (which contains none); the OPERATOR is the regex chain
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\(\d{3}\) \d{3}-\d{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: inject a deterministic email+phone into every
+    3rd document (the synthetic corpus has no real PII), then scrub with
+    regexp chains and report per-doc redaction counts + the scrubbed text
+    hash. Narrow per-row Catalyst expressions — one corpus pass, the same
+    shape a real redaction sweep (emails, phones, SSNs, IPs) runs at
+    100 TB."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").withColumn(
+        "dirty",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or ("),
+                (F.col("doc_id") % 800 + 100).cast("string"),
+                F.lit(") 555-0199"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    n_emails = F.size(F.regexp_extract_all("dirty", F.lit(_PII_EMAIL), 0))
+    n_phones = F.size(F.regexp_extract_all("dirty", F.lit(_PII_PHONE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace("dirty", _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+O_PII = rf"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact user' || doc_id || '@example.com or ('
+                     || CAST(doc_id % 800 + 100 AS VARCHAR) || ') 555-0199'
+                ELSE text END AS dirty
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '\(\d{{3}}\) \d{{3}}-\d{{4}}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(dirty, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '\(\d{{3}}\) \d{{3}}-\d{{4}}', '[PHONE]', 'g')) AS clean_hash
+FROM d
+"""
+
+
 PAIRS = [
     ("text_token_stats", token_stats, O_TOKEN_STATS),
     ("text_quality", quality_scores, O_QUALITY),
@@ -413,6 +538,8 @@ PAIRS = [
     ("corpus_curation_pipeline", corpus_curation, O_CURATION),
     ("doc_chunking", chunk_documents, O_CHUNKS),
     ("text_gopher_quality", gopher_quality, O_GOPHER),
+    ("chunk_packing", pack_chunks, O_PACKING),
+    ("text_pii_scrub", pii_scrub, O_PII),
 ]
 
 

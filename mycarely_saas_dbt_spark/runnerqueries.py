@@ -262,6 +262,60 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+def incremental_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt on_schema_change='append_new_columns': batch 1 materializes a
+    per-day event count; batch 2's model adds an n_users column. The target
+    gains the column with NULL backfill for batch-1 days, while batch-2
+    days carry real values — the standard additive schema migration."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_q_schevo_")
+    runner = IncrementalRunner(spark, root)
+    ev = spark.table("events")
+    day = F.col("ts").cast("date").alias("day")
+
+    def b1_build(sp, sfd, wm):
+        return (
+            ev.filter(F.col("ts").cast("date") <= F.lit(SPLIT))
+            .groupBy(day)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    def b2_build(sp, sfd, wm):
+        out = ev.groupBy(day).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),  # the NEW column
+        )
+        return out.filter(F.col("day") > F.lit(wm)) if wm else out
+
+    runner.run(ModelSpec("daily_counts", "day", "day", b1_build), sf_dir)
+    runner.run(
+        ModelSpec(
+            "daily_counts", "day", "day", b2_build,
+            on_schema_change="append_new_columns",
+        ),
+        sf_dir,
+    )
+    result = materialize(runner.read_target("daily_counts"))
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_SCHEMA_EVOLUTION = f"""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       CAST(NULL AS BIGINT) AS n_users
+FROM events WHERE CAST(ts AS DATE) <= DATE '{SPLIT}'
+GROUP BY CAST(ts AS DATE)
+UNION ALL
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE CAST(ts AS DATE) > DATE '{SPLIT}'
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 SNAP_CUTOFF = dt.date(1998, 1, 1)
 SNAP_RUN1 = dt.date(1998, 1, 2)
 SNAP_RUN2 = dt.date(2001, 9, 1)
@@ -386,3 +440,6 @@ def register_queries(register) -> None:
     register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)
     register("streaming_dedup", streaming_dedup, O_STREAMING_DEDUP)
     register("scd2_snapshot_two_batch", scd2_snapshot_two_batch, scd2_snapshot_oracle())
+    register(
+        "incremental_schema_evolution", incremental_schema_evolution, O_SCHEMA_EVOLUTION
+    )

@@ -30,6 +30,12 @@ AUDIT = [
     "corpus_curation_pipeline",
     "data_tests_suite",
     "sample_stratified",
+    "embedding_neardup",
+    "ann_ivf_topk",
+    "doc_chunking",
+    "chunk_packing",
+    "text_gopher_quality",
+    "text_pii_scrub",
 ]
 
 

@@ -159,6 +159,54 @@ def test_full_refresh_equals_oneshot(spark, duck, target_root):
     )
 
 
+def _schevo_specs(spark, with_col: bool, mode: str):
+    """Per-day count model; batch2 optionally adds/drops the n_users col."""
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    ev = spark.table("events")
+    day = F.col("ts").cast("date").alias("day")
+
+    def build(sp, sfd, wm):
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+        if with_col:
+            aggs.append(F.countDistinct("user_id").alias("n_users"))
+        out = ev.groupBy(day).agg(*aggs)
+        return out.filter(F.col("day") > F.lit(wm)) if wm else out
+
+    return ModelSpec("daily_counts", "day", "day", build, on_schema_change=mode)
+
+
+def test_on_schema_change_fail_and_ignore(spark, target_root):
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(_schevo_specs(spark, with_col=False, mode="ignore"), SF_DIR)
+
+    # fail: any drift raises
+    with _pytest.raises(RuntimeError, match="on_schema_change='fail'"):
+        runner.run(_schevo_specs(spark, with_col=True, mode="fail"), SF_DIR)
+
+    # ignore (dbt default): the new column is silently not added
+    runner.run(_schevo_specs(spark, with_col=True, mode="ignore"), SF_DIR)
+    assert runner.read_target("daily_counts").columns == ["day", "n_events"]
+
+
+def test_on_schema_change_sync_drops_removed(spark, target_root):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(_schevo_specs(spark, with_col=True, mode="ignore"), SF_DIR)
+    # model drops n_users; sync_all_columns drops it from the target too
+    runner.run(
+        _schevo_specs(spark, with_col=False, mode="sync_all_columns"), SF_DIR
+    )
+    assert runner.read_target("daily_counts").columns == ["day", "n_events"]
+
+
 def test_snapshot_rerun_without_changes_is_noop(spark, target_root):
     """SCD2 snapshot (check strategy): a third run over an unchanged source
     must not close or insert any version — same rows, byte for byte."""
