@@ -431,6 +431,30 @@ GROUP BY user_id
 """
 
 
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator drained with
+    availableNow; the final per-user profile must equal the batch
+    aggregation (count / cents-sum / max event second)."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import user_profile_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_prof_")
+    target = f"{root}/profiles"
+    q = user_profile_stream(spark, sf_dir, target)
+    q.awaitTermination(300)
+    result = materialize(spark.read.parquet(target))
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_USER_PROFILE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS last_ts_s
+FROM events
+GROUP BY user_id
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
@@ -442,4 +466,7 @@ def register_queries(register) -> None:
     register("scd2_snapshot_two_batch", scd2_snapshot_two_batch, scd2_snapshot_oracle())
     register(
         "incremental_schema_evolution", incremental_schema_evolution, O_SCHEMA_EVOLUTION
+    )
+    register(
+        "streaming_user_profile", streaming_user_profile, O_STREAMING_USER_PROFILE
     )

@@ -244,6 +244,91 @@ def dedup_stream(spark: SparkSession, sf_dir: str, target: str):
 
 
 # --------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+
+
+def user_profile_stream(spark: SparkSession, sf_dir: str, target: str):
+    """Custom arbitrary-state streaming operator via applyInPandasWithState
+    — the escape hatch for stateful logic no built-in aggregation expresses
+    (here: a per-user running profile carrying event count, value sum in
+    cents, and the max event time across ALL micro-batches).
+
+    Mechanics: events shuffle once on user_id; each group's Arrow batches
+    flow into the pandas function together with that key's GroupState; the
+    state tuple is read, folded with the batch, written back, and the
+    updated profile is emitted every batch (update semantics). The final
+    micro-batch therefore emits each user's complete profile — which is
+    what the DuckDB oracle checks. State is a fixed-width tuple per user:
+    bounded memory, linear shuffle, no driver involvement — the 100 TB
+    shape for sessionization-class custom operators (a production variant
+    adds a timeout to evict idle keys).
+
+    Value is folded in integer (floored) CENTS: float addition order differs between
+    per-batch folds and a single SQL SUM; integer addition is associative,
+    so the result is byte-exact vs the oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = raw_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        epoch_seconds("ts").alias("ts_s"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents, max_ts = state.get() if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            max_ts = max(max_ts, int(pdf["ts_s"].max()))
+        state.update((n, cents, max_ts))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents],
+             "last_ts_s": [max_ts]}
+        )
+
+    prof = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n_events bigint, cents bigint, last_ts_s bigint",
+        stateStructType="n bigint, cents bigint, max_ts bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        """Upsert by user_id: later batches revise earlier profiles."""
+        sp = batch_df.sparkSession
+        if os.path.isdir(target):
+            old = sp.read.parquet(target)
+            merged = old.join(
+                batch_df.select("user_id").distinct(), ["user_id"], "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = f"{target}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        bak = f"{target}.bak"
+        if os.path.isdir(target):
+            os.rename(target, bak)
+        os.rename(tmp, target)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+
+    return (
+        prof.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{target}.checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
 # watermark semantics: late-data drop, proven by differential test
 # --------------------------------------------------------------------------
 
