@@ -39,6 +39,11 @@ EXTENSION_QUERIES = [
     "text_quality",
     "asof_join_spend",
     "sessionize_events",
+    # round 3: the scale-default TP id path (no global Window) vs the
+    # row_number parity entry above, plus the heaviest new text ops
+    "traffic_pages_agg_hash",
+    "doc_chunking",
+    "chunk_packing",
 ]
 
 

@@ -142,6 +142,15 @@ def _populate() -> None:
         lambda spark, sf: lead_activities.lead_activities_agg(spark, sf),
         lead_activities.oracle_sql(),
     )
+    register(
+        # the engine-default scale path (hash surrogate ids, no global
+        # Window) as its own oracle-checked entry alongside the parity one
+        "traffic_pages_agg_hash",
+        lambda spark, sf: traffic_pages.traffic_pages_agg(
+            spark, sf, id_strategy="hash"
+        ),
+        traffic_pages.oracle_sql(id_strategy="hash"),
+    )
 
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
