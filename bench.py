@@ -42,6 +42,7 @@ EXTENSION_QUERIES = [
     # round 3: the scale-default TP id path (no global Window) vs the
     # row_number parity entry above, plus the heaviest new text ops
     "traffic_pages_agg_hash",
+    "lead_activities_agg_maxby",
     "doc_chunking",
     "chunk_packing",
 ]

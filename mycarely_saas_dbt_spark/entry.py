@@ -151,6 +151,16 @@ def _populate() -> None:
         ),
         traffic_pages.oracle_sql(id_strategy="hash"),
     )
+    register(
+        # skew-resistant W2: max_by aggregate argmax (map-side partials)
+        # instead of the partition-sort window — byte-identical output,
+        # so it shares the LA oracle
+        "lead_activities_agg_maxby",
+        lambda spark, sf: lead_activities.lead_activities_agg(
+            spark, sf, argmax_strategy="aggregate"
+        ),
+        lead_activities.oracle_sql(),
+    )
 
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.

@@ -41,8 +41,22 @@ from mycarely_saas_dbt_spark.plans.traffic_pages import filtered_page_views
 PAID_MEDIA = ["cpc", "ppc", "paidsearch", "display", "social", "search", "email", "", "unknown"]
 
 
-def latest_events(events: DataFrame) -> DataFrame:
-    """Argmax: the most-relevant page_view per ``domain_userid`` (W2)."""
+def latest_events(events: DataFrame, strategy: str = "window") -> DataFrame:
+    """Argmax: the most-relevant page_view per ``domain_userid`` (W2).
+
+    The ordering key (priority, collector_tstamp DESC, event_id DESC) is a
+    TOTAL order within each user (event_id is unique), so both strategies
+    return byte-identical rows:
+
+    * ``window`` — the reference's ROW_NUMBER + rn=1 filter: one shuffle on
+      ``domain_userid`` followed by a per-partition SORT. A bot-like hot
+      user serializes its whole partition through that sort.
+    * ``aggregate`` — ``max_by(payload_struct, key_struct)``: the same
+      argmax as a hash aggregation with MAP-SIDE PARTIALS, so a hot user
+      is reduced to one candidate row per input partition before the
+      shuffle — the skew-resistant 100 TB shape (struct keys compare
+      lexicographically; we maximize (-priority, ts, event_id)).
+    """
     priority = F.when(
         (
             F.col("refr_medium").isin(PAID_MEDIA)
@@ -51,35 +65,56 @@ def latest_events(events: DataFrame) -> DataFrame:
         | (F.col("refr_medium") == "paid"),
         1,
     ).otherwise(2)
-    w = Window.partitionBy("domain_userid").orderBy(
-        priority.asc(), F.col("collector_tstamp").desc(), F.col("event_id").desc()
+    fpv = filtered_page_views(events, require_urlpath=False).select(
+        "domain_userid",
+        "event_id",
+        "mkt_medium",
+        "mkt_source",
+        "mkt_campaign",
+        F.col("collector_tstamp").cast("date").alias("visit_date"),
+        "page_urlpath",
+        "refr_medium",
+        "mkt_network",
+        "collector_tstamp",
+        priority.alias("__prio"),
     )
-    return (
-        filtered_page_views(events, require_urlpath=False)
-        .select(
-            "domain_userid",
-            "event_id",
-            "mkt_medium",
-            "mkt_source",
-            "mkt_campaign",
-            F.col("collector_tstamp").cast("date").alias("visit_date"),
-            "page_urlpath",
-            "refr_medium",
-            "mkt_network",
-            "collector_tstamp",
+    out_cols = [
+        "domain_userid",
+        "event_id",
+        "mkt_medium",
+        "mkt_source",
+        "mkt_campaign",
+        "visit_date",
+        "page_urlpath",
+    ]
+    if strategy == "window":
+        w = Window.partitionBy("domain_userid").orderBy(
+            F.col("__prio").asc(),
+            F.col("collector_tstamp").desc(),
+            F.col("event_id").desc(),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "domain_userid",
-            "event_id",
-            "mkt_medium",
-            "mkt_source",
-            "mkt_campaign",
-            "visit_date",
-            "page_urlpath",
+        return (
+            fpv.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*out_cols)
         )
-    )
+    if strategy == "aggregate":
+        key = F.struct(
+            (-F.col("__prio")).alias("p"),
+            F.col("collector_tstamp").alias("t"),
+            F.col("event_id").alias("e"),
+        )
+        payload = F.struct(
+            "event_id", "mkt_medium", "mkt_source", "mkt_campaign",
+            "visit_date", "page_urlpath",
+        )
+        return (
+            fpv.groupBy("domain_userid")
+            .agg(F.max_by(payload, key).alias("__best"))
+            .select("domain_userid", "__best.*")
+            .select(*out_cols)
+        )
+    raise ValueError(f"unknown argmax strategy: {strategy}")
 
 
 def traffic_spend(traffic_daily: DataFrame) -> DataFrame:
@@ -113,6 +148,7 @@ def lead_activities_agg(
     leads: DataFrame | None = None,
     traffic_daily: DataFrame | None = None,
     watermark: dt.date | None = None,
+    argmax_strategy: str = "window",
 ) -> DataFrame:
     from mycarely_saas_dbt_spark.sources.registry import register_sources
 
@@ -123,7 +159,7 @@ def lead_activities_agg(
     if traffic_daily is None:
         traffic_daily = traffic_daily_agg(spark, sf_dir, events=events)
 
-    le = latest_events(events)
+    le = latest_events(events, argmax_strategy)
 
     la = leads.select(
         "company_domain",

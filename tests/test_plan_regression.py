@@ -54,6 +54,18 @@ def test_traffic_pages_hash_default_needs_no_global_window(spark):
     )
 
 
+def test_lead_activities_maxby_argmax_has_no_window_sort(spark):
+    """The aggregate argmax strategy must plan as a hash aggregation with
+    map-side partials (skew-resistant), not a per-partition Window sort;
+    the default window strategy keeps its Window for reference parity."""
+    from mycarely_saas_dbt_spark.plans.lead_activities import lead_activities_agg
+
+    assert "Window" not in _plan(
+        lead_activities_agg(spark, SF_DIR, argmax_strategy="aggregate")
+    )
+    assert "Window" in _plan(lead_activities_agg(spark, SF_DIR))
+
+
 def test_minhash_lsh_has_no_cross_product(spark):
     """LSH candidate generation is a bucketed equi-join on (band,
     band_key) — an all-pairs CartesianProduct would be the quadratic
