@@ -262,6 +262,48 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+def incremental_partitioned_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-batch TP upsert with a DATE-PARTITIONED target
+    (ModelSpec.partition_by): the merge writer lays the table out as
+    date=... directories, so at scale the delete+insert rewrite touches
+    only affected partitions (dynamic partition overwrite / MERGE on a
+    lakehouse) and downstream date filters prune directories
+    (pytest-asserted in tests/test_plan_regression.py). Same final state
+    as the unpartitioned runner — the oracle is shared."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_inc_part_")
+    runner = IncrementalRunner(spark, root)
+
+    def b1_build(sp, sfd, wm):
+        register_sources(sp, sfd)
+        ev = sp.table("atomic_events").filter(
+            F.col("collector_tstamp").cast("date") <= F.lit(SPLIT)
+        )
+        return traffic_pages_agg(sp, sfd, events=ev, watermark=wm)
+
+    def b2_build(sp, sfd, wm):
+        register_sources(sp, sfd)
+        return traffic_pages_agg(sp, sfd, watermark=wm)
+
+    spec = lambda build: ModelSpec(  # noqa: E731
+        "traffic_pages_agg", "id", "date", build, partition_by=["date"]
+    )
+    runner.run(spec(b1_build), sf_dir)
+    runner.run(spec(b2_build), sf_dir)
+    out = runner.read_target("traffic_pages_agg").select(
+        # partitionBy moves `date` to the end on read-back; restore the
+        # model's column order (the driver sorts by name, pytest doesn't)
+        "id", "date", "type", "page_urlpath", "traffic", "company_id",
+        "company_domain",
+    )
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def incremental_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt on_schema_change='append_new_columns': batch 1 materializes a
     per-day event count; batch 2's model adds an n_users column. The target
@@ -469,4 +511,9 @@ def register_queries(register) -> None:
     )
     register(
         "streaming_user_profile", streaming_user_profile, O_STREAMING_USER_PROFILE
+    )
+    register(
+        "incremental_partitioned_target",
+        incremental_partitioned_target,
+        incremental_oracle(),
     )

@@ -76,6 +76,35 @@ def test_minhash_lsh_has_no_cross_product(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_partitioned_incremental_target_prunes_on_date(spark, tmp_path):
+    """A ModelSpec(partition_by=['date']) target must lay out date=...
+    directories and turn a date predicate into a PartitionFilter on
+    read-back — the 'rewrite only affected partitions' contract."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+
+    runner = IncrementalRunner(spark, str(tmp_path / "t"))
+    runner.run(
+        ModelSpec(
+            "traffic_pages_agg", "id", "date",
+            lambda sp, sfd, wm: traffic_pages_agg(sp, sfd, watermark=wm),
+            partition_by=["date"],
+        ),
+        SF_DIR,
+    )
+    path = runner.target_path("traffic_pages_agg")
+    assert any(d.startswith("date=") for d in os.listdir(path))
+    back = spark.read.parquet(path).filter(F.col("date") == dt.date(2024, 1, 10))
+    plan = _plan(back)
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "date" in pf, plan
+
+
 def test_embedding_neardup_pairs_join_is_bucketed(spark):
     """The near-dup candidate join must be an equi-join on the centroid
     cell (cid) — only the corpus×centroids assignment pass may be a
