@@ -303,6 +303,142 @@ FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 
 
 # --------------------------------------------------------------------------
+# 64-bit SimHash with Hamming-band candidate generation
+# --------------------------------------------------------------------------
+
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4          # 16 bits per band
+SIMHASH64_HAM_K = 3          # pairs within Hamming distance 3 are near-dups
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _sim64_sums(h: str = "h"):
+    """64 per-bit sign sums: bit j lives in hex digit j//4 of md5, position
+    3-(j%4); weight +1 if set else -1."""
+    cols = []
+    for j in range(SIMHASH64_BITS):
+        digit = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+        mask = 1 << (3 - j % 4)
+        cols.append(
+            F.sum(F.when(digit.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+            .alias(f"s{j}")
+        )
+    return cols
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash split into SIMHASH64_BANDS 16-bit band ints
+    (b0..b3) — the fingerprint layout of Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling" (WWW'07)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).withColumn("h", F.md5("t"))
+    sums = tok.groupBy("doc_id").agg(*_sim64_sums())
+    bands = []
+    bits_per = SIMHASH64_BITS // SIMHASH64_BANDS
+    for b in range(SIMHASH64_BANDS):
+        expr = F.lit(0)
+        for k in range(bits_per):
+            j = b * bits_per + k
+            bit = F.when(F.col(f"s{j}") > 0, 1).otherwise(0)
+            expr = expr + bit * F.lit(1 << (bits_per - 1 - k))
+        bands.append(expr.cast("int").alias(f"b{b}"))
+    return sums.select("doc_id", *bands)
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance SIMHASH64_HAM_K of the 64-bit
+    SimHash. EXACT under the banding pigeonhole: distance <= 3 over 4 bands
+    forces >= 1 identical band, so candidates = pairs sharing any (band
+    index, band value) bucket — 4 equi-join buckets, no all-pairs — then
+    the true Hamming distance (bit_count of per-band XORs) verifies. The
+    scale shape of Manku et al.'s web-crawl dedup: shuffle on small band
+    ints, verify only within buckets."""
+    register_sources(spark, sf_dir)
+    s = simhash64(spark.table("documents"))
+    bands = s.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(SIMHASH64_BANDS)]))
+        .alias("band", "val"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"ab{b}") for b in range(SIMHASH64_BANDS)],
+    )
+    b_ = s.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(SIMHASH64_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"ab{b}").bitwiseXOR(F.col(f"bb{b}")))
+        for b in range(SIMHASH64_BANDS)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH64_HAM_K)
+    )
+
+
+def _simhash64_oracle() -> str:
+    bits_per = SIMHASH64_BITS // SIMHASH64_BANDS
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (strpos('{_HEX_DIGITS}', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" & {1 << (3 - j % 4)} != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH64_BITS)
+    )
+    band_exprs = []
+    for b in range(SIMHASH64_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN s{b * bits_per + k} > 0 THEN {1 << (bits_per - 1 - k)}"
+            " ELSE 0 END)"
+            for k in range(bits_per)
+        )
+        band_exprs.append(f"({terms}) AS b{b}")
+    hams = " + ".join(
+        f"bit_count(xor(a.b{b}, bb.b{b}))" for b in range(SIMHASH64_BANDS)
+    )
+    band_union = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, b{b} AS val FROM sh"
+        for b in range(SIMHASH64_BANDS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, md5(t) AS h
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM tok GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {", ".join(band_exprs)} FROM sums),
+bands AS (
+{band_union}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({hams} AS BIGINT) AS hamming
+FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh bb ON bb.doc_id = c.doc_b
+WHERE {hams} <= {SIMHASH64_HAM_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # blocked n-gram Jaccard
 # --------------------------------------------------------------------------
 
@@ -478,5 +614,6 @@ def register_queries(register) -> None:
     register("dedup_exact", dedup_exact, O_DEDUP_EXACT)
     register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
     register("dedup_simhash", dedup_simhash, _simhash_oracle())
+    register("dedup_simhash64", dedup_simhash64, _simhash64_oracle())
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD)
     register("dedup_cc_clusters", dedup_cc_clusters, _cc_oracle())
