@@ -162,6 +162,27 @@ def _populate() -> None:
         lead_activities.oracle_sql(),
     )
 
+    # SQL-API parity: the oracle strings are engine-portable ANSI SQL, so
+    # Spark executes them VERBATIM via spark.sql — a dbt user can paste
+    # their model SQL into this engine unchanged. Each entry runs the
+    # string in Spark and is hash-compared against DuckDB running the SAME
+    # string (Catalyst still pushes filters/pruning through the CTEs).
+    def _sql_api(oracle: str):
+        def run(spark, sf):
+            from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+            register_sources(spark, sf)
+            return spark.sql(oracle)
+
+        return run
+
+    for name, oracle in (
+        ("sql_api_traffic_pages", traffic_pages.oracle_sql()),
+        ("sql_api_traffic_daily", traffic_daily.oracle_sql()),
+        ("sql_api_lead_activities", lead_activities.oracle_sql()),
+    ):
+        register(name, _sql_api(oracle), oracle)
+
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
     from mycarely_saas_dbt_spark import microqueries  # noqa: F401
