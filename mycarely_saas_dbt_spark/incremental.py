@@ -193,6 +193,42 @@ class IncrementalRunner:
         return n
 
 
+    def compact(self, name: str, *, target_file_mb: int = 128) -> dict:
+        """Small-file compaction for a fragmented incremental target.
+
+        Every merge run rewrites the table as `shuffle.partitions` files;
+        after many runs (or with date partitioning, many tiny per-partition
+        files) scan overhead is dominated by file-open costs. Rewrite the
+        target into ceil(bytes / target_file_mb) files via repartition —
+        content-identical, atomic-swap, row-count-verified. On a lakehouse
+        this is OPTIMIZE / rewrite_data_files; sizing to ~128 MB keeps
+        parquet row groups aligned with HDFS/object-store read units.
+        """
+        path = self.target_path(name)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+        n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.read_target(name)
+        before = df.count()
+        tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        after = self.spark.read.parquet(tmp).count()
+        if after != before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row-count mismatch on {name}: {before} -> {after}"
+            )
+        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+        return {"model": name, "files": n_files, "rows": after, "bytes": n_bytes}
+
+
 # ---------------------------------------------------------------------------
 # Snapshots (SCD Type 2) — dbt's snapshot materialization, check strategy
 # ---------------------------------------------------------------------------

@@ -207,6 +207,35 @@ def test_on_schema_change_sync_drops_removed(spark, target_root):
     assert runner.read_target("daily_counts").columns == ["day", "n_events"]
 
 
+def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root):
+    """After incremental runs fragment the target into shuffle.partitions
+    files, compact() must rewrite it to the byte-size-derived file count
+    with identical content."""
+    import os
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(_tp_batch1_spec(), SF_DIR)
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    path = runner.target_path("traffic_pages_agg")
+
+    def parquet_files():
+        return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+    before_files = len(parquet_files())
+    before = runner.read_target("traffic_pages_agg").toPandas()
+    stats = runner.compact("traffic_pages_agg")
+    after_files = len(parquet_files())
+    assert after_files == stats["files"] == 1  # tiny table -> one 128MB file
+    assert after_files < before_files
+    after = runner.read_target("traffic_pages_agg").toPandas()
+    cols = sorted(before.columns)
+    assert before[cols].sort_values(cols, ignore_index=True).equals(
+        after[cols].sort_values(cols, ignore_index=True)
+    )
+
+
 def test_snapshot_rerun_without_changes_is_noop(spark, target_root):
     """SCD2 snapshot (check strategy): a third run over an unchanged source
     must not close or insert any version — same rows, byte for byte."""
