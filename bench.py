@@ -43,6 +43,7 @@ EXTENSION_QUERIES = [
     # row_number parity entry above, plus the heaviest new text ops
     "traffic_pages_agg_hash",
     "lead_activities_agg_maxby",
+    "sessionize_session_window",
     "doc_chunking",
     "chunk_packing",
 ]

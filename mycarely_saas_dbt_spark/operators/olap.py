@@ -361,6 +361,63 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_sessionize_session_window(spark, sf_dir):
+    """The same 30-min-gap sessionization as q_sessionize_events, but via
+    the native F.session_window aggregation — ONE shuffle on (user_id,
+    merged window), no per-user sort, partial merges map-side. This is the
+    batch scale path (the lag/cumsum formulation sorts every user's
+    partition); boundary parity with the strict-> gap rule is exact on
+    floored seconds (session_window merges iff ts <= prev + gap — see
+    streaming/traffic_stream.py sessionize_stream).
+
+    Output matches the streaming_sessionize contract: (user_id, start_s,
+    end_s, n_events, duration_s); session_window.end carries +gap, so
+    end_s subtracts it back.
+    """
+    ev = _src(spark, sf_dir, "events")
+    tss = F.timestamp_seconds(epoch_seconds("ts"))
+    return (
+        ev.select("user_id", tss.alias("tss"))
+        .groupBy(F.session_window("tss", f"{SESSION_GAP_S} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("start_s"),
+            (F.col("session_window.end").cast("long") - SESSION_GAP_S).alias("end_s"),
+            "n_events",
+        )
+        .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
+    )
+
+
+O_SESSIONIZE_SW = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts_s,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_s) AS start_s,
+       MAX(ts_s) AS end_s,
+       COUNT(*) AS n_events,
+       MAX(ts_s) - MIN(ts_s) AS duration_s
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 # --------------------------------------------------------------------------
 # registration
 # --------------------------------------------------------------------------
@@ -575,6 +632,7 @@ PAIRS = [
     ("hist_totalprice", q_hist_totalprice, O_HIST_TOTALPRICE),
     ("percentile_qty", q_percentile_qty, O_PERCENTILE_QTY),
     ("sessionize_events", q_sessionize_events, O_SESSIONIZE_EVENTS),
+    ("sessionize_session_window", q_sessionize_session_window, O_SESSIONIZE_SW),
     ("agg_max_by", q_max_by, O_MAX_BY),
     ("nullsafe_join", q_nullsafe_join, O_NULLSAFE_JOIN),
     ("regex_normalize", q_regex_normalize, O_REGEX_NORMALIZE),
