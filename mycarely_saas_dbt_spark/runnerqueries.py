@@ -473,6 +473,29 @@ GROUP BY user_id
 """
 
 
+def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators (dedup -> tumbling-window count) drained
+    with availableNow; per-day distinct (user, event_type) pairs must match
+    the batch DISTINCT-count oracle."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import dedup_daily_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_dedup_daily_")
+    target = f"{root}/daily"
+    q = dedup_daily_stream(spark, sf_dir, target)
+    q.awaitTermination(300)
+    result = materialize(spark.read.parquet(target))
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_DEDUP_DAILY = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT (user_id, event_type)) AS n_active_pairs
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator drained with
     availableNow; the final per-user profile must equal the batch
@@ -517,3 +540,4 @@ def register_queries(register) -> None:
         incremental_partitioned_target,
         incremental_oracle(),
     )
+    register("streaming_dedup_daily", streaming_dedup_daily, O_STREAMING_DEDUP_DAILY)

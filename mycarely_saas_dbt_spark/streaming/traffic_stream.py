@@ -244,6 +244,62 @@ def dedup_stream(spark: SparkSession, sf_dir: str, target: str):
 
 
 # --------------------------------------------------------------------------
+# chained stateful operators: dedup -> windowed aggregation in ONE query
+# --------------------------------------------------------------------------
+
+
+def dedup_daily_stream(spark: SparkSession, sf_dir: str, target: str):
+    """TWO stateful operators chained in a single streaming query (Spark
+    3.4+ multiple-stateful-operator support): watermarked dropDuplicates on
+    (user_id, event_type, day-floored event time) feeding a tumbling 1-day
+    window count — i.e. per-day distinct (user, type) activity, end to end
+    in event time. Both operators share the same watermark; state for the
+    dedup evicts as the watermark passes the day, so neither stage's state
+    grows unboundedly — the composable-pipeline shape (dedup then
+    aggregate) that would otherwise need two jobs and an intermediate
+    table."""
+    ev = raw_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    )
+    deduped = ev.withWatermark("day_ts", "2 days").dropDuplicates(
+        ["user_id", "event_type", "day_ts"]
+    )
+    agg = (
+        deduped.groupBy(F.window("day_ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_active_pairs"))
+        .select(F.col("w.start").cast("date").alias("day"), "n_active_pairs")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if os.path.isdir(target):
+            old = sp.read.parquet(target)
+            merged = old.join(
+                batch_df.select("day").distinct(), ["day"], "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = f"{target}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        bak = f"{target}.bak"
+        if os.path.isdir(target):
+            os.rename(target, bak)
+        os.rename(tmp, target)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", f"{target}.checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 # --------------------------------------------------------------------------
 
