@@ -419,6 +419,213 @@ GROUP BY user_id, session_seq
 
 
 # --------------------------------------------------------------------------
+# product-analytics suite: funnel, retention cohorts, linear interpolation
+# --------------------------------------------------------------------------
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: each stage's timestamp must
+    STRICTLY follow the previous stage's first qualifying time (min-ts per
+    stage, chained). Three key-partitioned aggregations — each a single
+    shuffle on user_id with map-side partials; no window sort, no UDF. The
+    join chain stays on one key so AQE co-locates the stages. Output: one
+    row of stage counts + conversion ratios."""
+    ev = _src(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click") / F.col("n_view")).alias("view_to_click"),
+        (F.col("n_purchase") / F.col("n_click")).alias("click_to_purchase"),
+    )
+
+
+O_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click,
+       (SELECT COUNT(*) FROM s3) AS n_purchase,
+       CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+           / (SELECT COUNT(*) FROM s1) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+           / (SELECT COUNT(*) FROM s2) AS click_to_purchase
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix: cohort = Monday-truncated week of a user's
+    first event; one row per (cohort_week, week_offset) with the count of
+    cohort users active that week. first-seen = one groupBy(user); activity
+    weeks = distinct projection; offset from integer day arithmetic —
+    everything map-side-combining aggregations, no window."""
+    ev = _src(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+O_RETENTION = """
+WITH ev AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+"""
+
+
+def q_ts_interpolate(spark, sf_dir):
+    """Linear interpolation over a gapped daily series: daily per-type
+    value sums (in exact floored cents — double sums are order-dependent,
+    ints are not) with every 3rd day REMOVED, re-scaffolded and filled by
+    lerp between the IGNORE-NULLS neighbors on each side. The carry
+    windows are per-type sorted — fine at any scale because the partition
+    key count is bounded and each series is one shuffle partition's worth
+    of days; edge days with only one neighbor carry it flat."""
+    ev = _src(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .filter(F.dayofmonth("day") % 3 != 0)  # synthetic gaps
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    g = scaffold.join(daily, ["event_type", "day"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_n = F.datediff("day", F.lit("2024-01-01"))
+    prev_v = F.last("cents", ignorenulls=True).over(wp)
+    prev_d = F.last(F.when(F.col("cents").isNotNull(), day_n), True).over(wp)
+    next_v = F.first("cents", ignorenulls=True).over(wf)
+    next_d = F.first(F.when(F.col("cents").isNotNull(), day_n), True).over(wf)
+    lerp = F.when(F.col("cents").isNotNull(), F.col("cents").cast("double")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (day_n - prev_d) / (next_d - prev_d),
+        ).otherwise(F.coalesce(prev_v, next_v).cast("double"))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.col("cents").isNull().alias("interpolated"),
+        lerp.alias("cents_filled"),
+    )
+
+
+O_TS_INTERPOLATE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE dayofmonth(CAST(ts AS DATE)) % 3 != 0
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (
+    SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY event_type
+),
+scaffold AS (
+    SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+g AS (
+    SELECT s.event_type, s.day, d.cents,
+           date_diff('day', DATE '2024-01-01', s.day) AS day_n
+    FROM scaffold s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+),
+w AS (
+    SELECT *,
+        LAST_VALUE(cents IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day_n END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        FIRST_VALUE(cents IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day_n END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+    FROM g
+)
+SELECT event_type, day,
+       cents IS NULL AS interpolated,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                 THEN prev_v + (next_v - prev_v) * CAST(day_n - prev_d AS DOUBLE)
+                      / (next_d - prev_d)
+            ELSE CAST(COALESCE(prev_v, next_v) AS DOUBLE) END AS cents_filled
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
 # registration
 # --------------------------------------------------------------------------
 
@@ -633,6 +840,9 @@ PAIRS = [
     ("percentile_qty", q_percentile_qty, O_PERCENTILE_QTY),
     ("sessionize_events", q_sessionize_events, O_SESSIONIZE_EVENTS),
     ("sessionize_session_window", q_sessionize_session_window, O_SESSIONIZE_SW),
+    ("funnel_stages", q_funnel_stages, O_FUNNEL),
+    ("retention_cohorts", q_retention_cohorts, O_RETENTION),
+    ("ts_interpolate", q_ts_interpolate, O_TS_INTERPOLATE),
     ("agg_max_by", q_max_by, O_MAX_BY),
     ("nullsafe_join", q_nullsafe_join, O_NULLSAFE_JOIN),
     ("regex_normalize", q_regex_normalize, O_REGEX_NORMALIZE),
