@@ -212,10 +212,18 @@ class IncrementalRunner:
             if not f.startswith((".", "_"))
         )
         n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+        # preserve a partitioned layout: hive-style `col=value` dirs on disk
+        part_cols = sorted(
+            {d.split("=")[0] for d in os.listdir(path) if "=" in d and os.path.isdir(os.path.join(path, d))}
+        )
         df = self.read_target(name)
         before = df.count()
         tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        writer = df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
         after = self.spark.read.parquet(tmp).count()
         if after != before:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -236,6 +236,33 @@ def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root)
     )
 
 
+def test_compaction_preserves_partition_layout(spark, target_root):
+    """Compacting a date-partitioned target must keep the date=... dirs."""
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(
+        ModelSpec(
+            "traffic_pages_agg", "id", "date",
+            lambda sp, sfd, wm: traffic_pages_agg(sp, sfd, watermark=wm),
+            partition_by=["date"],
+        ),
+        SF_DIR,
+    )
+    path = runner.target_path("traffic_pages_agg")
+    before = runner.read_target("traffic_pages_agg").toPandas()
+    runner.compact("traffic_pages_agg")
+    assert any(d.startswith("date=") for d in os.listdir(path))
+    after = runner.read_target("traffic_pages_agg").toPandas()
+    cols = sorted(before.columns)
+    assert before[cols].sort_values(cols, ignore_index=True).equals(
+        after[cols].sort_values(cols, ignore_index=True)
+    )
+
+
 def test_snapshot_rerun_without_changes_is_noop(spark, target_root):
     """SCD2 snapshot (check strategy): a third run over an unchanged source
     must not close or insert any version — same rows, byte for byte."""
