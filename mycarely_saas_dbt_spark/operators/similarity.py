@@ -337,8 +337,132 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_ANN_TOPK_RANKS = f"SELECT qid, vid, rank FROM ({O_ANN_TOPK}) t"
 
 
+KMEANS_ITERS = 3
+IVF_RECALL_FLOOR = 0.5   # contract threshold; measured recall sits well above
+
+
+def _kmeans_centroids(e: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd's k-means on unit-normalized vectors, deterministic init (the
+    first N_CENTROIDS vectors), fixed iteration count — all DataFrame ops:
+    assignment is a broadcast argmax over centroids (narrow), the mean
+    recompute is posexplode → (cid, pos) avg → rebuild via sorted
+    collect_list. Per iteration: one narrow pass + one shuffle on
+    (cid, pos) — the standard distributed Lloyd step. Returns (cid, ce)
+    with ce re-normalized (spherical k-means — argmax cosine == argmin
+    distance on the unit sphere)."""
+    unit = e.select(
+        "vec_id", F.expr("transform(embedding, x -> x / nrm)").alias("ue")
+    )
+    cent = unit.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("ue").alias("ce")
+    )
+    for _ in range(iters):
+        scored = unit.join(F.broadcast(cent), F.lit(True)).select(
+            "vec_id", "ue", "cid",
+            F.expr(DOT.format(a="ue", b="ce")).alias("cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("cid", "ue")
+        )
+        dims = assign.select(
+            "cid", F.posexplode("ue").alias("pos", "val")
+        )
+        means = (
+            dims.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+                .alias("ce_raw")
+            )
+        )
+        cent = means.select(
+            "cid",
+            F.expr(
+                "transform(ce_raw, x -> x / sqrt(aggregate(transform(ce_raw, "
+                "y -> y * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)))"
+            ).alias("ce"),
+        )
+    return cent
+
+
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED (spherical k-means) centroids, graded by a recall
+    contract instead of a value oracle: the iterative training's float
+    averages are not bit-reproducible across engines, so — like the HLL
+    accuracy contracts — Spark measures its own recall@k of the trained
+    IVF against the exact brute-force top-k, and the oracle asserts the
+    deterministic part (query count, threshold flag). The iterative
+    algorithm itself (assignment/update loop over DataFrames) is the
+    non-SQL-expressible piece this entry exercises end to end."""
+    register_sources(spark, sf_dir)
+    e = _with_norm(spark.table("embeddings"))
+    cent = _kmeans_centroids(e).withColumn("cn", F.lit(1.0))
+    cent = F.broadcast(
+        cent.select("cid", F.col("ce").alias("ce"), F.col("cn"))
+    )
+
+    def assign(df, id_col, vec, nrm, n):
+        scored = df.join(cent, F.lit(True)).select(
+            df["*"], "cid",
+            (dot(vec, "ce") / F.col(nrm) / F.col("cn")).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("ccos", "crank")
+        )
+
+    corpus = assign(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("ve"),
+            F.col("nrm").alias("vn"),
+        ),
+        "vid", "ve", "vn", 1,
+    )
+    queries = assign(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        ),
+        "qid", "qe", "qn", N_PROBE,
+    )
+    scored = queries.join(corpus, "cid").filter(F.col("qid") != F.col("vid")).select(
+        "qid", "vid", cosine("qe", "ve", "qn", "vn").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    ivf = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vid")
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vid")
+    hits = ivf.join(exact, ["qid", "vid"]).count()
+    total = exact.count()
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(total, recall >= IVF_RECALL_FLOOR)], "n_exact bigint, recall_ok boolean"
+    )
+
+
+O_IVF_KMEANS = f"""
+SELECT CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact, TRUE AS recall_ok
+"""
+
+
 def register_queries(register) -> None:
     register("ann_cosine_topk", ann_cosine_topk, O_ANN_TOPK)
     register("embedding_neardup", embedding_neardup, O_NEARDUP)
     register("ann_ivf_topk", ann_ivf_topk, O_ANN_IVF)
     register("ann_cosine_topk_pandas", ann_cosine_topk_pandas, O_ANN_TOPK_RANKS)
+    register("ann_ivf_kmeans_recall", ann_ivf_kmeans_recall, O_IVF_KMEANS)
