@@ -191,8 +191,53 @@ GROUP BY l_returnflag
 """
 
 
+STORE_FAILURES_ACCEPTED = ["view", "click", "purchase", "signup"]
+
+
+def q_store_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's ``store_failures``: instead of a violation COUNT, persist the
+    FAILING ROWS to an audit table for triage. accepted_values on
+    events.event_type against a list that excludes 'error' guarantees a
+    non-empty failure set on the synthetic data; the failing rows are
+    written to a parquet audit target (what dbt puts under dbt_test__audit)
+    and read back — the returned DataFrame IS the audit table content,
+    aggregated per day for a stable contract."""
+    import shutil
+    import tempfile
+
+    register_sources(spark, sf_dir)
+    ev = spark.table("events")
+    failing = ev.filter(
+        ~F.col("event_type").isin(STORE_FAILURES_ACCEPTED)
+        | F.col("event_type").isNull()
+    )
+    root = tempfile.mkdtemp(prefix="mycarely_q_audit_")
+    target = f"{root}/dbt_test__audit/accepted_values_events_event_type"
+    failing.write.mode("overwrite").parquet(target)
+    audit = spark.read.parquet(target)
+    out = audit.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_failures"))
+    from mycarely_saas_dbt_spark.util import materialize
+
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STORE_FAILURES = f"""
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_failures
+FROM events
+WHERE event_type NOT IN ({", ".join(repr(v) for v in STORE_FAILURES_ACCEPTED)})
+   OR event_type IS NULL
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
 PAIRS = [
     ("data_tests_suite", q_data_tests_suite, O_DATA_TESTS_SUITE),
+    ("data_tests_store_failures", q_store_failures, O_STORE_FAILURES),
     ("sample_systematic", q_sample_systematic, O_SAMPLE_SYSTEMATIC),
     ("sample_stratified", q_sample_stratified, O_SAMPLE_STRATIFIED),
 ]
