@@ -422,6 +422,49 @@ GROUP BY user_id, session_seq
 # product-analytics suite: funnel, retention cohorts, linear interpolation
 # --------------------------------------------------------------------------
 
+def q_win_range_interval(spark, sf_dir):
+    """RANGE-frame window over a gapped daily series: 7-day trailing sum
+    and count per event_type, where the frame is bounded by VALUE distance
+    (6 days preceding) rather than row count — missing days simply aren't
+    in the frame, which a ROWS frame would get wrong. Numeric day index
+    keys the range frame (Spark's rangeBetween needs a numeric ordering
+    expression); base metric in exact cents for determinism."""
+    ev = _src(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .filter(F.dayofmonth("day") % 3 != 0)  # gapped on purpose
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+        .withColumn("day_n", F.datediff("day", F.lit("2024-01-01")))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_n").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("cents_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_frame"),
+    )
+
+
+O_WIN_RANGE_INTERVAL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_n
+    FROM events
+    WHERE dayofmonth(CAST(ts AS DATE)) % 3 != 0
+    GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day, cents,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS days_in_frame
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_n
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_funnel_stages(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: each stage's timestamp must
     STRICTLY follow the previous stage's first qualifying time (min-ts per
@@ -840,6 +883,7 @@ PAIRS = [
     ("percentile_qty", q_percentile_qty, O_PERCENTILE_QTY),
     ("sessionize_events", q_sessionize_events, O_SESSIONIZE_EVENTS),
     ("sessionize_session_window", q_sessionize_session_window, O_SESSIONIZE_SW),
+    ("win_range_interval", q_win_range_interval, O_WIN_RANGE_INTERVAL),
     ("funnel_stages", q_funnel_stages, O_FUNNEL),
     ("retention_cohorts", q_retention_cohorts, O_RETENTION),
     ("ts_interpolate", q_ts_interpolate, O_TS_INTERPOLATE),
