@@ -59,6 +59,12 @@ class ModelSpec:
     # dbt's on_schema_change: ignore | fail | append_new_columns |
     # sync_all_columns (incremental runs only; first run/CTAS just writes)
     on_schema_change: str = "ignore"
+    # dbt's incremental_predicates: SQL predicate strings narrowing which
+    # TARGET rows the delete-side of the upsert scans (e.g.
+    # "date > current_date - interval 7 days"). Rows outside the predicate
+    # are untouched-by-construction — on a 100 TB target this turns the
+    # anti-join's target scan into a pruned slice instead of a full read.
+    incremental_predicates: list[str] = field(default_factory=list)
 
 
 def _reconcile_schema(
@@ -157,12 +163,22 @@ class IncrementalRunner:
             target, new = _reconcile_schema(
                 target, new, spec.on_schema_change, spec.name
             )
-            # delete+insert by unique_key == anti-join old rows, append new
-            merged = target.join(
+            # delete+insert by unique_key == anti-join old rows, append new.
+            # incremental_predicates split the target into the slice the
+            # delete can touch (anti-joined) and the untouchable remainder
+            # (passed through without scanning for collisions).
+            if spec.incremental_predicates:
+                pred = F.expr(" AND ".join(f"({p})" for p in spec.incremental_predicates))
+                touchable, untouchable = target.filter(pred), target.filter(~pred)
+            else:
+                touchable, untouchable = target, None
+            merged = touchable.join(
                 new.select(spec.unique_key).distinct(),
                 on=spec.unique_key,
                 how="left_anti",
             ).unionByName(new)
+            if untouchable is not None:
+                merged = merged.unionByName(untouchable)
         else:
             merged = new
 

@@ -207,6 +207,69 @@ def test_on_schema_change_sync_drops_removed(spark, target_root):
     assert runner.read_target("daily_counts").columns == ["day", "n_events"]
 
 
+def test_incremental_predicates_limit_delete_scope(spark, target_root):
+    """dbt incremental_predicates: the delete-side of the upsert scans only
+    the predicate slice of the target. A predicate covering everything the
+    new batch re-emits gives the normal upsert; a too-narrow predicate
+    leaves stale rows in place next to their replacements — dbt's
+    documented footgun, asserted here so the semantics stay pinned."""
+    import datetime as _dt
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    ev = spark.table("events")
+    day = F.col("ts").cast("date").alias("day")
+
+    def b_full(sp, sfd, wm):
+        return ev.groupBy(day).agg(F.count(F.lit(1)).alias("n"))
+
+    def b_revised(sp, sfd, wm):
+        return (
+            ev.filter(F.col("ts").cast("date") > F.lit(SPLIT))
+            .groupBy(day)
+            .agg((F.count(F.lit(1)) + 1000).alias("n"))
+        )
+
+    # correct use: predicate covers the re-emitted range
+    runner = IncrementalRunner(spark, target_root + "/ok")
+    runner.run(ModelSpec("d", "day", "day", b_full), SF_DIR)
+    runner.run(
+        ModelSpec(
+            "d", "day", "day", b_revised,
+            incremental_predicates=[f"day > DATE '{SPLIT}'"],
+        ),
+        SF_DIR,
+    )
+    out = runner.read_target("d")
+    assert out.filter(F.col("day") > F.lit(SPLIT)).filter(F.col("n") < 1000).count() == 0
+    assert out.filter(F.col("day") <= F.lit(SPLIT)).filter(F.col("n") >= 1000).count() == 0
+    assert out.groupBy("day").count().filter(F.col("count") > 1).count() == 0
+
+    # footgun: predicate narrower than the re-emitted range -> stale rows
+    # survive beside their replacements for the uncovered days
+    narrow_from = SPLIT + _dt.timedelta(days=8)
+    runner2 = IncrementalRunner(spark, target_root + "/narrow")
+    runner2.run(ModelSpec("d", "day", "day", b_full), SF_DIR)
+    runner2.run(
+        ModelSpec(
+            "d", "day", "day", b_revised,
+            incremental_predicates=[f"day > DATE '{narrow_from}'"],
+        ),
+        SF_DIR,
+    )
+    dups = (
+        runner2.read_target("d")
+        .filter((F.col("day") > F.lit(SPLIT)) & (F.col("day") <= F.lit(narrow_from)))
+        .groupBy("day")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert dups == 0  # every uncovered re-emitted day has exactly old+new
+
+
 def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root):
     """After incremental runs fragment the target into shuffle.partitions
     files, compact() must rewrite it to the byte-size-derived file count
