@@ -404,6 +404,102 @@ FROM shape s LEFT JOIN rep r USING (doc_id)
 """
 
 
+# GPT-2-style pre-tokenizer shape (ASCII-simplified for the synthetic
+# corpus): letter runs | digit runs | non-space symbol runs
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    pre-tokenizer (the GPT-2 pattern's ASCII core) — the ratio is the
+    standard 'how many model tokens per word' planning statistic for
+    training-data budgeting. Pure per-row Catalyst regex, no shuffle."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents")
+    n_ws = F.size(F.split("text", " ")).cast("long")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).cast("long")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("bpe_per_word"),
+    )
+
+
+O_TOKEN_BPE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS bpe_per_word
+FROM documents
+"""
+
+
+# Karp-Rabin rolling hash + winnowing (Schleimer, Wilkerson & Aiken,
+# SIGMOD'03): per-position k-gram hashes, then the min hash of each
+# w-window; the distinct mins are the document's fingerprints.
+WIN_K = 8        # character k-gram length
+WIN_W = 4        # winnowing window (guarantee: every match >= k+w-1 chars shares a fingerprint)
+WIN_B = 257      # polynomial base
+WIN_P = 1_000_003  # modulus (small enough that acc*B+c never overflows int64)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting: exact integer Karp-Rabin
+    hashes of every WIN_K-char gram (fold acc = (acc*B + chr) % P over the
+    gram), winnowed to the per-window minimum. All integer arithmetic in
+    Catalyst lambdas — deterministic across engines, no UDF, narrow
+    per-row pass (O(len·k) work per doc). Output: gram/fingerprint counts
+    + min/max fingerprint per doc as the contract columns."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").filter(F.length("text") >= WIN_K)
+    gram_hashes = F.expr(
+        f"transform(sequence(1, length(text) - {WIN_K} + 1), i -> "
+        f"aggregate(transform(sequence(0, {WIN_K} - 1), j -> "
+        f"ascii(substring(text, i + j, 1))), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {WIN_B} + c) % {WIN_P}))"
+    )
+    g = d.select("doc_id", gram_hashes.alias("gh"))
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(gh) - {WIN_W} + 1, 1)), t -> "
+        f"array_min(slice(gh, t, {WIN_W})))"
+    )
+    return g.select(
+        "doc_id",
+        F.size("gh").cast("long").alias("n_grams"),
+        F.size(F.array_distinct(mins)).cast("long").alias("n_fingerprints"),
+        F.array_min(mins).cast("long").alias("min_fp"),
+        F.array_max(mins).cast("long").alias("max_fp"),
+    )
+
+
+O_WINNOWING = f"""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, length(text) - {WIN_K} + 1), i ->
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(0, {WIN_K} - 1), j ->
+                           CAST(ord(substring(text, i + j, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * {WIN_B} + c) % {WIN_P})) AS gh
+    FROM documents WHERE length(text) >= {WIN_K}
+),
+m AS (
+    SELECT doc_id, gh,
+           list_transform(generate_series(1, greatest(len(gh) - {WIN_W} + 1, 1)), t ->
+               list_min(gh[t : t + {WIN_W} - 1])) AS mins
+    FROM g
+)
+SELECT doc_id,
+       CAST(len(gh) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
+       CAST(list_min(mins) AS BIGINT) AS min_fp,
+       CAST(list_max(mins) AS BIGINT) AS max_fp
+FROM m
+"""
+
+
 PACK_BUDGET = 256
 
 
@@ -540,6 +636,8 @@ PAIRS = [
     ("text_gopher_quality", gopher_quality, O_GOPHER),
     ("chunk_packing", pack_chunks, O_PACKING),
     ("text_pii_scrub", pii_scrub, O_PII),
+    ("text_token_bpe", token_bpe, O_TOKEN_BPE),
+    ("text_winnowing", winnowing_fingerprints, O_WINNOWING),
 ]
 
 
