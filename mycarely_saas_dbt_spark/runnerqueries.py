@@ -473,6 +473,36 @@ GROUP BY user_id
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks to preceding views within 10
+    minutes per user) drained with availableNow; per-user pair counts must
+    match the batch time-range self-join oracle."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import interval_join_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_ssjoin_")
+    target = f"{root}/pairs"
+    q = interval_join_stream(spark, sf_dir, target)
+    q.awaitTermination(300)
+    out = (
+        spark.read.parquet(target)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_INTERVAL_JOIN = """
+SELECT v.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTES
+GROUP BY v.user_id
+"""
+
+
 def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful operators (dedup -> tumbling-window count) drained
     with availableNow; per-day distinct (user, event_type) pairs must match
@@ -541,3 +571,6 @@ def register_queries(register) -> None:
         incremental_oracle(),
     )
     register("streaming_dedup_daily", streaming_dedup_daily, O_STREAMING_DEDUP_DAILY)
+    register(
+        "streaming_interval_join", streaming_interval_join, O_STREAMING_INTERVAL_JOIN
+    )

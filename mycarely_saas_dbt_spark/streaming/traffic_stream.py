@@ -244,6 +244,61 @@ def dedup_stream(spark: SparkSession, sf_dir: str, target: str):
 
 
 # --------------------------------------------------------------------------
+# stream-stream interval join
+# --------------------------------------------------------------------------
+
+INTERVAL_JOIN_MINUTES = 10
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str, target: str):
+    """Stream-stream INNER join with an event-time interval condition:
+    each click joins the views by the same user in the preceding
+    INTERVAL_JOIN_MINUTES. Both sides carry watermarks, and the time-range
+    predicate bounds the join state — Spark buffers each side only until
+    the watermark proves no more matches can arrive, the canonical bounded
+    stream-stream join. One shuffle per side on user_id; state size is
+    O(events within the interval + lateness window), independent of stream
+    length."""
+    ev1 = raw_events_stream(spark, sf_dir)
+    ev2 = raw_events_stream(spark, sf_dir)
+    views = (
+        ev1.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_MINUTES} MINUTES")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target)
+
+    return (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", f"{target}.checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
 # chained stateful operators: dedup -> windowed aggregation in ONE query
 # --------------------------------------------------------------------------
 
