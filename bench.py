@@ -46,6 +46,9 @@ EXTENSION_QUERIES = [
     "sessionize_session_window",
     "doc_chunking",
     "chunk_packing",
+    "skew_salted_join",
+    "dedup_simhash64",
+    "text_winnowing",
 ]
 
 

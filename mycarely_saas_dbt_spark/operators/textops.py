@@ -454,13 +454,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     + min/max fingerprint per doc as the contract columns."""
     register_sources(spark, sf_dir)
     d = spark.table("documents").filter(F.length("text") >= WIN_K)
+    # Materialize char codes ONCE per row: ascii(substring(text, i, 1))
+    # inside the gram loop would re-seek the UTF8 string from the start for
+    # every character (O(len²·k) total); a char array + slice() is O(len·k).
+    chars = F.expr(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
+    )
     gram_hashes = F.expr(
-        f"transform(sequence(1, length(text) - {WIN_K} + 1), i -> "
-        f"aggregate(transform(sequence(0, {WIN_K} - 1), j -> "
-        f"ascii(substring(text, i + j, 1))), CAST(0 AS BIGINT), "
+        f"transform(sequence(1, size(ch) - {WIN_K} + 1), i -> "
+        f"aggregate(slice(ch, i, {WIN_K}), CAST(0 AS BIGINT), "
         f"(acc, c) -> (acc * {WIN_B} + c) % {WIN_P}))"
     )
-    g = d.select("doc_id", gram_hashes.alias("gh"))
+    g = d.select("doc_id", chars.alias("ch")).select(
+        "doc_id", gram_hashes.alias("gh")
+    )
     mins = F.expr(
         f"transform(sequence(1, greatest(size(gh) - {WIN_W} + 1, 1)), t -> "
         f"array_min(slice(gh, t, {WIN_W})))"
