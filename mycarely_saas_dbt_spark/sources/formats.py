@@ -109,6 +109,73 @@ PAIRS = [
 ]
 
 
+CORRUPT_EVERY = 7  # every 7th line is deterministically mangled
+
+
+def q_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record-tolerant ingestion: a CSV where every
+    CORRUPT_EVERY-th data line is mangled (non-numeric key field), read in
+    PERMISSIVE mode with columnNameOfCorruptRecord — bad lines land in the
+    rescue column instead of failing the job or silently vanishing. At
+    100 TB ingest you ALWAYS run permissive + rescue-column (or
+    badRecordsPath) and route rejects to quarantine; FAILFAST is for CI.
+    Output: good/corrupt counts and the good-row key sum — the oracle
+    derives the same split arithmetically from the corruption rule."""
+    register_sources(spark, sf_dir)
+    src = spark.table("orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="mycarely_fmt_perm_")
+    try:
+        src.coalesce(1).write.mode("overwrite").option("header", "false").csv(
+            f"{root}/clean"
+        )
+        import os
+
+        part = [
+            f for f in os.listdir(f"{root}/clean") if f.endswith(".csv")
+        ][0]
+        with open(f"{root}/clean/{part}") as fh:
+            lines = fh.read().splitlines()
+        # deterministic mangling keyed on the ROW CONTENT (line order in the
+        # file is arbitrary): corrupt rows whose o_orderkey % CORRUPT_EVERY == 0
+        mangled = [
+            f"corrupted#{ln}" if int(ln.split(",")[0]) % CORRUPT_EVERY == 0 else ln
+            for ln in lines
+        ]
+        os.makedirs(f"{root}/dirty", exist_ok=True)
+        with open(f"{root}/dirty/data.csv", "w") as fh:
+            fh.write("\n".join(mangled))
+
+        back = (
+            spark.read.schema(
+                "o_orderkey bigint, o_totalprice double, _corrupt string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(f"{root}/dirty")
+        )
+        out = back.agg(
+            F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+            F.count(F.col("_corrupt")).alias("n_corrupt"),
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_orderkey"))).alias(
+                "good_key_sum"
+            ),
+        )
+        from mycarely_saas_dbt_spark.util import materialize
+
+        return materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_CSV_PERMISSIVE = f"""
+SELECT CAST(SUM(CASE WHEN o_orderkey % {CORRUPT_EVERY} != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % {CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % {CORRUPT_EVERY} != 0 THEN o_orderkey END) AS BIGINT) AS good_key_sum
+FROM orders
+"""
+
+
 def register_queries(register) -> None:
     for name, fn, oracle in PAIRS:
         register(name, fn, oracle)
+    register("format_csv_permissive", q_csv_permissive, O_CSV_PERMISSIVE)
