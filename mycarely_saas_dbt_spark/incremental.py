@@ -65,6 +65,11 @@ class ModelSpec:
     # are untouched-by-construction — on a 100 TB target this turns the
     # anti-join's target scan into a pruned slice instead of a full read.
     incremental_predicates: list[str] = field(default_factory=list)
+    # dbt's model contract (contract: enforced: true): declared column
+    # name -> Spark type string. The build's schema must match EXACTLY
+    # (names, order, types) or the run fails BEFORE writing — schema drift
+    # stops at the boundary instead of corrupting the target.
+    contract: dict[str, str] | None = None
 
 
 def _reconcile_schema(
@@ -157,6 +162,14 @@ class IncrementalRunner:
         incremental = self.target_exists(spec.name) and not full_refresh
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None
         new = spec.build(self.spark, sf_dir, wm)
+        if spec.contract is not None:
+            got = [(f.name, f.dataType.simpleString()) for f in new.schema.fields]
+            want = list(spec.contract.items())
+            if got != want:
+                raise RuntimeError(
+                    f"{spec.name}: contract violation — built schema {got} "
+                    f"!= declared {want}"
+                )
 
         if incremental:
             target = self.read_target(spec.name)
@@ -208,6 +221,33 @@ class IncrementalRunner:
             shutil.rmtree(bak)
         return n
 
+
+    def run_observed(self, spec: ModelSpec, sf_dir: str, **kw) -> tuple[dict, dict]:
+        """Run a model with Spark's Observation API attached: row counts
+        and per-column null counts are collected ON the write pass itself
+        (accumulator-style, no second scan of the data) — the engine-side
+        equivalent of dbt's run-results metrics at zero extra cost, which
+        matters when the model output is terabytes."""
+        from pyspark.sql import Observation
+
+        obs = Observation(f"{spec.name}_metrics")
+        orig_build = spec.build
+
+        def observed_build(sp, sfd, wm):
+            df = orig_build(sp, sfd, wm)
+            metrics = [F.count(F.lit(1)).alias("rows")]
+            for f_ in df.schema.fields:
+                metrics.append(
+                    F.sum(F.when(F.col(f_.name).isNull(), 1).otherwise(0)).alias(
+                        f"nulls_{f_.name}"
+                    )
+                )
+            return df.observe(obs, *metrics)
+
+        import dataclasses
+
+        stats = self.run(dataclasses.replace(spec, build=observed_build), sf_dir, **kw)
+        return stats, dict(obs.get)
 
     def compact(self, name: str, *, target_file_mb: int = 128) -> dict:
         """Small-file compaction for a fragmented incremental target.

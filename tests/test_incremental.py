@@ -207,6 +207,55 @@ def test_on_schema_change_sync_drops_removed(spark, target_root):
     assert runner.read_target("daily_counts").columns == ["day", "n_events"]
 
 
+def test_model_contract_enforced(spark, target_root):
+    """dbt model contracts: the built schema must match the declaration
+    exactly or the run fails before writing anything."""
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    ev = spark.table("events")
+
+    def build(sp, sfd, wm):
+        return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    runner = IncrementalRunner(spark, target_root)
+    good = {"day": "date", "n": "bigint"}
+    runner.run(ModelSpec("d", "day", "day", build, contract=good), SF_DIR)
+
+    bad = {"day": "date", "n": "int"}  # wrong type
+    with _pytest.raises(RuntimeError, match="contract violation"):
+        runner.run(ModelSpec("d", "day", "day", build, contract=bad), SF_DIR)
+    # nothing was written by the failed run
+    import os
+
+    assert not [p for p in os.listdir(target_root) if p.startswith("d.tmp")]
+
+
+def test_run_observed_collects_metrics_on_write_pass(spark, target_root):
+    """Observation metrics ride the materialization scan: rows + per-column
+    null counts arrive without re-reading the output."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    ev = spark.table("events")
+
+    def build(sp, sfd, wm):
+        return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    runner = IncrementalRunner(spark, target_root)
+    stats, metrics = runner.run_observed(ModelSpec("d", "day", "day", build), SF_DIR)
+    assert metrics["rows"] == stats["rows_written"] > 0
+    assert metrics["nulls_day"] == 0 and metrics["nulls_n"] == 0
+
+
 def test_incremental_predicates_limit_delete_scope(spark, target_root):
     """dbt incremental_predicates: the delete-side of the upsert scans only
     the predicate slice of the target. A predicate covering everything the
