@@ -422,6 +422,111 @@ GROUP BY user_id, session_seq
 # product-analytics suite: funnel, retention cohorts, linear interpolation
 # --------------------------------------------------------------------------
 
+def q_win_cumulative_distinct(spark, sf_dir):
+    """Cumulative DISTINCT count over time — COUNT(DISTINCT) is not
+    window-able directly (per-row distinct state explodes), so use the
+    classic rewrite: flag each user's FIRST day (one groupBy), count new
+    users per day, running-sum the counts. Two cheap shuffles total,
+    instead of a quadratic per-day distinct rescan."""
+    ev = _src(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    first_day = (
+        ev.select("user_id", day)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    all_days = (
+        ev.select(day).groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    g = all_days.join(first_day, "day", "left").withColumn(
+        "new_users", F.coalesce("new_users", F.lit(0))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "day",
+        "n_events",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_distinct_users"),
+    )
+
+
+O_WIN_CUM_DISTINCT = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (
+    SELECT day, COUNT(*) AS new_users
+    FROM (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id)
+    GROUP BY day
+),
+days AS (SELECT day, COUNT(*) AS n_events FROM ev GROUP BY day)
+SELECT d.day, d.n_events,
+       CAST(COALESCE(f.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(f.new_users, 0)) OVER (
+           ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_distinct_users
+FROM days d LEFT JOIN first f ON d.day = f.day
+"""
+
+
+def q_stats_moments(spark, sf_dir):
+    """corr / covariance / stddev per event_type WITHOUT float-order
+    nondeterminism: raw moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated
+    as EXACT integers (cents × day-index), then the textbook formulas run
+    on those exact sums in double — both engines compute identical
+    doubles from identical integers, so even corr hash-matches. The
+    shuffle profile is a plain one-pass groupBy with map-side partials —
+    this is also how you get corr on 100 TB without a second pass."""
+    ev = _src(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100).cast("long")               # cents
+    y = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return m.select(
+        "event_type",
+        "n",
+        cov.alias("cov_xy"),
+        F.sqrt(vx).alias("stddev_x"),
+        F.sqrt(vy).alias("stddev_y"),
+        (cov / F.sqrt(vx) / F.sqrt(vy)).alias("corr_xy"),
+    )
+
+
+O_STATS_MOMENTS = """
+WITH m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM (
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS y
+        FROM events
+    )
+    GROUP BY event_type
+)
+SELECT event_type, n,
+       (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cov_xy,
+       sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_x,
+       sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_y,
+       ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+           / sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+           / sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS corr_xy
+FROM m
+"""
+
+
 def q_win_range_interval(spark, sf_dir):
     """RANGE-frame window over a gapped daily series: 7-day trailing sum
     and count per event_type, where the frame is bounded by VALUE distance
@@ -884,6 +989,8 @@ PAIRS = [
     ("sessionize_events", q_sessionize_events, O_SESSIONIZE_EVENTS),
     ("sessionize_session_window", q_sessionize_session_window, O_SESSIONIZE_SW),
     ("win_range_interval", q_win_range_interval, O_WIN_RANGE_INTERVAL),
+    ("win_cumulative_distinct", q_win_cumulative_distinct, O_WIN_CUM_DISTINCT),
+    ("stats_moments", q_stats_moments, O_STATS_MOMENTS),
     ("funnel_stages", q_funnel_stages, O_FUNNEL),
     ("retention_cohorts", q_retention_cohorts, O_RETENTION),
     ("ts_interpolate", q_ts_interpolate, O_TS_INTERPOLATE),
