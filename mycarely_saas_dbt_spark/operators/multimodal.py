@@ -154,6 +154,65 @@ def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 512
+FRAME_STRIDE = 997  # prime stride — frames sample the payload unaligned
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling over the opaque binary payload — the video/audio
+    pattern (decode only every Nth frame) expressed on the binary column
+    itself: strided fixed-size byte windows, each hashed. Spark side runs
+    GENUINE binary ops (substring/md5 over BinaryType — the exact plumbing
+    a real frame sampler feeds into a decode UDF); the DuckDB oracle
+    exploits that the synthetic payload is ASCII text, hashing the same
+    byte windows as VARCHAR. Narrow per-row pass, no shuffle."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    b = with_binary_payload(spark.table("documents")).filter(
+        F.col("meta.n_bytes") >= FRAME_BYTES
+    )
+    frame_hashes = F.expr(
+        f"transform(sequence(1, octet_length(payload) - {FRAME_BYTES} + 1, "
+        f"{FRAME_STRIDE}), o -> md5(substring(payload, o, {FRAME_BYTES})))"
+    )
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        frame_hashes.alias("fh"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.size("fh").cast("long").alias("n_frames"),
+        F.element_at("fh", 1).alias("first_frame_md5"),
+        # explicit floor: Spark int-cast truncates but DuckDB's cast ROUNDS
+        F.element_at("fh", (F.floor(F.size("fh") / 2) + 1).cast("int")).alias(
+            "mid_frame_md5"
+        ),
+    )
+
+
+O_MM_FRAME_SAMPLE = f"""
+WITH b AS (
+    SELECT doc_id, text AS payload, length(text) AS n_bytes
+    FROM documents WHERE length(text) >= {FRAME_BYTES}
+),
+f AS (
+    SELECT doc_id, n_bytes,
+           list_transform(generate_series(1, n_bytes - {FRAME_BYTES} + 1,
+                                          {FRAME_STRIDE}),
+                          o -> md5(substring(payload, o, {FRAME_BYTES}))) AS fh
+    FROM b
+)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(len(fh) AS BIGINT) AS n_frames,
+       fh[1] AS first_frame_md5,
+       fh[CAST(FLOOR(len(fh) / 2) AS INT) + 1] AS mid_frame_md5
+FROM f
+"""
+
+
 def register_queries(register) -> None:
     register("mm_binary_meta", mm_binary_meta, O_MM_META)
     register("mm_fake_features", mm_fake_features, None)  # rows-only
+    register("mm_frame_sample", mm_frame_sample, O_MM_FRAME_SAMPLE)
