@@ -1677,6 +1677,7 @@ def register_all(register) -> None:
     formats.register_queries(register)
     bucketing.register_queries(register)
     textops.register_queries(register)
+    textops.register_extra(register)
     dedup.register_queries(register)
     similarity.register_queries(register)
     multimodal.register_queries(register)

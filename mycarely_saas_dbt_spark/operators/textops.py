@@ -507,6 +507,148 @@ FROM m
 """
 
 
+CONTAM_BENCH_DOCS = 20      # doc_id < 20 plays the held-out benchmark set
+CONTAM_OVERLAP = 0.5        # fingerprint-overlap fraction that flags a doc
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (train/test overlap scrubbing):
+    a corpus document is flagged when it shares >= CONTAM_OVERLAP of its
+    winnowing fingerprints with any benchmark document. Reuses the
+    Karp-Rabin winnowing fingerprints; the comparison is a fingerprint
+    equi-join (corpus side exploded once, benchmark side broadcast) — the
+    same bounded-bucket shape as the LSH dedup, never a doc×doc scan.
+    Output: flagged (corpus_doc, bench_doc) pairs with the overlap
+    fraction. In this synthetic corpus exact/near duplicates of the
+    benchmark docs exist by construction, so the check provably fires."""
+    fp = winnowing_fingerprints_exploded(spark, sf_dir)
+    bench = fp.filter(F.col("doc_id") < CONTAM_BENCH_DOCS).select(
+        F.col("doc_id").alias("bench_doc"), "fp"
+    )
+    corpus = fp.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS).select(
+        F.col("doc_id").alias("corpus_doc"), "fp"
+    )
+    sizes = corpus.groupBy("corpus_doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        corpus.join(F.broadcast(bench), "fp")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "corpus_doc")
+        .withColumn("overlap", F.col("n_shared") / F.col("n_fp"))
+        .filter(F.col("overlap") >= CONTAM_OVERLAP)
+        .select("corpus_doc", "bench_doc", "n_shared", "n_fp", "overlap")
+    )
+
+
+def winnowing_fingerprints_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) rows: each document's DISTINCT winnowing fingerprints."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").filter(F.length("text") >= WIN_K)
+    chars = F.expr(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
+    )
+    gram_hashes = F.expr(
+        f"transform(sequence(1, size(ch) - {WIN_K} + 1), i -> "
+        f"aggregate(slice(ch, i, {WIN_K}), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {WIN_B} + c) % {WIN_P}))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(gh) - {WIN_W} + 1, 1)), t -> "
+        f"array_min(slice(gh, t, {WIN_W})))"
+    )
+    return (
+        d.select("doc_id", chars.alias("ch"))
+        .select("doc_id", gram_hashes.alias("gh"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
+def _winnow_fp_sql() -> str:
+    return f"""
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(gh) - {{W}} + 1, 1)), t ->
+                   list_min(gh[t : t + {{W}} - 1])) AS mins
+        FROM (
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(text) - {{K}} + 1), i ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(generate_series(0, {{K}} - 1), j ->
+                                   CAST(ord(substring(text, i + j, 1)) AS BIGINT))),
+                           (acc, c) -> (acc * {{B}} + c) % {{P}})) AS gh
+            FROM documents WHERE length(text) >= {{K}}
+        )
+    )
+    """.format(K=WIN_K, W=WIN_W, B=WIN_B, P=WIN_P)
+
+
+def _contamination_oracle() -> str:
+    return f"""
+WITH fp AS ({_winnow_fp_sql()}),
+bench AS (SELECT doc_id AS bench_doc, fp FROM fp WHERE doc_id < {CONTAM_BENCH_DOCS}),
+corpus AS (SELECT doc_id AS corpus_doc, fp FROM fp WHERE doc_id >= {CONTAM_BENCH_DOCS}),
+sizes AS (SELECT corpus_doc, COUNT(*) AS n_fp FROM corpus GROUP BY corpus_doc),
+shared AS (
+    SELECT c.corpus_doc, b.bench_doc, COUNT(*) AS n_shared
+    FROM corpus c JOIN bench b USING (fp)
+    GROUP BY c.corpus_doc, b.bench_doc
+)
+SELECT s.corpus_doc, s.bench_doc, s.n_shared, z.n_fp,
+       CAST(s.n_shared AS DOUBLE) / z.n_fp AS overlap
+FROM shared s JOIN sizes z USING (corpus_doc)
+WHERE CAST(s.n_shared AS DOUBLE) / z.n_fp >= {CONTAM_OVERLAP}
+"""
+
+
+# target corpus mixture by source, as fractions of the smallest source's
+# share — deterministic md5-bucket downsampling hits the weights exactly
+# in expectation and reproducibly in realization
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIXTURE_FALLBACK = 0.6
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each source to its target
+    weight with the deterministic md5-bucket rule (keep iff
+    bucket(doc_id) < weight·100) — the data-mixing step that rebalances a
+    crawl-heavy corpus before training. Reproducible (content-keyed
+    buckets, no RNG state), embarrassingly parallel, and auditable: the
+    output reports kept/total per source so the realized mixture is
+    checkable downstream."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    weight = F.lit(MIXTURE_FALLBACK)
+    for src, wgt in MIXTURE_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(wgt)).otherwise(weight)
+    kept = F.when(bucket < weight * 100, 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+    )
+
+
+def _mixture_oracle() -> str:
+    whens = "\n            ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"""
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+            < (CASE {whens} ELSE {MIXTURE_FALLBACK} END) * 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
 PACK_BUDGET = 256
 
 
@@ -646,6 +788,11 @@ PAIRS = [
     ("text_token_bpe", token_bpe, O_TOKEN_BPE),
     ("text_winnowing", winnowing_fingerprints, O_WINNOWING),
 ]
+
+
+def register_extra(register) -> None:
+    register("contamination_check", contamination_check, _contamination_oracle())
+    register("corpus_mixture", corpus_mixture, _mixture_oracle())
 
 
 def register_queries(register) -> None:
