@@ -70,6 +70,11 @@ class ModelSpec:
     # (names, order, types) or the run fails BEFORE writing — schema drift
     # stops at the boundary instead of corrupting the target.
     contract: dict[str, str] | None = None
+    # dbt's merge_exclude_columns (incremental_strategy='merge'): on a key
+    # collision the UPDATE skips these columns, so re-emitted rows KEEP the
+    # target's old values for them (created_at-style audit columns);
+    # brand-new keys take the build's values.
+    merge_exclude_columns: list[str] = field(default_factory=list)
 
 
 def _reconcile_schema(
@@ -185,6 +190,28 @@ class IncrementalRunner:
                 touchable, untouchable = target.filter(pred), target.filter(~pred)
             else:
                 touchable, untouchable = target, None
+            if spec.merge_exclude_columns:
+                # re-emitted rows keep the OLD values of excluded columns:
+                # left-join the old slice onto the new rows by key and
+                # coalesce excluded cols old-first (new keys have no old row)
+                excl = spec.merge_exclude_columns
+                old_slice = touchable.select(
+                    spec.unique_key,
+                    F.lit(True).alias("__matched"),
+                    *[F.col(c).alias(f"__old_{c}") for c in excl],
+                )
+                # matched -> old value EVEN IF NULL (dbt UPDATE-skip
+                # semantics; a coalesce would resurrect the new value)
+                new = new.join(old_slice, spec.unique_key, "left").select(
+                    *[
+                        F.when(F.col("__matched"), F.col(f"__old_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in excl
+                        else F.col(c)
+                        for c in new.columns
+                    ]
+                )
             merged = touchable.join(
                 new.select(spec.unique_key).distinct(),
                 on=spec.unique_key,

@@ -207,6 +207,49 @@ def test_on_schema_change_sync_drops_removed(spark, target_root):
     assert runner.read_target("daily_counts").columns == ["day", "n_events"]
 
 
+def test_merge_exclude_columns_preserve_old_values(spark, target_root):
+    """dbt merge_exclude_columns: a re-emitted key keeps the target's old
+    value (even NULL) for excluded columns; brand-new keys take the
+    build's value."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    ev = spark.table("events")
+    day = F.col("ts").cast("date").alias("day")
+
+    def b1(sp, sfd, wm):
+        return (
+            ev.filter(F.col("ts").cast("date") <= F.lit(SPLIT))
+            .groupBy(day)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("first_batch", F.lit(1))
+        )
+
+    def b2(sp, sfd, wm):
+        # re-emit EVERYTHING (ignore wm) with revised n and batch tag 2
+        return (
+            ev.groupBy(day)
+            .agg((F.count(F.lit(1)) + 1000).alias("n"))
+            .withColumn("first_batch", F.lit(2))
+        )
+
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(ModelSpec("d", "day", "day", b1), SF_DIR)
+    runner.run(
+        ModelSpec("d", "day", "day", b2, merge_exclude_columns=["first_batch"]),
+        SF_DIR,
+    )
+    out = runner.read_target("d")
+    # every row took batch 2's revised metric...
+    assert out.filter(F.col("n") < 1000).count() == 0
+    # ...but re-emitted keys kept first_batch=1; only new keys show 2
+    old_days = out.filter(F.col("day") <= F.lit(SPLIT))
+    new_days = out.filter(F.col("day") > F.lit(SPLIT))
+    assert old_days.filter(F.col("first_batch") != 1).count() == 0
+    assert new_days.filter(F.col("first_batch") != 2).count() == 0
+
+
 def test_model_contract_enforced(spark, target_root):
     """dbt model contracts: the built schema must match the declaration
     exactly or the run fails before writing anything."""
