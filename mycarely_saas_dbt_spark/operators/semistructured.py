@@ -83,6 +83,53 @@ PAIRS = [
 ]
 
 
+def q_hof_collection_suite(spark, sf_dir):
+    """The higher-order-function surface in one registered pass:
+    transform / filter / exists / forall / zip_with / aggregate over the
+    token array — every lambda runs JVM-side inside codegen (these are the
+    primitives the dedup/similarity/winnowing operators compose; this
+    entry pins their per-primitive semantics against DuckDB's list_*)."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").withColumn("toks", F.split("text", " "))
+    lens = F.expr("transform(toks, t -> length(t))")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("filter(toks, t -> length(t) > 3)"))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.expr("exists(toks, t -> length(t) > 10)").alias("any_very_long"),
+        F.expr("forall(toks, t -> length(t) > 0)").alias("all_nonempty"),
+        F.expr(
+            "aggregate(transform(toks, t -> length(t)), CAST(0 AS BIGINT), "
+            "(a, x) -> a + x)"
+        ).alias("sum_token_len"),
+        # zip_with: position-weighted length sum (1-indexed positions)
+        F.expr(
+            "aggregate(zip_with(transform(toks, t -> CAST(length(t) AS BIGINT)), "
+            "sequence(CAST(1 AS BIGINT), CAST(size(toks) AS BIGINT)), "
+            "(l, p) -> l * p), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pos_weighted_len"),
+    )
+
+
+O_HOF_SUITE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long_tokens,
+       len(list_filter(toks, t -> length(t) > 10)) > 0 AS any_very_long,
+       len(list_filter(toks, t -> length(t) = 0)) = 0 AS all_nonempty,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS sum_token_len,
+       CAST(list_sum(list_transform(generate_series(1, len(toks)),
+                                    i -> length(toks[i]) * i)) AS BIGINT)
+           AS pos_weighted_len
+FROM t
+"""
+
+
 def register_queries(register) -> None:
+    register("hof_collection_suite", q_hof_collection_suite, O_HOF_SUITE)
     for name, fn, oracle in PAIRS:
         register(name, fn, oracle)
