@@ -422,6 +422,62 @@ GROUP BY user_id, session_seq
 # product-analytics suite: funnel, retention cohorts, linear interpolation
 # --------------------------------------------------------------------------
 
+def q_order_stats(spark, sf_dir):
+    """Exact order statistics with engine-portable tie rules: discrete
+    median (the ceil(n/2)-th smallest ACTUAL value — no interpolation, so
+    no float-tie hazards) via a row_number pick, and the modal value with
+    an explicit (count DESC, value ASC) tiebreak — DuckDB's mode() leaves
+    ties unspecified, so both sides spell the argmax out."""
+    li = _src(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).withColumn("rn", F.row_number().over(w))
+    counts = ranked.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    p50 = (
+        ranked.join(counts, "l_returnflag")
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("l_returnflag", F.col("l_extendedprice").alias("p50_disc"), "n")
+    )
+    mode = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max_by(
+                "l_quantity",
+                F.struct(F.col("c"), (-F.col("l_quantity")).alias("nq")),
+            ).alias("mode_qty")
+        )
+    )
+    return p50.join(mode, "l_returnflag").select(
+        "l_returnflag", "n", "p50_disc", "mode_qty"
+    )
+
+
+O_ORDER_STATS = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+p50 AS (
+    SELECT l_returnflag, n, l_extendedprice AS p50_disc
+    FROM ranked WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+),
+m AS (
+    SELECT l_returnflag, l_quantity AS mode_qty,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY COUNT(*) DESC, l_quantity ASC) AS mr
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+SELECT p.l_returnflag, CAST(p.n AS BIGINT) AS n, p.p50_disc, m.mode_qty
+FROM p50 p JOIN m ON p.l_returnflag = m.l_returnflag AND m.mr = 1
+"""
+
+
 def q_win_cumulative_distinct(spark, sf_dir):
     """Cumulative DISTINCT count over time — COUNT(DISTINCT) is not
     window-able directly (per-row distinct state explodes), so use the
@@ -991,6 +1047,7 @@ PAIRS = [
     ("win_range_interval", q_win_range_interval, O_WIN_RANGE_INTERVAL),
     ("win_cumulative_distinct", q_win_cumulative_distinct, O_WIN_CUM_DISTINCT),
     ("stats_moments", q_stats_moments, O_STATS_MOMENTS),
+    ("order_stats_suite", q_order_stats, O_ORDER_STATS),
     ("funnel_stages", q_funnel_stages, O_FUNNEL),
     ("retention_cohorts", q_retention_cohorts, O_RETENTION),
     ("ts_interpolate", q_ts_interpolate, O_TS_INTERPOLATE),

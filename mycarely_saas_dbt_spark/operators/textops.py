@@ -790,9 +790,47 @@ PAIRS = [
 ]
 
 
+LEV_DOCS = 10       # pairwise over the first LEV_DOCS docs
+LEV_PREFIX = 24     # compare fixed-length prefixes (edit distance is O(m·n))
+
+
+def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise edit distance between document prefixes — the high-precision
+    string-similarity verifier (both engines implement the classic DP, so
+    distances match exactly). Bounded explicitly to LEV_DOCS² pairs: edit
+    distance is O(m·n) per pair and does NOT scale as an all-pairs corpus
+    op — at 100 TB it runs only on candidate pairs produced by the
+    LSH/SimHash/winnowing blockers."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").filter(F.col("doc_id") < LEV_DOCS).select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+O_LEVENSHTEIN = f"""
+WITH d AS (
+    SELECT doc_id, substring(text, 1, {LEV_PREFIX}) AS prefix
+    FROM documents WHERE doc_id < {LEV_DOCS}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+"""
+
+
 def register_extra(register) -> None:
     register("contamination_check", contamination_check, _contamination_oracle())
     register("corpus_mixture", corpus_mixture, _mixture_oracle())
+    register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
 
 
 def register_queries(register) -> None:
