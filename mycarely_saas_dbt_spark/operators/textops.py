@@ -831,6 +831,48 @@ def register_extra(register) -> None:
     register("contamination_check", contamination_check, _contamination_oracle())
     register("corpus_mixture", corpus_mixture, _mixture_oracle())
     register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
+    register("lang_id_accuracy", lang_id_accuracy, O_LANG_ID_ACCURACY)
+
+
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval rollup over the language-ID heuristic: per labeled
+    language, prediction counts and hit rate — the confusion-summary a
+    pipeline watches to decide when the cheap n-gram classifier needs
+    replacing for a given slice."""
+    preds = lang_id(spark, sf_dir)
+    return preds.groupBy("labeled_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("labeled_lang"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        F.countDistinct("predicted_lang").alias("n_distinct_preds"),
+    )
+
+
+O_LANG_ID_ACCURACY = f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           {{en}} AS score_en, {{fr}} AS score_fr,
+           {{de}} AS score_de, {{es}} AS score_es
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+),
+p AS (
+    SELECT doc_id, lang,
+           CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+                WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+                WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+                ELSE 'es' END AS predicted
+    FROM s
+)
+SELECT lang AS labeled_lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       COUNT(DISTINCT predicted) AS n_distinct_preds
+FROM p GROUP BY lang
+""".format(
+    en=_marker_sql("en"), fr=_marker_sql("fr"), de=_marker_sql("de"),
+    es=_marker_sql("es"),
+)
 
 
 def register_queries(register) -> None:
