@@ -17,9 +17,17 @@ Delta/Iceberg ``MERGE INTO`` (same logical plan, transactional commit); the
 parquet-swap fallback keeps the engine dependency-free.
 
 Scale notes (100 TB):
-  * the anti-join shuffles on the unique key — with date-partitioned targets
-    (partition_by=...) only affected partitions need rewriting; we write
-    partitioned output so dynamic partition overwrite is a config flip away.
+  * With date-partitioned targets (partition_by=...) incremental runs take
+    the PRUNED path: the new batch is staged, the partitions it touches are
+    derived from the staging layout (metadata only), the delete+insert merge
+    reads ONLY those partitions of the target (partition-pruned scan), and
+    only those partition directories are swapped — untouched partitions are
+    never read or rewritten (dynamic partition overwrite / MERGE on a
+    lakehouse). Requires the unique_key to determine the partition (true for
+    all three models: the surrogate key includes the partition date).
+  * Unpartitioned targets keep the full atomic-rewrite path; a partitioned
+    spec over an unpartitioned target migrates the layout with one full
+    rewrite, then prunes forever after.
   * the watermark read is a metadata-cheap MAX over the target's sort/
     partition column.
 """
@@ -27,6 +35,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import datetime as dt
+import json
 import logging
 import os
 import shutil
@@ -142,8 +151,29 @@ class IncrementalRunner:
             or [d for d in os.listdir(p) if "=" in d]
         )
 
+    # Spark moves partitionBy columns to the END of the schema on read-back;
+    # this sidecar (underscore-prefixed => ignored by parquet discovery)
+    # records the model's canonical column order + types so read_target can
+    # restore them and a partitioned target is indistinguishable from an
+    # unpartitioned one to every consumer.
+    SCHEMA_SIDECAR = "_mycarely_schema.json"
+
+    def _write_schema_sidecar(self, path: str, dtypes: list[tuple[str, str]]) -> None:
+        with open(os.path.join(path, self.SCHEMA_SIDECAR), "w") as f:
+            json.dump([list(p) for p in dtypes], f)
+
     def read_target(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.target_path(name))
+        path = self.target_path(name)
+        df = self.spark.read.parquet(path)
+        sidecar = os.path.join(path, self.SCHEMA_SIDECAR)
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                dtypes = json.load(f)
+            if {n for n, _ in dtypes} == set(df.columns):
+                # restore canonical order; the cast undoes partition-column
+                # type inference drift (no-op when types already match)
+                df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+        return df
 
     def watermark(self, name: str, col: str) -> dt.date:
         """Eager MAX over the target (the uncorrelated scalar subquery P8)."""
@@ -176,59 +206,172 @@ class IncrementalRunner:
                     f"!= declared {want}"
                 )
 
+        mode = "incremental" if incremental else "full"
+        parts_rewritten = None
         if incremental:
             target = self.read_target(spec.name)
+            schema_drift = set(target.columns) != set(new.columns)
             target, new = _reconcile_schema(
                 target, new, spec.on_schema_change, spec.name
             )
-            # delete+insert by unique_key == anti-join old rows, append new.
-            # incremental_predicates split the target into the slice the
-            # delete can touch (anti-joined) and the untouchable remainder
-            # (passed through without scanning for collisions).
-            if spec.incremental_predicates:
-                pred = F.expr(" AND ".join(f"({p})" for p in spec.incremental_predicates))
-                touchable, untouchable = target.filter(pred), target.filter(~pred)
+            if (
+                spec.partition_by
+                and not schema_drift
+                and self._layout_is_partitioned(spec)
+            ):
+                # PRUNED path: merge + rewrite only touched partitions
+                n, parts_rewritten = self._partitioned_merge_write(spec, target, new)
+                mode = "incremental-pruned"
             else:
-                touchable, untouchable = target, None
-            if spec.merge_exclude_columns:
-                # re-emitted rows keep the OLD values of excluded columns:
-                # left-join the old slice onto the new rows by key and
-                # coalesce excluded cols old-first (new keys have no old row)
-                excl = spec.merge_exclude_columns
-                old_slice = touchable.select(
-                    spec.unique_key,
-                    F.lit(True).alias("__matched"),
-                    *[F.col(c).alias(f"__old_{c}") for c in excl],
-                )
-                # matched -> old value EVEN IF NULL (dbt UPDATE-skip
-                # semantics; a coalesce would resurrect the new value)
-                new = new.join(old_slice, spec.unique_key, "left").select(
-                    *[
-                        F.when(F.col("__matched"), F.col(f"__old_{c}"))
-                        .otherwise(F.col(c))
-                        .alias(c)
-                        if c in excl
-                        else F.col(c)
-                        for c in new.columns
-                    ]
-                )
-            merged = touchable.join(
-                new.select(spec.unique_key).distinct(),
-                on=spec.unique_key,
-                how="left_anti",
-            ).unionByName(new)
-            if untouchable is not None:
-                merged = merged.unionByName(untouchable)
+                # full rewrite (also migrates an unpartitioned layout to a
+                # partitioned one when partition_by was just turned on)
+                n = self._atomic_write(spec, self._merge(spec, target, new))
         else:
-            merged = new
-
-        n = self._atomic_write(spec, merged)
+            n = self._atomic_write(spec, new)
         return {
             "model": spec.name,
-            "mode": "incremental" if incremental else "full",
+            "mode": mode,
             "watermark": str(wm) if wm else None,
             "rows_written": n,
+            "partitions_rewritten": parts_rewritten,
         }
+
+    def _merge(self, spec: ModelSpec, target: DataFrame, new: DataFrame) -> DataFrame:
+        """delete+insert by unique_key == anti-join old rows, append new.
+
+        incremental_predicates split the target into the slice the delete can
+        touch (anti-joined) and the untouchable remainder (passed through
+        without scanning for collisions).
+        """
+        if spec.incremental_predicates:
+            pred = F.expr(" AND ".join(f"({p})" for p in spec.incremental_predicates))
+            touchable, untouchable = target.filter(pred), target.filter(~pred)
+        else:
+            touchable, untouchable = target, None
+        if spec.merge_exclude_columns:
+            # re-emitted rows keep the OLD values of excluded columns:
+            # left-join the old slice onto the new rows by key and
+            # coalesce excluded cols old-first (new keys have no old row)
+            excl = spec.merge_exclude_columns
+            old_slice = touchable.select(
+                spec.unique_key,
+                F.lit(True).alias("__matched"),
+                *[F.col(c).alias(f"__old_{c}") for c in excl],
+            )
+            # matched -> old value EVEN IF NULL (dbt UPDATE-skip
+            # semantics; a coalesce would resurrect the new value)
+            new = new.join(old_slice, spec.unique_key, "left").select(
+                *[
+                    F.when(F.col("__matched"), F.col(f"__old_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in excl
+                    else F.col(c)
+                    for c in new.columns
+                ]
+            )
+        merged = touchable.join(
+            new.select(spec.unique_key).distinct(),
+            on=spec.unique_key,
+            how="left_anti",
+        ).unionByName(new)
+        if untouchable is not None:
+            merged = merged.unionByName(untouchable)
+        return merged
+
+    def _layout_is_partitioned(self, spec: ModelSpec) -> bool:
+        path = self.target_path(spec.name)
+        prefix = spec.partition_by[0] + "="
+        return any(d.startswith(prefix) for d in os.listdir(path))
+
+    @staticmethod
+    def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+        """Relative paths of hive-style leaf partition dirs under ``root``
+        (one level per partition column; NULLs land in the hive default dir)."""
+        rels = [""]
+        for _ in range(depth):
+            nxt = []
+            for rel in rels:
+                base = os.path.join(root, rel)
+                for e in os.listdir(base):
+                    full = os.path.join(base, e)
+                    if os.path.isdir(full) and (
+                        "=" in e or e == "__HIVE_DEFAULT_PARTITION__"
+                    ):
+                        nxt.append(os.path.join(rel, e) if rel else e)
+            rels = nxt
+        return rels
+
+    @staticmethod
+    def _partition_predicate(partition_by: list[str], touched: list) -> "F.Column":
+        """Predicate selecting exactly the touched partition values (the
+        partition-pruned target scan of the merge)."""
+        if len(partition_by) == 1:
+            col = F.col(partition_by[0])
+            vals = [r[0] for r in touched]
+            nonnull = [v for v in vals if v is not None]
+            pred = col.isin(nonnull) if nonnull else F.lit(False)
+            if len(nonnull) != len(vals):  # a NULL partition was touched
+                pred = pred | col.isNull()
+            return pred
+        preds = []
+        for r in touched:
+            conj = None
+            for c, v in zip(partition_by, r):
+                term = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                conj = term if conj is None else (conj & term)
+            preds.append(conj)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    def _partitioned_merge_write(
+        self, spec: ModelSpec, target: DataFrame, new: DataFrame
+    ) -> tuple[int, int]:
+        """Dynamic-partition-overwrite merge: stage the new batch, read the
+        touched partition values off the staging layout (metadata only),
+        merge against a partition-PRUNED target scan, and swap only the
+        touched partition directories. Untouched partitions are never read
+        or rewritten — the property that makes the delete+insert viable on
+        a 100 TB target. Correct because every model's unique_key embeds its
+        partition column (same key => same partition), so cross-partition
+        key collisions cannot exist."""
+        final = self.target_path(spec.name)
+        depth = len(spec.partition_by)
+        stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
+        new.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(stage)
+        try:
+            if not self._leaf_partition_dirs(stage, depth):
+                return 0, 0  # empty batch: nothing past the watermark
+            staged = self.spark.read.parquet(stage).select(*new.columns)
+            touched = staged.select(*spec.partition_by).distinct().collect()
+            pruned = target.filter(
+                self._partition_predicate(spec.partition_by, touched)
+            )
+            merged = self._merge(spec, pruned, staged)
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
+            try:
+                n = self.spark.read.parquet(tmp).count()
+                swapped = 0
+                for rel in self._leaf_partition_dirs(tmp, depth):
+                    src, dst = os.path.join(tmp, rel), os.path.join(final, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    bak = None
+                    if os.path.isdir(dst):
+                        bak = f"{dst}.bak-{uuid.uuid4().hex[:8]}"
+                        os.rename(dst, bak)
+                    os.rename(src, dst)
+                    if bak is not None:
+                        shutil.rmtree(bak)
+                    swapped += 1
+                self._write_schema_sidecar(final, new.dtypes)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return n, swapped
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def _atomic_write(self, spec: ModelSpec, df: DataFrame) -> int:
         """Materialize to a temp dir, then swap — the merge must finish
@@ -240,6 +383,7 @@ class IncrementalRunner:
             writer = writer.partitionBy(*spec.partition_by)
         writer.parquet(tmp)
         n = self.spark.read.parquet(tmp).count()
+        self._write_schema_sidecar(tmp, df.dtypes)
         bak = f"{final}.bak-{uuid.uuid4().hex[:8]}"
         if os.path.isdir(final):
             os.rename(final, bak)
@@ -307,6 +451,7 @@ class IncrementalRunner:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
+        self._write_schema_sidecar(tmp, df.dtypes)
         after = self.spark.read.parquet(tmp).count()
         if after != before:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -448,14 +593,21 @@ def make_la_spec(runner: IncrementalRunner) -> ModelSpec:
         watermark_col="activity_date",
         build=build,
         pre_counts=_la_pre_counts,
+        # id embeds activity_date -> per-partition merge == global merge
+        partition_by=["activity_date"],
     )
 
 
+# All three default specs date-partition their targets: incremental runs
+# rewrite only the partitions the batch touches (pruned path above) and
+# downstream date filters prune directories. Safe because each model's
+# surrogate id includes its partition date, so a key never moves partitions.
 TRAFFIC_PAGES_SPEC = ModelSpec(
     name="traffic_pages_agg",
     unique_key="id",
     watermark_col="date",
     build=_tp_build,
+    partition_by=["date"],
 )
 
 TRAFFIC_DAILY_SPEC = ModelSpec(
@@ -463,6 +615,7 @@ TRAFFIC_DAILY_SPEC = ModelSpec(
     unique_key="id",
     watermark_col="spend_date",  # B2: events branch watermarks on spend_date
     build=_td_build,
+    partition_by=["spend_date"],
 )
 
 

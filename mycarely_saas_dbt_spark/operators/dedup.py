@@ -528,6 +528,8 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         nbr = (

@@ -322,20 +322,33 @@ FROM starts
 """
 
 
-def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gopher_quality(
+    spark: SparkSession, sf_dir: str, *, docs: DataFrame | None = None
+) -> DataFrame:
     """Gopher-style repetition/shape filters (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", §A1.1): top-bigram repetition fraction,
     symbol-to-char ratio, mean token length, and the combined keep flag.
     The repetition stat needs a per-(doc, bigram) count — explode + two
     map-side-combining aggregations (the only shuffle here); everything
-    else is narrow Catalyst expressions."""
-    register_sources(spark, sf_dir)
-    d = spark.table("documents").withColumn("__toks", _toks())
+    else is narrow Catalyst expressions. ``docs`` overrides the source
+    table (degenerate-doc regression tests)."""
+    if docs is None:
+        register_sources(spark, sf_dir)
+        docs = spark.table("documents")
+    d = docs.withColumn("__toks", _toks())
     grams = d.select(
         "doc_id",
+        # size<2 guard: sequence(0, -1) would yield [0, -1] (negative step
+        # default), fabricating a NULL bigram and top_bigram_frac=1.0 for a
+        # single-token doc, where DuckDB's generate_series(1, 0) is empty —
+        # both engines must agree the doc has no bigrams (frac 0.0).
         F.explode(
-            F.expr("transform(sequence(0, size(__toks) - 2), i -> "
-                   "concat(__toks[i], ' ', __toks[i + 1]))")
+            F.expr(
+                "CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(0, size(__toks) - 2), i -> "
+                "concat(__toks[i], ' ', __toks[i + 1])) "
+                "ELSE array() END"
+            )
         ).alias("gram"),
     )
     rep = (
@@ -445,15 +458,97 @@ WIN_B = 257      # polynomial base
 WIN_P = 1_000_003  # modulus (small enough that acc*B+c never overflows int64)
 
 
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprinting: exact integer Karp-Rabin
-    hashes of every WIN_K-char gram (fold acc = (acc*B + chr) % P over the
-    gram), winnowed to the per-window minimum. All integer arithmetic in
-    Catalyst lambdas — deterministic across engines, no UDF, narrow
-    per-row pass (O(len·k) work per doc). Output: gram/fingerprint counts
-    + min/max fingerprint per doc as the contract columns."""
+def _winnow_batches(docs: DataFrame, *, exploded: bool) -> DataFrame:
+    """Arrow-batched winnowing over (doc_id, text): mapInPandas with exact
+    integer arithmetic (weights pre-reduced mod P, products bounded by
+    ~8 * 2^21 * 2^20 << 2^63 — no overflow), byte-identical to the Catalyst
+    fold and the DuckDB oracle. The closure is self-contained (constants
+    captured as locals, helper nested) so cloudpickle ships it by value —
+    workers need no importable copy of this package."""
+    w_pow = [pow(WIN_B, WIN_K - 1 - j, WIN_P) for j in range(WIN_K)]
+    k, w_win, p_mod = WIN_K, WIN_W, WIN_P
+
+    def winnow_doc(codes):
+        """Exact Karp-Rabin gram hashes + winnowed per-window minima for one
+        doc's codepoint array. The hash of the gram at i is
+        sum(c[i+j] * B^(k-1-j)) mod P — identical to the left-to-right fold
+        (acc*B + c) % P, but computed as k vectorized shifted adds with
+        pre-reduced weights: O(len) numpy work, no per-gram Python."""
+        import numpy as np
+
+        L = codes.size - k + 1
+        H = np.zeros(L, dtype=np.int64)
+        for j, w in enumerate(w_pow):
+            H += codes[j : j + L] * w
+        H %= p_mod
+        M = L - w_win + 1
+        if M < 1:  # fewer grams than a window: one truncated window (SQL parity)
+            return H, H.min(keepdims=True)
+        m = H[:M].copy()
+        for t in range(1, w_win):
+            np.minimum(m, H[t : t + M], out=m)
+        return H, m
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, grams, fps, mn, mx = [], [], [], [], []
+            e_ids, e_fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(
+                    str(text).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                H, mins = winnow_doc(codes)
+                if exploded:
+                    uniq = np.unique(mins)
+                    e_ids.extend([doc_id] * uniq.size)
+                    e_fps.extend(uniq.tolist())
+                else:
+                    ids.append(doc_id)
+                    grams.append(H.size)
+                    fps.append(np.unique(mins).size)
+                    mn.append(int(mins.min()))
+                    mx.append(int(mins.max()))
+            if exploded:
+                yield pd.DataFrame({"doc_id": e_ids, "fp": e_fps})
+            else:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_grams": grams, "n_fingerprints": fps,
+                     "min_fp": mn, "max_fp": mx}
+                )
+
+    schema = (
+        "doc_id bigint, fp bigint"
+        if exploded
+        else "doc_id bigint, n_grams bigint, n_fingerprints bigint, "
+             "min_fp bigint, max_fp bigint"
+    )
+    return docs.mapInPandas(run, schema)
+
+
+def winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str, *, strategy: str = "arrow"
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (Schleimer et al. SIGMOD'03):
+    exact integer Karp-Rabin hashes of every WIN_K-char gram, winnowed to
+    the per-window minimum. Output: gram/fingerprint counts + min/max
+    fingerprint per doc as the contract columns.
+
+    strategy='arrow' (default): Arrow-batched mapInPandas scorer — O(len)
+    vectorized numpy per doc (the k shifted adds run at memory bandwidth),
+    ~8x less work than the per-gram Catalyst fold; the scale path.
+    strategy='catalyst': pure-JVM higher-order-function formulation
+    (O(len*k) per doc) kept for zero-Python environments and as the
+    cross-check pinned by tests/test_textops_edges.py. Both are
+    byte-identical to the DuckDB oracle."""
     register_sources(spark, sf_dir)
     d = spark.table("documents").filter(F.length("text") >= WIN_K)
+    if strategy == "arrow":
+        return _winnow_batches(d.select("doc_id", "text"), exploded=False)
+    if strategy != "catalyst":
+        raise ValueError(f"unknown winnowing strategy: {strategy}")
     # Materialize char codes ONCE per row: ascii(substring(text, i, 1))
     # inside the gram loop would re-seek the UTF8 string from the start for
     # every character (O(len²·k) total); a char array + slice() is O(len·k).
@@ -543,26 +638,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnowing_fingerprints_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp) rows: each document's DISTINCT winnowing fingerprints."""
+    """(doc_id, fp) rows: each document's DISTINCT winnowing fingerprints
+    (Arrow scorer — same exact arithmetic as winnowing_fingerprints)."""
     register_sources(spark, sf_dir)
     d = spark.table("documents").filter(F.length("text") >= WIN_K)
-    chars = F.expr(
-        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
-    )
-    gram_hashes = F.expr(
-        f"transform(sequence(1, size(ch) - {WIN_K} + 1), i -> "
-        f"aggregate(slice(ch, i, {WIN_K}), CAST(0 AS BIGINT), "
-        f"(acc, c) -> (acc * {WIN_B} + c) % {WIN_P}))"
-    )
-    mins = F.expr(
-        f"transform(sequence(1, greatest(size(gh) - {WIN_W} + 1, 1)), t -> "
-        f"array_min(slice(gh, t, {WIN_W})))"
-    )
-    return (
-        d.select("doc_id", chars.alias("ch"))
-        .select("doc_id", gram_hashes.alias("gh"))
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
-    )
+    return _winnow_batches(d.select("doc_id", "text"), exploded=True)
 
 
 def _winnow_fp_sql() -> str:

@@ -73,15 +73,62 @@ def incremental_oracle() -> str:
 
 
 def streaming_traffic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 streaming variant: drain the events file source (availableNow)
-    through the windowed/watermarked aggregation and foreachBatch merge
-    sink; returns the final target. Rows-only check — approx_count_distinct
-    (HLL) is not SQL-reproducible."""
+    """M5 streaming variant with an EXACT oracle: totals from a windowed
+    count, uniques from the watermarked dropDuplicates -> window-count
+    multi-stateful chain (each visitor survives once per day+page, so the
+    survivor count IS the exact distinct), merged per grain. Replaces the
+    HLL variant in the driver window — approx_count_distinct is not
+    SQL-reproducible; the HLL single-query path stays registered as
+    streaming_traffic_pages_hll (rows-only)."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        traffic_pages_stream_exact,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_")
+    out = traffic_pages_stream_exact(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def streaming_traffic_pages_oracle() -> str:
+    from mycarely_saas_dbt_spark.sources.synthetic import ATOMIC_EVENTS_SQL
+
+    return f"WITH atomic_events AS ({ATOMIC_EVENTS_SQL})" + _O_STREAMING_TP_MAIN
+
+
+_O_STREAMING_TP_MAIN = """
+, filtered AS (
+    SELECT CAST(collector_tstamp AS DATE) AS date,
+           app_id AS company_domain,
+           page_urlpath,
+           domain_userid
+    FROM atomic_events
+    WHERE event = 'page_view'
+      AND refr_medium != 'internal'
+      AND useragent NOT ILIKE '%bot%'
+      AND useragent NOT ILIKE '%spider%'
+      AND useragent NOT ILIKE '%crawl%'
+      AND page_urlpath IS NOT NULL
+)
+SELECT date, company_domain, page_urlpath,
+       COUNT(*) AS total_visits,
+       COUNT(DISTINCT domain_userid) AS unique_visits
+FROM filtered
+GROUP BY date, company_domain, page_urlpath
+"""
+
+
+def streaming_traffic_pages_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-query approximate path (approx_count_distinct, 2% rsd) —
+    the 100 TB default where one stateful operator and an HLL sketch beat
+    the two-query exact chain. Rows-only check: HLL is not
+    SQL-reproducible."""
     from mycarely_saas_dbt_spark.streaming.traffic_stream import (
         traffic_pages_stream,
     )
 
-    root = tempfile.mkdtemp(prefix="mycarely_q_stream_")
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_hll_")
     target = f"{root}/tp_stream"
     q = traffic_pages_stream(spark, sf_dir, target)
     q.awaitTermination(300)
@@ -264,12 +311,13 @@ GROUP BY CAST(ts AS DATE)
 
 def incremental_partitioned_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-batch TP upsert with a DATE-PARTITIONED target
-    (ModelSpec.partition_by): the merge writer lays the table out as
-    date=... directories, so at scale the delete+insert rewrite touches
-    only affected partitions (dynamic partition overwrite / MERGE on a
-    lakehouse) and downstream date filters prune directories
-    (pytest-asserted in tests/test_plan_regression.py). Same final state
-    as the unpartitioned runner — the oracle is shared."""
+    (ModelSpec.partition_by): batch 2 takes the PRUNED merge path — the
+    new batch is staged, the target scan is partition-pruned to the touched
+    dates, and only those date=... directories are swapped (dynamic
+    partition overwrite / MERGE on a lakehouse); untouched partitions are
+    never read or rewritten (byte-identity pytest-asserted in
+    tests/test_incremental.py). Same final state as the unpartitioned
+    runner — the oracle is shared."""
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
     from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
     from mycarely_saas_dbt_spark.sources.registry import register_sources
@@ -554,7 +602,12 @@ def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
     register("incremental_la_two_batch", incremental_la_two_batch, incremental_la_oracle())
-    register("streaming_traffic_pages", streaming_traffic_pages, None)
+    register(
+        "streaming_traffic_pages",
+        streaming_traffic_pages,
+        streaming_traffic_pages_oracle(),
+    )
+    register("streaming_traffic_pages_hll", streaming_traffic_pages_hll, None)
     register("streaming_sessionize", streaming_sessionize, streaming_sessionize_oracle())
     register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)
     register("streaming_dedup", streaming_dedup, O_STREAMING_DEDUP)

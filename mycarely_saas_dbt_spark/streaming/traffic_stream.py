@@ -38,6 +38,42 @@ from mycarely_saas_dbt_spark.sources.synthetic import atomic_events_sql
 GRAIN = ["date", "company_domain", "page_urlpath"]
 
 
+def _merge_upsert_sink(df: DataFrame, target: str, keys: list[str]):
+    """foreachBatch MERGE sink shared by the streaming aggregations:
+    delete+insert by key (Delta MERGE on a real lakehouse; anti-join +
+    atomic swap here). Idempotent under micro-batch replay — re-running a
+    batch re-merges the same keys to the same values."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+        import uuid
+
+        sp = batch_df.sparkSession
+        if os.path.isdir(target):
+            old = sp.read.parquet(target)
+            merged = old.join(
+                batch_df.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = f"{target}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        bak = f"{target}.bak-{uuid.uuid4().hex[:6]}"
+        if os.path.isdir(target):
+            os.rename(target, bak)
+        os.rename(tmp, target)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{target}.checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _repaired_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the raw events with the same *conditional*
     ns->µs repair as the batch registry (registry.load_table): the repair
@@ -112,34 +148,90 @@ def traffic_pages_stream(
         )
     )
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch MERGE: delete+insert by grain key (Delta MERGE on a
-        real lakehouse; anti-join + atomic swap here)."""
-        sp = batch_df.sparkSession
-        if os.path.isdir(target):
-            old = sp.read.parquet(target)
-            merged = old.join(
-                batch_df.select(*GRAIN).distinct(), GRAIN, "left_anti"
-            ).unionByName(batch_df)
-        else:
-            merged = batch_df
-        tmp = f"{target}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil, uuid
+    return _merge_upsert_sink(agg, target, GRAIN)
 
-        bak = f"{target}.bak-{uuid.uuid4().hex[:6]}"
-        if os.path.isdir(target):
-            os.rename(target, bak)
-        os.rename(tmp, target)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
 
+def traffic_pages_stream_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    target_root: str,
+    *,
+    allowed_lateness: str = "1 day",
+) -> DataFrame:
+    """EXACT streaming daily per-page traffic (total + unique visitors).
+
+    ``COUNT(DISTINCT)`` is unsupported in streaming aggregations, so exact
+    uniques use the multi-stateful chain proven in ``dedup_daily_stream``:
+    watermarked ``dropDuplicates`` on (day, grain, visitor) feeding a
+    tumbling-window count — each visitor survives once per (day, page), so
+    counting survivors IS the exact distinct count. Totals come from a plain
+    windowed count over the same scrubbed stream. Both drain availableNow
+    into merge sinks; the grain join afterwards assembles the final table
+    (a left join — a grain whose only visitors are NULL has no uniques row,
+    matching COUNT(DISTINCT)'s null-skip via COALESCE 0).
+
+    Scale: two queries over the source, each one shuffle on the grain; the
+    dedup state is bounded by the watermark (evicted once the day closes).
+    The single-query HLL variant (``traffic_pages_stream``) stays the
+    documented 100 TB default where a 2% rsd is acceptable; this exact
+    variant is the oracle-checkable contract path.
+    """
+    ev = filtered_page_views(events_stream(spark, sf_dir)).select(
+        "collector_tstamp",
+        F.col("app_id").alias("company_domain"),
+        "page_urlpath",
+        "domain_userid",
+    )
+    totals = (
+        ev.withWatermark("collector_tstamp", allowed_lateness)
+        .groupBy(
+            F.window("collector_tstamp", "1 day").alias("w"),
+            "company_domain",
+            "page_urlpath",
+        )
+        .agg(F.count(F.lit(1)).alias("total_visits"))
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "company_domain",
+            "page_urlpath",
+            "total_visits",
+        )
+    )
+    uniq_src = ev.filter(F.col("domain_userid").isNotNull()).select(
+        F.date_trunc("day", F.col("collector_tstamp")).alias("day_ts"),
+        "company_domain",
+        "page_urlpath",
+        "domain_userid",
+    )
+    uniques = (
+        uniq_src.withWatermark("day_ts", allowed_lateness)
+        .dropDuplicates(["day_ts", "company_domain", "page_urlpath", "domain_userid"])
+        .groupBy(
+            F.window("day_ts", "1 day").alias("w"),
+            "company_domain",
+            "page_urlpath",
+        )
+        .agg(F.count(F.lit(1)).alias("unique_visits"))
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "company_domain",
+            "page_urlpath",
+            "unique_visits",
+        )
+    )
+    t_tot = os.path.join(target_root, "totals")
+    t_unq = os.path.join(target_root, "uniques")
+    q1 = _merge_upsert_sink(totals, t_tot, GRAIN)
+    q2 = _merge_upsert_sink(uniques, t_unq, GRAIN)
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
     return (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{target}.checkpoint")
-        .trigger(availableNow=True)
-        .start()
+        spark.read.parquet(t_tot)
+        .join(spark.read.parquet(t_unq), GRAIN, "left")
+        .withColumn(
+            "unique_visits", F.coalesce(F.col("unique_visits"), F.lit(0).cast("long"))
+        )
+        .select(*GRAIN, "total_visits", "unique_visits")
     )
 
 
@@ -222,8 +314,11 @@ def dedup_stream(spark: SparkSession, sf_dir: str, target: str):
     production run bounds it with dropDuplicatesWithinWatermark and a
     lateness budget).
 
-    Sink appends each batch's first-seen rows to parquet; the drained
-    result therefore holds every distinct key exactly once — deterministic
+    Sink writes each batch's first-seen rows into its own
+    ``batch_id=N`` subdirectory with OVERWRITE — idempotent under
+    micro-batch replay after a checkpoint restart (a re-run batch replaces
+    its own directory instead of appending duplicates); readers of the
+    parent directory see every distinct key exactly once — deterministic
     at the key level (which row carried it first is not), so the contract
     aggregates per-user distinct-type counts."""
     ev = raw_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
@@ -232,7 +327,7 @@ def dedup_stream(spark: SparkSession, sf_dir: str, target: str):
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(target)
+        batch_df.write.mode("overwrite").parquet(f"{target}/batch_id={batch_id}")
 
     return (
         deduped.writeStream.outputMode("append")
@@ -287,7 +382,8 @@ def interval_join_stream(spark: SparkSession, sf_dir: str, target: str):
     ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(target)
+        # batch_id-subdir OVERWRITE: replay-idempotent (see dedup_stream)
+        batch_df.write.mode("overwrite").parquet(f"{target}/batch_id={batch_id}")
 
     return (
         joined.writeStream.outputMode("append")

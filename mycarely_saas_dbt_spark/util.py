@@ -5,8 +5,29 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+from collections import deque
 
 from pyspark.sql import DataFrame
+
+# Rotating window of materialize() temp dirs. The driver/bench/pytest
+# consume each materialized result immediately (hash/compare, then move to
+# the next query), so a bounded window caps disk usage over a 141-query
+# session instead of accumulating one copy per call until process exit.
+# Contract: the returned DataFrame stays readable for at least the next
+# _MAT_KEEP materialize() calls — consume promptly.
+_MAT_KEEP = 16
+_MAT_DIRS: deque[str] = deque()
+
+
+def _prune_mat_dirs() -> None:
+    while len(_MAT_DIRS) > _MAT_KEEP:
+        shutil.rmtree(_MAT_DIRS.popleft(), ignore_errors=True)
+
+
+@atexit.register
+def _cleanup_mat_dirs() -> None:
+    while _MAT_DIRS:
+        shutil.rmtree(_MAT_DIRS.popleft(), ignore_errors=True)
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -18,10 +39,12 @@ def materialize(df: DataFrame) -> DataFrame:
     — materializes the entire result in driver memory, which is fine for a
     sf0.01 contract check and an OOM at any real scale. A parquet
     round-trip keeps the copy distributed: executors write, executors read,
-    the driver only brokers metadata. The temp dir lives until process exit
-    (the returned DataFrame reads from it lazily) and is cleaned by atexit.
+    the driver only brokers metadata. Temp dirs are pruned on a rotating
+    window (oldest beyond _MAT_KEEP deleted) and fully cleaned at exit.
     """
     path = tempfile.mkdtemp(prefix="mycarely_mat_")
-    atexit.register(shutil.rmtree, path, True)
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    _MAT_DIRS.append(path)
+    _prune_mat_dirs()
+    return out

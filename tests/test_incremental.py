@@ -138,7 +138,9 @@ def test_idempotent_rerun_and_late_data_drop(spark, target_root):
     runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
     before = runner.read_target("traffic_pages_agg").toPandas()
     stats = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
-    assert stats["mode"] == "incremental"
+    # partitioned target + no new data -> pruned path rewrites 0 partitions
+    assert stats["mode"] == "incremental-pruned"
+    assert stats["partitions_rewritten"] == 0
     after = runner.read_target("traffic_pages_agg").toPandas()
     cols = sorted(before.columns)
     assert before[cols].sort_values(cols, ignore_index=True).equals(
@@ -366,13 +368,18 @@ def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root)
     """After incremental runs fragment the target into shuffle.partitions
     files, compact() must rewrite it to the byte-size-derived file count
     with identical content."""
+    import dataclasses
     import os
 
     from mycarely_saas_dbt_spark import incremental as inc
 
     runner = inc.IncrementalRunner(spark, target_root)
     runner.run(_tp_batch1_spec(), SF_DIR)
-    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    # unpartitioned variant: flat-layout compaction (partitioned layout is
+    # covered by test_compaction_preserves_partition_layout)
+    runner.run(
+        dataclasses.replace(inc.TRAFFIC_PAGES_SPEC, partition_by=[]), SF_DIR
+    )
     path = runner.target_path("traffic_pages_agg")
 
     def parquet_files():
@@ -454,6 +461,137 @@ def test_snapshot_rerun_without_changes_is_noop(spark, target_root):
     assert before[cols].sort_values(cols, ignore_index=True).equals(
         after[cols].sort_values(cols, ignore_index=True)
     )
+
+
+def _file_state(root):
+    """path -> (size, mtime_ns, sha256) for every data file under root."""
+    import hashlib
+    import os
+
+    state = {}
+    for dp, _, fs in os.walk(root):
+        for f in fs:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(dp, f)
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                digest = hashlib.sha256(fh.read()).hexdigest()
+            state[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, digest)
+    return state
+
+
+def test_partitioned_incremental_rewrites_only_touched_partitions(
+    spark, duck, target_root
+):
+    """The 100 TB write-path contract: with a date-partitioned target, an
+    incremental run must swap ONLY the partitions the new batch touches.
+    Every batch-1 partition at or below the watermark stays byte-identical
+    (same files, same content, same mtime — never rewritten, never read for
+    writing), and the final state still matches the delete+insert oracle."""
+    import os
+
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    runner = inc.IncrementalRunner(spark, target_root)
+
+    # batch 1 partitioned (same build slice as _tp_batch1_spec)
+    import dataclasses
+
+    spec1 = dataclasses.replace(
+        inc.TRAFFIC_PAGES_SPEC, build=_tp_batch1_spec().build
+    )
+    runner.run(spec1, SF_DIR)
+    path = runner.target_path("traffic_pages_agg")
+    assert any(d.startswith("date=") for d in os.listdir(path))
+    before = _file_state(path)
+    assert before, "partitioned CTAS wrote no files"
+
+    stats = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    assert stats["mode"] == "incremental-pruned"
+    assert stats["partitions_rewritten"] > 0
+
+    after = _file_state(path)
+    touched_prefix = []
+    for rel, st in before.items():
+        if after.get(rel) != st:
+            touched_prefix.append(rel.split(os.sep)[0])
+    # batch 2 is strictly after the watermark (SPLIT): every pre-existing
+    # file that changed or vanished would be in a date<=SPLIT dir — none may
+    untouched = {
+        rel: st for rel, st in before.items()
+        if rel.split(os.sep)[0] <= f"date={SPLIT}"
+    }
+    for rel, st in untouched.items():
+        assert after.get(rel) == st, f"untouched partition file rewritten: {rel}"
+    # and only the new dates were added
+    new_dirs = {
+        rel.split(os.sep)[0] for rel in after if rel not in before
+    }
+    assert new_dirs and all(d > f"date={SPLIT}" for d in new_dirs), new_dirs
+
+    # final state still equals the delete+insert oracle
+    b1 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'", id_strategy="hash"
+    )
+    b2 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'", id_strategy="hash"
+    )
+    expected = f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+    assert_df_matches_oracle(runner.read_target("traffic_pages_agg"), duck, expected)
+
+
+def test_partitioned_merge_replaces_reemitted_partition_in_place(
+    spark, target_root
+):
+    """Pruned-path delete+insert: when a batch re-emits rows for an existing
+    partition, that partition is rewritten (old rows replaced), while every
+    other partition's files stay byte-identical."""
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    ev = spark.table("events")
+    day = F.col("ts").cast("date").alias("day")
+
+    def b_full(sp, sfd, wm):
+        return ev.groupBy(day).agg(F.count(F.lit(1)).alias("n"))
+
+    redo_day = SPLIT  # re-emit exactly one existing partition, revised
+    def b_redo(sp, sfd, wm):
+        return (
+            ev.filter(F.col("ts").cast("date") == F.lit(redo_day))
+            .groupBy(day)
+            .agg((F.count(F.lit(1)) + 1000).alias("n"))
+        )
+
+    spec = lambda b: ModelSpec("d", "day", "day", b, partition_by=["day"])  # noqa: E731
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(spec(b_full), SF_DIR)
+    path = runner.target_path("d")
+    before = _file_state(path)
+    # watermark is MAX(day); force the incremental branch to accept the
+    # re-emitted old day by running with the build ignoring wm (b_redo does)
+    stats = runner.run(spec(b_redo), SF_DIR)
+    assert stats["mode"] == "incremental-pruned"
+    assert stats["partitions_rewritten"] == 1
+    after = _file_state(path)
+    redo_dir = f"day={redo_day}"
+    for rel, st in before.items():
+        if rel.split(os.sep)[0] == redo_dir:
+            assert after.get(rel) != st or rel not in after
+        else:
+            assert after.get(rel) == st, f"unrelated partition touched: {rel}"
+    out = runner.read_target("d")
+    assert out.filter(F.col("day") == F.lit(redo_day)).first()["n"] > 1000
+    assert out.groupBy("day").count().filter(F.col("count") > 1).count() == 0
 
 
 def test_dag_order_and_la_reads_td_target(spark, target_root):
