@@ -43,11 +43,12 @@ def test_driver_window_covers_llm_pipeline_surface():
 
 
 def test_every_query_has_an_oracle_except_documented_rows_only():
-    """103/105 oracle-checked; the two rows-only entries are justified in
-    SURVEY §8 (HLL streaming distinct is not SQL-reproducible; fake
-    multimodal features are container-stubbed)."""
+    """All but two entries are oracle-checked; the two rows-only entries are
+    justified in SURVEY §8 (HLL streaming distinct is not SQL-reproducible —
+    the exact-uniques variant `streaming_traffic_pages` IS oracle-checked;
+    fake multimodal features are container-stubbed)."""
     from mycarely_saas_dbt_spark.entry import build_oracle_sql, build_queries
 
     qs, os_ = build_queries(), build_oracle_sql()
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"streaming_traffic_pages", "mm_fake_features"}
+    assert rows_only == {"streaming_traffic_pages_hll", "mm_fake_features"}
