@@ -327,21 +327,59 @@ def _sim64_sums(h: str = "h"):
     return cols
 
 
+def _sim64_packed_sums(h: str = "h"):
+    """16 lane-packed bit-count sums — one per md5 hex digit — replacing the
+    64-wide per-bit aggregate. Digit d carries simhash bits 4d..4d+3; each
+    bit's set-count accumulates in its own 16-bit lane of one BIGINT:
+    lane shift 16*(3 - j%4) for bit j. The 16 leading hex digits decode
+    with just two 8-digit `conv` parses (each fits a signed long); nibble
+    extraction is then pure integer shift/mask inside whole-stage codegen
+    (vs 64 substring/conv/when trees before), and the aggregation buffer
+    is 17 columns instead of 65. Lane-safe for docs up to 2^15 tokens
+    (top lane reaches n*2^48 < 2^63); `_sim64_sums` remains the
+    unbounded fallback."""
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    cols = []
+    for d in range(16):
+        word = hi if d < 8 else lo
+        digit = F.shiftright(word, 4 * (7 - d % 8)).bitwiseAND(F.lit(15))
+        pack = (
+            F.shiftright(digit, 3).bitwiseAND(F.lit(1)) * F.lit(1 << 48)
+            + F.shiftright(digit, 2).bitwiseAND(F.lit(1)) * F.lit(1 << 32)
+            + F.shiftright(digit, 1).bitwiseAND(F.lit(1)) * F.lit(1 << 16)
+            + digit.bitwiseAND(F.lit(1))
+        )
+        cols.append(F.sum(pack).alias(f"ps{d}"))
+    return cols
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash split into SIMHASH64_BANDS 16-bit band ints
     (b0..b3) — the fingerprint layout of Manku, Jain & Das Sarma,
-    "Detecting Near-Duplicates for Web Crawling" (WWW'07)."""
+    "Detecting Near-Duplicates for Web Crawling" (WWW'07).
+
+    Bit j of the fingerprint is 1 iff the majority of token md5s have bit
+    j set (strictly: 2*set_count > n_tokens, matching the sign of the
+    +1/-1 weighted sum). Counts come from the lane-packed aggregate
+    (`_sim64_packed_sums`); extraction is (ps_d >> lane) & 0xFFFF."""
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).withColumn("h", F.md5("t"))
-    sums = tok.groupBy("doc_id").agg(*_sim64_sums())
+    sums = tok.groupBy("doc_id").agg(
+        *_sim64_packed_sums(), F.count(F.lit(1)).alias("n_tok")
+    )
     bands = []
     bits_per = SIMHASH64_BITS // SIMHASH64_BANDS
     for b in range(SIMHASH64_BANDS):
         expr = F.lit(0)
         for k in range(bits_per):
             j = b * bits_per + k
-            bit = F.when(F.col(f"s{j}") > 0, 1).otherwise(0)
+            cnt = (
+                F.shiftright(F.col(f"ps{j // 4}"), 16 * (3 - j % 4))
+                .bitwiseAND(F.lit(0xFFFF))
+            )
+            bit = F.when(cnt * 2 > F.col("n_tok"), 1).otherwise(0)
             expr = expr + bit * F.lit(1 << (bits_per - 1 - k))
         bands.append(expr.cast("int").alias(f"b{b}"))
     return sums.select("doc_id", *bands)
