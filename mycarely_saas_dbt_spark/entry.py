@@ -32,9 +32,26 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # shapes inside that window and pushed the entire LLM-pipeline surface
 # (dedup, ANN, text, incremental, streaming) out of it. This explicit
 # priority window pins what the driver verifies: the 3 reference models,
-# the full SURVEY §2 micro-suite, then the highest-value extensions. Every
-# demoted query (TPC-H sweep, OLAP extras, formats) keeps the identical
+# the full SURVEY §2 micro-suite (one slot per §2 row — the window/§2
+# bijection is itself pinned by tests/test_entry_window.py), then the
+# highest-value extensions. Every demoted query (TPC-H sweep, OLAP
+# extras, formats, and the rotations below) keeps the identical
 # DuckDB-oracle compare in tests/test_microqueries.py.
+#
+# Round-4 rotation (VERDICT r3 item 6): `dedup_simhash64` replaces the
+# 16-bit `dedup_simhash` (the 64-bit Hamming-banded variant is the
+# Manku-et-al scale shape; the 16-bit exact-bucket version is its warmup
+# act), and `p09_compound_and` completes the §2 bijection in the slot of
+# `ann_cosine_topk_pandas` (an alternate Arrow-batched implementation of
+# the already-windowed `ann_cosine_topk` — same query, second engine
+# path, so pytest coverage suffices). Still pytest-only by choice:
+# `ann_ivf_kmeans_recall` (a recall-quality metric, not a query shape —
+# its rank-level oracle is weaker than the windowed `ann_ivf_topk` hash
+# compare), `scd2_snapshot_two_batch` (snapshot semantics are a superset
+# of the three windowed incremental_* entries but need multi-minute
+# two-batch materialization the driver window shouldn't pay 4x for), and
+# the `sql_api_*` trio (verbatim re-runs of the three model oracles —
+# the model slots already hash-check the same SQL text).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -49,6 +66,7 @@ DRIVER_WINDOW = [
     "p06_null_predicates",
     "p07_in_list",
     "p08_watermark_subquery",
+    "p09_compound_and",
     "p10_derived_filter",
     "p11_notnull_gate",
     "j01_left_join_const_pred",
@@ -68,13 +86,12 @@ DRIVER_WINDOW = [
     # LLM-data-pipeline surface: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash64",
     "dedup_ngram_jaccard",
     "dedup_cc_clusters",
     # similarity / ANN family
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_cosine_topk_pandas",
     "embedding_neardup",
     # text analysis family
     "text_token_stats",

@@ -214,6 +214,38 @@ WHERE CAST(l_shipdate AS DATE) > (
 """
 
 
+def q_p09_compound_and(spark, sf_dir):
+    """P9: compound AND chain — the reference's full page_view scrub
+    predicate as one conjunction (models/traffic_pages_agg.sql:14-19
+    stacks event = 'page_view' AND refr_medium <> 'internal' AND three
+    NOT ILIKE useragent guards AND a NOT-NULL urlpath). All five
+    conjuncts must reach the parquet scan as pushed filters."""
+    e = _src(spark, sf_dir, "atomic_events")
+    return (
+        e.filter(
+            (F.col("event") == "page_view")
+            & (F.col("refr_medium") != "internal")
+            & ~F.lower("useragent").like("%bot%")
+            & F.col("page_urlpath").isNotNull()
+            & (F.col("domain_userid").isNotNull())
+        )
+        .groupBy("refr_medium")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_P09 = """
+SELECT refr_medium, COUNT(*) AS n
+FROM atomic_events
+WHERE event = 'page_view'
+  AND refr_medium <> 'internal'
+  AND LOWER(useragent) NOT LIKE '%bot%'
+  AND page_urlpath IS NOT NULL
+  AND domain_userid IS NOT NULL
+GROUP BY refr_medium
+"""
+
+
 def q_p10_derived_filter(spark, sf_dir):
     """P10+F6: filter on a CASE-derived column (paid/organic classifier)."""
     from mycarely_saas_dbt_spark.plans.traffic_daily import classify_traffic_type
@@ -1597,6 +1629,7 @@ PAIRS = [
     ("p06_null_predicates", q_p06_null_predicates, O_P06),
     ("p07_in_list", q_p07_in_list, O_P07),
     ("p08_watermark_subquery", q_p08_watermark_subquery, O_P08),
+    ("p09_compound_and", q_p09_compound_and, O_P09),
     ("p10_derived_filter", q_p10_derived_filter, O_P10),
     ("p11_notnull_gate", q_p11_notnull_gate, O_P11),
     ("j01_left_join_const_pred", q_j01_left_join_const_pred, O_J01),
@@ -1643,6 +1676,7 @@ _NEEDS_VIEWS = {
     "p05_not_ilike": ["atomic_events"],
     "p06_null_predicates": ["atomic_events"],
     "p07_in_list": ["atomic_events"],
+    "p09_compound_and": ["atomic_events"],
     "p10_derived_filter": ["atomic_events"],
     "p11_notnull_gate": ["lead_stage_change_events"],
     "j03_join_computed_key": ["atomic_events", "campaign_spends"],

@@ -23,11 +23,13 @@ def test_driver_window_covers_llm_pipeline_surface():
     must_have = {
         # reference models
         "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg",
-        # dedup family
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        # dedup family (r4 rotation: 64-bit Hamming-banded simhash is the
+        # scale shape; the 16-bit variant is pytest-covered)
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64",
         "dedup_ngram_jaccard", "dedup_cc_clusters",
-        # ANN family
-        "ann_cosine_topk", "ann_ivf_topk", "ann_cosine_topk_pandas",
+        # ANN family (r4 rotation: the Arrow-batched alternate scorer of
+        # ann_cosine_topk moved to pytest-only in favour of p09)
+        "ann_cosine_topk", "ann_ivf_topk",
         "embedding_neardup",
         # text analysis
         "text_token_stats", "text_quality", "text_lang_id",
