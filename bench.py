@@ -49,6 +49,9 @@ EXTENSION_QUERIES = [
     "skew_salted_join",
     "dedup_simhash64",
     "text_winnowing",
+    # round 4: PQ-ADC shortlist + exact re-rank (includes its own exact
+    # brute-force recall baseline, so the timing covers both paths)
+    "ann_pq_adc_recall",
 ]
 
 
@@ -79,7 +82,10 @@ def main() -> None:
     # (BENCH_r02 lesson — a single AnalysisException zeroed all 16 timings).
     # Each query is caught individually, its timing/error is flushed to
     # stderr as it completes, and the final JSON line always prints.
-    N_RUNS = 2
+    # 3 runs: this box's wall-clock noise is +/-50% per query run-to-run
+    # (firecracker VM, shared host); min-of-2 let one bad draw distort a
+    # query's number, min-of-3 keeps the artifact comparable across rounds.
+    N_RUNS = 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     names = [n for n in BENCH_QUERIES + EXTENSION_QUERIES if n in qs]
