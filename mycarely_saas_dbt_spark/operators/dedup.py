@@ -641,6 +641,64 @@ FROM reach GROUP BY u
 """
 
 
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the step after clustering that decides
+    WHICH copy of each near-dup cluster survives into the training corpus.
+    Every document gets a cluster (singletons are their own cluster); the
+    canonical member is the longest text (``n_chars`` DESC, doc_id ASC
+    tiebreak) — the usual keep-the-most-complete-copy curation rule.
+
+    Scale shape: the cluster relation is tiny relative to the corpus (only
+    near-dup members appear), so both the membership join and the
+    canonical-map join broadcast; the per-cluster argmax is a map-side
+    partial ``max_by``. Nothing shuffles the corpus itself."""
+    register_sources(spark, sf_dir)
+    clusters = dedup_cc_clusters(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    full = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    canon = full.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b")),
+        ).alias("kept_doc_id")
+    )
+    return full.join(F.broadcast(canon), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "kept_doc_id",
+        (F.col("doc_id") == F.col("kept_doc_id")).alias("keep"),
+    )
+
+
+def _canonical_keep_oracle() -> str:
+    cc = _cc_oracle()
+    return f"""
+WITH cc AS ({cc}),
+cfull AS (
+    SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+canon AS (
+    SELECT cluster_id, doc_id AS kept_doc_id
+    FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM cfull
+    ) r WHERE rn = 1
+)
+SELECT f.doc_id, f.cluster_id, c.kept_doc_id,
+       f.doc_id = c.kept_doc_id AS keep
+FROM cfull f JOIN canon c ON f.cluster_id = c.cluster_id
+"""
+
+
 PAIRS = [
     ("dedup_exact", dedup_exact, O_DEDUP_EXACT),
     ("dedup_minhash_lsh", dedup_minhash_lsh, None),  # oracle built lazily
@@ -657,3 +715,4 @@ def register_queries(register) -> None:
     register("dedup_simhash64", dedup_simhash64, _simhash64_oracle())
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD)
     register("dedup_cc_clusters", dedup_cc_clusters, _cc_oracle())
+    register("dedup_canonical_keep", dedup_canonical_keep, _canonical_keep_oracle())

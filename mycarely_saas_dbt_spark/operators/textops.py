@@ -907,11 +907,82 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id
 """
 
 
+DOMAIN_CAP = 10          # max docs kept per source domain
+DOMAIN_CAP_HEADROOM = 4  # prefilter keeps ~HEADROOM*CAP expected survivors
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_CAP docs per ``source``,
+    chosen by deterministic md5 hash order — the anti-domination guard every
+    web-scale corpus applies so one crawler-friendly domain can't own the
+    training mix.
+
+    Scale shape (the part that matters at 100 TB): a naive
+    ROW_NUMBER-per-domain sorts EVERY doc of a hot domain through one task.
+    Instead the cap is defined as a two-phase sample, and both engines run
+    the same spec so it stays hash-exact:
+      1. PREFILTER (narrow): per-domain counts broadcast back, keep docs
+         whose 32-bit md5 bucket satisfies h * count < HEADROOM*CAP*2^32 —
+         pure integer arithmetic, expected ~HEADROOM*CAP survivors per
+         domain regardless of domain size.
+      2. EXACT RANK (tiny): rank only the survivors per domain by
+         (h, doc_id), keep rank <= CAP — the window now touches ~40 rows
+         per domain, not millions.
+    The (h*count) product assumes count < 2^31 per domain (bigint-safe);
+    shard hotter domains before capping."""
+    register_sources(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = spark.table("documents").select("doc_id", "source")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_dom"))
+    survivors = (
+        docs.withColumn("h", h)
+        .join(F.broadcast(counts), "source")
+        .filter(
+            F.col("h") * F.col("n_dom")
+            < F.lit(DOMAIN_CAP_HEADROOM * DOMAIN_CAP * (1 << 32))
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rank")
+    )
+
+
+O_DOMAIN_CAP = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT AS hv
+    FROM documents
+),
+counts AS (SELECT source, COUNT(*) AS n_dom FROM documents GROUP BY source),
+survivors AS (
+    SELECT h.doc_id, h.source, h.hv
+    FROM h JOIN counts USING (source)
+    WHERE h.hv * counts.n_dom < {DOMAIN_CAP_HEADROOM * DOMAIN_CAP} * (1::BIGINT << 32)
+)
+SELECT doc_id, source, rank FROM (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY hv ASC, doc_id ASC
+           ) AS BIGINT) AS rank
+    FROM survivors
+) r WHERE rank <= {DOMAIN_CAP}
+"""
+
+
 def register_extra(register) -> None:
     register("contamination_check", contamination_check, _contamination_oracle())
     register("corpus_mixture", corpus_mixture, _mixture_oracle())
     register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
     register("lang_id_accuracy", lang_id_accuracy, O_LANG_ID_ACCURACY)
+    register("domain_cap_sample", domain_cap_sample, O_DOMAIN_CAP)
 
 
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
