@@ -598,6 +598,46 @@ GROUP BY user_id
 """
 
 
+def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r4 composition entry: a streaming aggregation whose sink is the
+    partition-pruned incremental merge writer — three hash-sliced
+    micro-batches each upsert their updated grain rows into a
+    date-partitioned target, swapping only touched partition dirs. The
+    final target must equal the plain batch GROUP BY."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        incremental_merge_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_merge_")
+    out = incremental_merge_stream(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def streaming_incremental_merge_oracle() -> str:
+    from mycarely_saas_dbt_spark.sources.synthetic import ATOMIC_EVENTS_SQL
+
+    return f"""
+WITH atomic_events AS ({ATOMIC_EVENTS_SQL}),
+filtered AS (
+    SELECT CAST(collector_tstamp AS DATE) AS date,
+           app_id AS company_domain,
+           page_urlpath
+    FROM atomic_events
+    WHERE event = 'page_view'
+      AND refr_medium != 'internal'
+      AND useragent NOT ILIKE '%bot%'
+      AND useragent NOT ILIKE '%spider%'
+      AND useragent NOT ILIKE '%crawl%'
+      AND page_urlpath IS NOT NULL
+)
+SELECT date, company_domain, page_urlpath, COUNT(*) AS total_visits
+FROM filtered
+GROUP BY date, company_domain, page_urlpath
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
@@ -626,4 +666,9 @@ def register_queries(register) -> None:
     register("streaming_dedup_daily", streaming_dedup_daily, O_STREAMING_DEDUP_DAILY)
     register(
         "streaming_interval_join", streaming_interval_join, O_STREAMING_INTERVAL_JOIN
+    )
+    register(
+        "streaming_incremental_merge",
+        streaming_incremental_merge,
+        streaming_incremental_merge_oracle(),
     )

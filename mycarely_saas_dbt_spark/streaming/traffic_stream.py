@@ -626,3 +626,108 @@ def late_drop_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFram
     )
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# streaming -> partition-pruned incremental merge (the r4 write path, live)
+# --------------------------------------------------------------------------
+
+def incremental_merge_stream(
+    spark: SparkSession, sf_dir: str, workdir: str, n_slices: int = 3
+) -> DataFrame:
+    """Streaming aggregation sunk through the PARTITION-PRUNED incremental
+    merge writer — the production shape where micro-batches land in a
+    date-partitioned 100 TB table and each commit rewrites only the date
+    partitions that batch touched.
+
+    The source is staged into ``n_slices`` TIME-ORDERED files consumed one
+    per micro-batch (maxFilesPerTrigger=1) — realistic arrival order, so
+    the 1-day watermark never drops a row (a batch's rows always belong to
+    day-windows ending after the previous batch's watermark). The time
+    cuts fall mid-day, so boundary days straddle two batches and their
+    partitions get a REAL update-merge, not just an insert: the streaming
+    agg re-emits updated grain rows (update mode), the sink
+    surrogate-keys them and hands them to
+    ``IncrementalRunner._partitioned_merge_write`` — stage, prune the
+    target scan to touched partitions, delete+insert by key, swap only
+    those partition dirs. Idempotent under micro-batch replay (same keys
+    re-merge to the same values). Oracle: the plain batch GROUP BY over
+    all events.
+    """
+    from mycarely_saas_dbt_spark.functions.dialect import surrogate_key
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    cuts = [lo + span * i / n_slices for i in range(1, n_slices)]
+    bounds = [None, *cuts, None]
+    for i in range(n_slices):
+        sl = ev
+        if bounds[i] is not None:
+            sl = sl.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            sl = sl.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        tmp = os.path.join(workdir, f"tmp{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    for f in raw.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            raw = raw.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    raw.createOrReplaceTempView("merge_stream_raw")
+    ev_stream = spark.sql(atomic_events_sql("merge_stream_raw"))
+    totals = (
+        filtered_page_views(ev_stream)
+        .withWatermark("collector_tstamp", "1 day")
+        .groupBy(
+            F.window("collector_tstamp", "1 day").alias("w"),
+            F.col("app_id").alias("company_domain"),
+            "page_urlpath",
+        )
+        .agg(F.count(F.lit(1)).alias("total_visits"))
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "company_domain",
+            "page_urlpath",
+            "total_visits",
+        )
+    )
+
+    runner = IncrementalRunner(spark, os.path.join(workdir, "tgt"))
+    spec = ModelSpec(
+        "stream_tp_totals", "id", "date", build=None, partition_by=["date"]
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.withColumn(
+            "id", surrogate_key("date", "company_domain", "page_urlpath")
+        )
+        if runner.target_exists(spec.name):
+            runner._partitioned_merge_write(
+                spec, runner.read_target(spec.name), new
+            )
+        else:
+            runner._atomic_write(spec, new)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return runner.read_target(spec.name).select(
+        "date", "company_domain", "page_urlpath", "total_visits"
+    )

@@ -55,3 +55,42 @@ def test_traffic_pages_stream_matches_batch(spark, tmp_path):
 
     shutil.rmtree(target, ignore_errors=True)
     shutil.rmtree(f"{target}.checkpoint", ignore_errors=True)
+
+
+def test_incremental_merge_stream_partitioned_layout(spark, tmp_path):
+    """The streaming->incremental-merge sink must land a date-partitioned
+    target (date=... leaf dirs) built across MULTIPLE micro-batches, and
+    its content must equal the batch aggregation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        incremental_merge_stream,
+    )
+    from mycarely_saas_dbt_spark.plans.traffic_pages import filtered_page_views
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    workdir = str(tmp_path / "merge_stream")
+    got = incremental_merge_stream(spark, "/root/testdata/sf0.001", workdir)
+    rows = {tuple(r) for r in got.collect()}
+
+    tgt = os.path.join(workdir, "tgt", "stream_tp_totals")
+    parts = [d for d in os.listdir(tgt) if d.startswith("date=")]
+    assert len(parts) > 1, "target must be date-partitioned"
+    # three source slices -> at least three micro-batches committed
+    # (availableNow may append a final watermark-flush batch)
+    ckpt_commits = os.listdir(os.path.join(workdir, "ckpt", "commits"))
+    assert len([c for c in ckpt_commits if not c.startswith(".")]) >= 3
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    batch = (
+        filtered_page_views(spark.table("atomic_events"))
+        .groupBy(
+            F.col("collector_tstamp").cast("date").alias("date"),
+            F.col("app_id").alias("company_domain"),
+            "page_urlpath",
+        )
+        .agg(F.count(F.lit(1)).alias("total_visits"))
+    )
+    assert rows == {tuple(r) for r in batch.collect()}
