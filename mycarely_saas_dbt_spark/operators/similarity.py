@@ -495,10 +495,10 @@ def _pq_codebooks(e: DataFrame) -> DataFrame:
     )
 
 
-def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + ADC top-k (Jegou, Douze & Schmid, "Product Quantization for
-    Nearest Neighbor Search", TPAMI 2011), graded by a recall contract
-    against the exact brute-force top-k.
+    Nearest Neighbor Search", TPAMI 2011): the (qid, vid) top-k pipeline;
+    ``ann_pq_adc_recall`` grades it with a recall contract.
 
     Scale shape (the 100 TB similarity path):
       * ENCODE (one narrow pass + one map-side-combinable shuffle of
@@ -619,11 +619,17 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid", cosine("qe", "ve", "qn", "vn").alias("cos"))
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
-    pq_topk = (
+    return (
         reranked.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "vid")
     )
+
+
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k contract for ``pq_adc_topk`` vs the exact brute-force
+    top-k (same grading pattern as ``ann_ivf_kmeans_recall``)."""
+    pq_topk = pq_adc_topk(spark, sf_dir)
     exact = ann_cosine_topk(spark, sf_dir).select("qid", "vid")
     hits = pq_topk.join(exact, ["qid", "vid"]).count()
     total = exact.count()

@@ -117,3 +117,53 @@ def test_embedding_neardup_pairs_join_is_bucketed(spark):
     assert re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*cid", plan
     ), plan
+
+
+def test_simhash64_aggregation_buffer_is_lane_packed(spark):
+    """The r4 lane-packed simhash64 must aggregate 16 packed BIGINT sums
+    (+ n_tok), not 64 per-bit columns, and candidate generation stays an
+    equi-join (no cross product)."""
+    from mycarely_saas_dbt_spark.operators.dedup import dedup_simhash64, simhash64
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    agg_plan = _plan(simhash64(spark.table("documents")))
+    assert "ps0" in agg_plan and "ps15" in agg_plan, agg_plan
+    assert "s63" not in agg_plan, agg_plan  # old 64-wide buffer resurrected
+    pair_plan = _plan(dedup_simhash64(spark, SF_DIR))
+    assert "CartesianProduct" not in pair_plan, pair_plan
+
+
+def test_pq_adc_scoring_joins_codes_not_raw_vectors(spark):
+    """PQ-ADC must broadcast the tiny query distance tables (the corpus
+    side never shuffles for scoring) and keep the exact re-rank confined
+    to the shortlist join — no SortMergeJoin anywhere in the pipeline."""
+    from mycarely_saas_dbt_spark.operators.similarity import pq_adc_topk
+
+    plan = _plan(pq_adc_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # codes x broadcast dtabs
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_cap_window_runs_on_prefiltered_survivors(spark):
+    """The per-domain cap must rank only hash-prefiltered survivors: the
+    window's input must carry the h*count prefilter (pushed before the
+    rank), and the per-domain counts must broadcast."""
+    from mycarely_saas_dbt_spark.operators.textops import domain_cap_sample
+
+    plan = _plan(domain_cap_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the prefilter predicate must appear below the Window in the plan
+    win_at = plan.index("Window")
+    assert "171798691840" in plan[win_at:], plan  # 4*CAP*2^32 literal
+
+
+def test_canonical_keep_broadcasts_cluster_maps(spark):
+    """Canonical selection must broadcast the (tiny) cluster relation and
+    canonical map — the corpus-side documents scan never shuffles."""
+    from mycarely_saas_dbt_spark.operators.dedup import dedup_canonical_keep
+
+    plan = _plan(dedup_canonical_keep(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
