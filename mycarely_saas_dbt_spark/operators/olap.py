@@ -1031,6 +1031,91 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_rollup_multires(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour → day → month rollup
+    where each coarser level re-aggregates the FINER level's partials,
+    never the raw events (count/sum/min/max are re-aggregation-closed;
+    exact distinct is not — that path is `hll_sketch_rollup`). The oracle
+    computes every level directly from raw, so a hash match PROVES the
+    re-aggregation algebra.
+
+    Scale: this is the incremental-refresh shape for a 100 TB event log —
+    the hourly layer is the only scan of raw data; day/month read
+    ~24x/~720x fewer rows. Money-sum determinism: values fold to integer
+    cents (FLOOR(value*100)) before summation, so the hierarchical double
+    addition cannot round differently from the oracle's direct sum."""
+    ev = _src(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+
+    def _coarsen(df, unit):
+        return (
+            df.groupBy(
+                F.date_trunc(unit, "bucket").alias("bucket"), "event_type"
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+
+    daily = _coarsen(hourly, "day")
+    monthly = _coarsen(daily, "month")
+    out_cols = ["grain", "bucket_s", "event_type",
+                "n_events", "sum_cents", "min_cents", "max_cents"]
+
+    def _label(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            epoch_seconds("bucket").alias("bucket_s"),
+            "event_type", "n_events", "sum_cents", "min_cents", "max_cents",
+        ).select(*out_cols)
+
+    return (
+        _label(hourly, "hour")
+        .unionByName(_label(daily, "day"))
+        .unionByName(_label(monthly, "month"))
+    )
+
+
+O_ROLLUP_MULTIRES = """
+WITH base AS (
+    SELECT ts, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+lvl AS (
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type, cents FROM base
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type, cents FROM base
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts), event_type, cents FROM base
+)
+SELECT grain,
+       CAST(FLOOR(epoch(bucket)) AS BIGINT) AS bucket_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM lvl
+GROUP BY grain, bucket, event_type
+"""
+
+
 PAIRS = [
     ("win_lag_lead", q_win_lag_lead, O_WIN_LAG_LEAD),
     ("win_running", q_win_running, O_WIN_RUNNING),
@@ -1057,6 +1142,7 @@ PAIRS = [
     ("set_ops", q_set_ops, O_SET_OPS),
     ("date_scaffold_gapfill", q_date_scaffold, O_DATE_SCAFFOLD),
     ("win_first_last_nth", q_win_first_last, O_WIN_FIRST_LAST),
+    ("rollup_multires", q_rollup_multires, O_ROLLUP_MULTIRES),
 ]
 
 
