@@ -977,7 +977,70 @@ SELECT doc_id, source, rank FROM (
 """
 
 
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction by a TF-IDF-style score kept in
+    EXACT INTEGER arithmetic so the cross-engine compare is bit-stable:
+    score = floor(tf * SCALE / df) — term frequency in the doc over
+    document frequency in the corpus (floats and ln() would differ in
+    ulps between engines and flip rank ties; integer division cannot).
+    Top TFIDF_TOP_K terms per doc, ties broken (score DESC, tf DESC,
+    term ASC).
+
+    Scale shape: one (doc_id, term) count shuffle (map-side combinable),
+    a per-term df aggregate joined back BY TERM (df relation ~vocabulary
+    size, bounded and broadcastable after the aggregate), then a per-doc
+    top-k window over ~distinct-terms-per-doc rows — never the corpus."""
+    register_sources(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = spark.table("documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf", "df",
+        F.floor(F.col("tf") * TFIDF_SCALE / F.col("df")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+O_TFIDF = f"""
+WITH tf AS (
+    SELECT doc_id, t AS term, COUNT(*) AS tf
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    GROUP BY doc_id, t
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(FLOOR(tf.tf * {TFIDF_SCALE} / df.df) AS BIGINT) AS score
+    FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tf DESC, term ASC
+    ) AS BIGINT) AS rank
+    FROM scored
+) r WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def register_extra(register) -> None:
+    register("tfidf_keywords", tfidf_keywords, O_TFIDF)
     register("contamination_check", contamination_check, _contamination_oracle())
     register("corpus_mixture", corpus_mixture, _mixture_oracle())
     register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
