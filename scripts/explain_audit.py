@@ -36,6 +36,13 @@ AUDIT = [
     "chunk_packing",
     "text_gopher_quality",
     "text_pii_scrub",
+    # round 4 additions
+    "dedup_simhash64",
+    "dedup_canonical_keep",
+    "domain_cap_sample",
+    "tfidf_keywords",
+    "rollup_multires",
+    "p09_compound_and",
 ]
 
 
