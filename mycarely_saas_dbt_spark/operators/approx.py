@@ -139,10 +139,112 @@ GROUP BY l_returnflag
 """
 
 
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 256    # buckets per row
+CMS_TOP_K = 10
+
+
+def _cms_bucket(row: int, key: str):
+    """Portable 32-bit md5 bucket for CMS row ``row`` — identical integer
+    arithmetic in Spark and DuckDB (the repo-standard md5 trick)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(row)), F.col(key).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) with
+    the MERGEABILITY proof baked in: the sketch is built as the SUM of two
+    half-sketches (even/odd event_id slices) — counters are linear, so the
+    merged sketch must equal a single-pass sketch, and the oracle builds
+    it single-pass. Point estimate for key u = min over depth rows of
+    counter[row][bucket_row(u)]; CMS guarantees est >= exact (one-sided),
+    surfaced as `overestimates` (always true on a correct sketch).
+
+    Scale shape: the sketch is DEPTH x WIDTH = 1024 integer counters
+    regardless of stream size — each slice's build is one map-side
+    combinable groupBy on (row, bucket); merging shards/windows is
+    counter addition (the same algebra the rollup/HLL entries prove).
+    Estimates for the exact top-k keys join the top-k relation (tiny,
+    broadcast) against the 1024-row sketch."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    ev = spark.table("events").select("event_id", F.col("user_id").cast("string").alias("u"))
+
+    def half_sketch(pred):
+        rows = ev.filter(pred).select(
+            F.posexplode(
+                F.array(*[_cms_bucket(r, "u") for r in range(CMS_DEPTH)])
+            ).alias("row", "bucket")
+        )
+        return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    even = half_sketch(F.pmod("event_id", F.lit(2)) == 0)
+    odd = half_sketch(F.pmod("event_id", F.lit(2)) == 1)
+    sketch = (
+        even.unionByName(odd)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+    exact = ev.groupBy("u").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(F.col("exact_n").desc(), F.col("u").asc()).limit(CMS_TOP_K)
+    probes = topk.select(
+        "u", "exact_n",
+        F.posexplode(
+            F.array(*[_cms_bucket(r, "u") for r in range(CMS_DEPTH)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row", "bucket"])
+        .groupBy("u", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "u", "exact_n", "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
+        )
+    )
+
+
+def _cms_bucket_sql(row: int, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{row}_' || CAST({key} AS STRING)), 1, 8))::BIGINT"
+        f" % {CMS_WIDTH})"
+    )
+
+
+O_CMS_HEAVY_HITTERS = f"""
+WITH ev AS (SELECT CAST(user_id AS STRING) AS u FROM events),
+buckets AS (
+    {" UNION ALL ".join(f"SELECT u, {r} AS row, {_cms_bucket_sql(r, 'u')} AS bucket FROM ev" for r in range(CMS_DEPTH))}
+),
+sketch AS (SELECT row, bucket, COUNT(*) AS c FROM buckets GROUP BY row, bucket),
+exact AS (SELECT u, COUNT(*) AS exact_n FROM ev GROUP BY u),
+topk AS (SELECT u, exact_n FROM exact ORDER BY exact_n DESC, u ASC LIMIT {CMS_TOP_K}),
+probes AS (
+    {" UNION ALL ".join(f"SELECT u, exact_n, {r} AS row, {_cms_bucket_sql(r, 'u')} AS bucket FROM topk" for r in range(CMS_DEPTH))}
+)
+SELECT p.u, p.exact_n, MIN(s.c) AS cms_est,
+       MIN(s.c) >= p.exact_n AS overestimates
+FROM probes p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.u, p.exact_n
+"""
+
+
 PAIRS = [
     ("approx_distinct_daily", q_approx_distinct_daily, O_APPROX_DISTINCT_DAILY),
     ("hll_sketch_rollup", q_hll_sketch_rollup, O_HLL_SKETCH_ROLLUP),
     ("approx_percentile_tol", q_approx_percentile_tol, O_APPROX_PERCENTILE_TOL),
+    ("cms_heavy_hitters", q_cms_heavy_hitters, O_CMS_HEAVY_HITTERS),
 ]
 
 
