@@ -1701,7 +1701,7 @@ def register_all(register) -> None:
         similarity,
         textops,
     )
-    from mycarely_saas_dbt_spark.sources import bucketing, formats
+    from mycarely_saas_dbt_spark.sources import bucketing, formats, zorder
 
     olap.register_queries(register)
     joins.register_queries(register)
@@ -1710,6 +1710,7 @@ def register_all(register) -> None:
     semistructured.register_queries(register)
     formats.register_queries(register)
     bucketing.register_queries(register)
+    zorder.register_queries(register)
     textops.register_queries(register)
     textops.register_extra(register)
     dedup.register_queries(register)
