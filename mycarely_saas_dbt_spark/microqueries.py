@@ -627,6 +627,102 @@ SELECT flag, 'unique' AS type, unique_orders AS metric FROM agg
 # F series — scalar functions & expressions
 # --------------------------------------------------------------------------
 
+def q_f_datetime_suite(spark, sf_dir):
+    """Datetime function parity, value-by-value on a deterministic order
+    sample: extract family (year/quarter/month/day/dayofyear/ISO week),
+    day-of-week (Spark's 1=Sunday convention shifted to DuckDB's
+    0=Sunday), last_day, month truncation, add_months, and day-diff vs a
+    fixed anchor. Row-wise outputs so a single function regressing on a
+    single date flips the hash."""
+    o = _src(spark, sf_dir, "orders").filter(F.pmod("o_orderkey", F.lit(97)) == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sun0"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_95"
+        ),
+    )
+
+
+O_F_DATETIME = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+       CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+       CAST(EXTRACT(day FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_sun0,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3m,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days_since_95
+FROM orders
+WHERE o_orderkey % 97 = 0
+"""
+
+
+def q_f_string_suite(spark, sf_dir):
+    """String function parity, value-by-value on a deterministic customer
+    sample: length/case/trim family, pad, reverse, substring, locate,
+    replace, translate, repeat, left/right slices, split+element,
+    levenshtein vs a constant, regexp_extract/replace. Row-wise so one
+    function regressing on one value flips the hash."""
+    c = _src(spark, sf_dir, "customer").filter(F.pmod("c_custkey", F.lit(53)) == 0)
+    s = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        s.alias("s"),
+        F.length(s).cast("long").alias("len"),
+        F.upper(s).alias("up"),
+        F.ltrim(F.rtrim(s)).alias("trimmed"),
+        F.lpad(s, 25, "*").alias("padded"),
+        F.reverse(s).alias("rev"),
+        F.substring(s, 10, 5).alias("sub"),
+        F.locate("#", s).cast("long").alias("hash_at"),
+        F.regexp_replace(s, "[0-9]", "").alias("no_digits"),
+        F.translate(s, "Ceo", "XYZ").alias("translated"),
+        F.repeat(F.substring(s, 1, 2), 3).alias("repeated"),
+        F.split(s, "#").getItem(1).alias("after_hash"),
+        F.levenshtein(s, F.lit("Customer#000000000")).cast("long").alias("lev"),
+        F.regexp_extract(s, "([0-9]+)$", 1).alias("digits"),
+    )
+
+
+O_F_STRING = """
+SELECT c_custkey,
+       c_name AS s,
+       CAST(length(c_name) AS BIGINT) AS len,
+       upper(c_name) AS up,
+       ltrim(rtrim(c_name)) AS trimmed,
+       lpad(c_name, 25, '*') AS padded,
+       reverse(c_name) AS rev,
+       substr(c_name, 10, 5) AS sub,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_at,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS no_digits,
+       translate(c_name, 'Ceo', 'XYZ') AS translated,
+       repeat(substr(c_name, 1, 2), 3) AS repeated,
+       string_split(c_name, '#')[2] AS after_hash,
+       CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS lev,
+       COALESCE(regexp_extract(c_name, '([0-9]+)$', 1), '') AS digits
+FROM customer
+WHERE c_custkey % 53 = 0
+"""
+
+
 def q_f_scalar_suite(spark, sf_dir):
     """F1-F9 in one projection over atomic_events: COALESCE, 2-arg and
     variadic NVL, NULLIF guard, LOWER, CASE, casts, surrogate key,
@@ -1646,6 +1742,8 @@ PAIRS = [
     ("w02_argmax_per_group", q_w02_argmax_per_group, O_W02),
     ("u01_unpivot", q_u01_unpivot, O_U01),
     ("f_scalar_suite", q_f_scalar_suite, O_F),
+    ("f_datetime_suite", q_f_datetime_suite, O_F_DATETIME),
+    ("f_string_suite", q_f_string_suite, O_F_STRING),
     ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
     ("tpch_q3", q_tpch_q3, O_TPCH_Q3),
     ("tpch_q5", q_tpch_q5, O_TPCH_Q5),
