@@ -638,6 +638,35 @@ GROUP BY date, company_domain, page_urlpath
 """
 
 
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r4: streaming CMS — per-micro-batch partial sketches land in
+    batch_id-named dirs (replay overwrites its own dir: exactly-once
+    without a transactional store), folded to the final sketch at read.
+    Must equal the oracle's single-pass batch sketch — the streaming half
+    of the CMS mergeability proof."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import cms_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_cms_")
+    out = cms_stream(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def streaming_cms_oracle() -> str:
+    from mycarely_saas_dbt_spark.operators.approx import CMS_DEPTH, _cms_bucket_sql
+
+    buckets = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_bucket_sql(r, 'u')} AS bucket FROM ev"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS STRING) AS u FROM events),
+buckets AS ({buckets})
+SELECT row, bucket, COUNT(*) AS c FROM buckets GROUP BY row, bucket
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
@@ -672,3 +701,4 @@ def register_queries(register) -> None:
         streaming_incremental_merge,
         streaming_incremental_merge_oracle(),
     )
+    register("streaming_cms_sketch", streaming_cms_sketch, streaming_cms_oracle())

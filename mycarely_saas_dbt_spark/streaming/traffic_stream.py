@@ -731,3 +731,76 @@ def incremental_merge_stream(
     return runner.read_target(spec.name).select(
         "date", "company_domain", "page_urlpath", "total_visits"
     )
+
+
+# --------------------------------------------------------------------------
+# streaming count-min sketch (additive state, exactly-once via batch dirs)
+# --------------------------------------------------------------------------
+
+def cms_stream(spark: SparkSession, sf_dir: str, workdir: str, n_slices: int = 3):
+    """Streaming count-min sketch: each micro-batch computes its own
+    DEPTH x WIDTH partial sketch and writes it to a batch_id-named subdir
+    — a replayed batch OVERWRITES its own dir instead of appending, so
+    the sink is exactly-once without a transactional store (the additive
+    merge that would double-count on replay is deferred to read time,
+    where summing per-batch partials is linear-counter algebra). The
+    read-back folds all partials into the final sketch, which must equal
+    the oracle's single-pass batch sketch — the streaming half of the
+    mergeability proof in `cms_heavy_hitters`.
+
+    Scale: per-batch state is 1024 counters regardless of stream volume;
+    the fold at read is a groupBy over n_batches x 1024 tiny rows."""
+    from mycarely_saas_dbt_spark.operators.approx import (
+        CMS_DEPTH,
+        _cms_bucket,
+    )
+
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("u")
+    )
+    for i in range(n_slices):
+        sl = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_slices)) == i)
+        tmp = os.path.join(workdir, f"tmp{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = os.path.join(workdir, "sketch")
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.select(
+                F.posexplode(
+                    F.array(*[_cms_bucket(r, "u") for r in range(CMS_DEPTH)])
+                ).alias("row", "bucket")
+            )
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # exactly-once: the batch's dir is its identity — replay overwrites
+        partial.write.mode("overwrite").parquet(
+            os.path.join(target, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(write_partial)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
