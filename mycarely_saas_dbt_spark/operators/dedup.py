@@ -146,13 +146,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()  # reused by the doc-set, intersection, and final joins
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Verify only the docs that appear in some candidate pair: broadcast
+    # the (tiny) candidate doc set and semi-restrict the shingle relation
+    # before the shingle-equality join — at 100 TB the full corpus's
+    # shingles never enter the verify stage.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        candidates.join(sh_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sh.alias("sb"),
+            sh_c.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.s") == F.col("sb.s")),
         )
