@@ -1039,8 +1039,72 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 """
 
 
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix report — the composition a 100 TB corpus
+    build actually runs, with every stage an already-oracle-checked
+    operator:
+
+      1. near-dup removal — keep each cluster's canonical doc
+         (`dedup_canonical_keep`: MinHash-LSH → connected components →
+         longest-copy selection);
+      2. quality gate — Gopher repetition/shape filters
+         (`gopher_quality`);
+      3. anti-domination — the per-source document cap
+         (`domain_cap_sample`).
+
+    The three gates are evaluated independently and intersected (a
+    production build would usually sequence them — cap after filtering —
+    but independent gates keep the cross-engine oracle compositional and
+    each stage separately attributable). Output: docs and whitespace
+    tokens per (source, lang) — the mix table a sampler consumes.
+
+    Scale shape: each gate reduces to a doc_id keep-list (bounded:
+    cluster members / quality failures / ≤CAP·n_domains rows), so the
+    final pass is the documents scan joined against three BROADCAST
+    keep-lists — the corpus shuffles only inside the gates that need it.
+    """
+    from mycarely_saas_dbt_spark.operators.dedup import dedup_canonical_keep
+
+    keep_dedup = (
+        dedup_canonical_keep(spark, sf_dir).filter("keep").select("doc_id")
+    )
+    keep_quality = (
+        gopher_quality(spark, sf_dir).filter("passes_gopher").select("doc_id")
+    )
+    keep_cap = domain_cap_sample(spark, sf_dir).select("doc_id")
+    docs = spark.table("documents")
+    return (
+        docs.join(F.broadcast(keep_dedup), "doc_id")
+        .join(F.broadcast(keep_quality), "doc_id")
+        .join(F.broadcast(keep_cap), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_toks())).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _training_mix_oracle() -> str:
+    from mycarely_saas_dbt_spark.operators.dedup import _canonical_keep_oracle
+
+    return f"""
+WITH canon AS ({_canonical_keep_oracle()}),
+gq AS ({O_GOPHER}),
+cap AS ({O_DOMAIN_CAP})
+SELECT d.source, d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN canon ON d.doc_id = canon.doc_id AND canon.keep
+JOIN gq ON d.doc_id = gq.doc_id AND gq.passes_gopher
+JOIN cap ON d.doc_id = cap.doc_id
+GROUP BY d.source, d.lang
+"""
+
+
 def register_extra(register) -> None:
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
+    register("training_mix_pipeline", training_mix_pipeline, _training_mix_oracle())
     register("contamination_check", contamination_check, _contamination_oracle())
     register("corpus_mixture", corpus_mixture, _mixture_oracle())
     register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
