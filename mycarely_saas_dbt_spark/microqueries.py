@@ -1809,6 +1809,9 @@ def register_all(register) -> None:
     formats.register_queries(register)
     bucketing.register_queries(register)
     zorder.register_queries(register)
+    from mycarely_saas_dbt_spark.functions import udtfs
+
+    udtfs.register_queries(register)
     textops.register_queries(register)
     textops.register_extra(register)
     dedup.register_queries(register)
