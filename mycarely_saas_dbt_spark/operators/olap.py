@@ -1031,6 +1031,67 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_grouped_trend(spark, sf_dir):
+    """Grouped-map ``applyInPandas`` (the batch per-group escape hatch —
+    the one pandas-API shape the winnowing/ANN mapInPandas entries don't
+    cover): per-user OLS slope of daily spend over day-of-month, computed
+    inside an Arrow batch per group with numpy.
+
+    Exactness contract: the slope is the closed form
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) evaluated from EXACT integer sums
+    (x = day-of-month ≤ 31, y = integer cents — every product stays far
+    below 2^53), so the one double division is bit-identical to the
+    oracle's SQL arithmetic. Degenerate groups (single day: zero
+    denominator) return NULL in both engines.
+
+    Scale: one shuffle on user_id; each group is a small Arrow batch.
+    The same formula is expressible as a plain aggregation (the oracle
+    shows it) — applyInPandas earns its cost only when the per-group
+    logic outgrows SQL (iterative fits, model scoring); this entry pins
+    the plumbing either way."""
+    import pandas as pd
+
+    ev = _src(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.dayofmonth("ts").cast("long").alias("day")
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+
+    schema = "user_id bigint, n_days bigint, slope_cents_per_day double"
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        x = pdf["day"].astype("int64")
+        y = pdf["cents"].astype("int64")
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den != 0 else None
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n_days": [n],
+             "slope_cents_per_day": [slope]}
+        )
+
+    return daily.groupBy("user_id").applyInPandas(fit, schema)
+
+
+O_GROUPED_TREND = """
+WITH daily AS (
+    SELECT user_id, CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id, EXTRACT(day FROM ts)
+)
+SELECT user_id, COUNT(*) AS n_days,
+       CASE WHEN COUNT(*) * SUM(day * day) - SUM(day) * SUM(day) = 0 THEN NULL
+            ELSE CAST(COUNT(*) * SUM(day * cents) - SUM(day) * SUM(cents) AS DOUBLE)
+                 / (COUNT(*) * SUM(day * day) - SUM(day) * SUM(day))
+       END AS slope_cents_per_day
+FROM daily GROUP BY user_id
+"""
+
+
 def q_rollup_multires(spark, sf_dir):
     """Hypertable-style continuous aggregate: hour → day → month rollup
     where each coarser level re-aggregates the FINER level's partials,
@@ -1143,6 +1204,7 @@ PAIRS = [
     ("date_scaffold_gapfill", q_date_scaffold, O_DATE_SCAFFOLD),
     ("win_first_last_nth", q_win_first_last, O_WIN_FIRST_LAST),
     ("rollup_multires", q_rollup_multires, O_ROLLUP_MULTIRES),
+    ("grouped_trend_pandas", q_grouped_trend, O_GROUPED_TREND),
 ]
 
 
