@@ -644,6 +644,106 @@ SELECT CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact, TRUE AS recall_ok
 """
 
 
+# ---------------------------------------------------------------------------
+# kNN label propagation / classifier eval over the embedding space
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_EVAL_MOD = 7   # every 7th vector is an eval query (deterministic split)
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification eval over the embeddings' ``label`` column:
+    every 7th vector is a held-out query, its label predicted by the
+    majority vote of its K nearest train-side neighbors (cosine), ties
+    broken toward the smaller label id; output is the per-true-label
+    confusion summary (n_eval, n_correct) — all integers, so the eval is
+    hash-exact despite float similarity scores.
+
+    Scale shape: same as brute-force top-k — the (small) eval side rides
+    a broadcast against the train corpus, one narrow scoring pass, then
+    a per-query top-k window over K·|eval| rows; the vote and confusion
+    rollup are map-side-combinable aggregations. At real scale the
+    scoring pass swaps to the IVF/PQ candidate generation unchanged."""
+    register_sources(spark, sf_dir)
+    e = _with_norm(spark.table("embeddings"))
+    test = e.filter(F.pmod("vec_id", F.lit(KNN_EVAL_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("true_label"),
+    )
+    train = e.filter(F.pmod("vec_id", F.lit(KNN_EVAL_MOD)) != 0).select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ve"),
+        F.col("nrm").alias("vn"),
+        F.col("label").alias("nbr_label"),
+    )
+    scored = F.broadcast(test).join(train, F.lit(True)).select(
+        "qid", "true_label", "vid", "nbr_label",
+        cosine("qe", "ve", "qn", "vn").alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .groupBy("qid", "true_label", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    pred = votes.groupBy("qid", "true_label").agg(
+        F.max_by(
+            "nbr_label",
+            F.struct(F.col("n_votes").alias("a"), (-F.col("nbr_label")).alias("b")),
+        ).alias("pred_label")
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+
+
+O_KNN_EVAL = f"""
+WITH base AS (
+    SELECT vec_id, embedding, label,
+           sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+    FROM embeddings
+),
+test AS (SELECT * FROM base WHERE vec_id % {KNN_EVAL_MOD} = 0),
+train AS (SELECT * FROM base WHERE vec_id % {KNN_EVAL_MOD} != 0),
+scored AS (
+    SELECT t.vec_id AS qid, t.label AS true_label,
+           tr.vec_id AS vid, tr.label AS nbr_label,
+           {_DOT_SQL.format(a='t.embedding', b='tr.embedding')}
+               / t.nrm / tr.nrm AS cos
+    FROM test t, train tr
+),
+topk AS (
+    SELECT qid, true_label, nbr_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank
+        FROM scored
+    ) r WHERE rank <= {KNN_K}
+),
+votes AS (
+    SELECT qid, true_label, nbr_label, COUNT(*) AS n_votes
+    FROM topk GROUP BY qid, true_label, nbr_label
+),
+pred AS (
+    SELECT qid, true_label, nbr_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY n_votes DESC, nbr_label ASC) AS rn
+        FROM votes
+    ) v WHERE rn = 1
+)
+SELECT true_label, COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM pred GROUP BY true_label
+"""
+
+
 def register_queries(register) -> None:
     register("ann_cosine_topk", ann_cosine_topk, O_ANN_TOPK)
     register("embedding_neardup", embedding_neardup, O_NEARDUP)
@@ -651,3 +751,4 @@ def register_queries(register) -> None:
     register("ann_cosine_topk_pandas", ann_cosine_topk_pandas, O_ANN_TOPK_RANKS)
     register("ann_ivf_kmeans_recall", ann_ivf_kmeans_recall, O_IVF_KMEANS)
     register("ann_pq_adc_recall", ann_pq_adc_recall, O_PQ_ADC)
+    register("knn_label_eval", knn_label_eval, O_KNN_EVAL)
