@@ -1102,9 +1102,93 @@ GROUP BY d.source, d.lang
 """
 
 
+FP_MAX_DF = 20   # fingerprints in more docs than this are boilerplate
+
+
+def substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-containment dedup: find documents whose FULL text
+    appears verbatim inside another document (quote-inclusion /
+    boilerplate-wrapping — near-dup metrics like Jaccard under-score
+    these because the outer doc dilutes the overlap).
+
+    Candidates come from shared winnowing fingerprints — the winnowing
+    guarantee (Schleimer et al., SIGMOD'03) is that any match of length
+    >= w+k-1 shares at least one selected fingerprint, so a contained
+    doc of at least that length ALWAYS surfaces as a candidate (no
+    recall loss), while candidate volume stays a fingerprint equi-join,
+    never doc x doc. Two quadratic-blowup guards, both part of the
+    cross-engine spec (the oracle applies them identically, so the
+    result stays hash-exact): fingerprints appearing in more than
+    FP_MAX_DF documents are dropped from candidate generation (stopword
+    boilerplate — a genuinely contained doc shares MANY fingerprints,
+    so its rare ones still surface it), and the inner-shorter-than-outer
+    requirement is pushed INTO the join condition so only the useful
+    direction of each pair materializes. Verification is exact:
+    instr(outer, inner) > 0. Output: (inner_doc, outer_doc, pos)."""
+    fp = winnowing_fingerprints_exploded(spark, sf_dir).persist()
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") <= FP_MAX_DF
+    )
+    lens = spark.table("documents").select("doc_id", "n_chars")
+    docs = spark.table("documents").select("doc_id", "text", "n_chars")
+    fpl = fp.join(rare.select("fp"), "fp").join(lens, "doc_id")
+    cand = (
+        fpl.alias("a")
+        .join(
+            fpl.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.n_chars") < F.col("b.n_chars")),
+        )
+        .select(
+            F.col("a.doc_id").alias("inner_doc"),
+            F.col("b.doc_id").alias("outer_doc"),
+        )
+        .distinct()
+    )
+    inner = docs.select(
+        F.col("doc_id").alias("inner_doc"),
+        F.col("text").alias("inner_text"),
+        F.col("n_chars").alias("inner_len"),
+    )
+    outer = docs.select(
+        F.col("doc_id").alias("outer_doc"),
+        F.col("text").alias("outer_text"),
+        F.col("n_chars").alias("outer_len"),
+    )
+    return (
+        cand.join(inner, "inner_doc")
+        .join(outer, "outer_doc")
+        .filter(F.col("inner_len") < F.col("outer_len"))
+        .withColumn("pos", F.instr("outer_text", F.col("inner_text")).cast("long"))
+        .filter(F.col("pos") > 0)
+        .select("inner_doc", "outer_doc", "pos")
+    )
+
+
+O_CONTAINMENT = f"""
+WITH fp AS ({_winnow_fp_sql()}),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {FP_MAX_DF}),
+fpl AS (
+    SELECT f.doc_id, f.fp, d.n_chars
+    FROM fp f JOIN rare USING (fp) JOIN documents d ON d.doc_id = f.doc_id
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+    FROM fpl a JOIN fpl b ON a.fp = b.fp AND a.n_chars < b.n_chars
+)
+SELECT c.inner_doc, c.outer_doc,
+       CAST(strpos(o.text, i.text) AS BIGINT) AS pos
+FROM cand c
+JOIN documents i ON i.doc_id = c.inner_doc
+JOIN documents o ON o.doc_id = c.outer_doc
+WHERE i.n_chars < o.n_chars AND strpos(o.text, i.text) > 0
+"""
+
+
 def register_extra(register) -> None:
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
     register("training_mix_pipeline", training_mix_pipeline, _training_mix_oracle())
+    register("substring_containment", substring_containment, O_CONTAINMENT)
     register("contamination_check", contamination_check, _contamination_oracle())
     register("corpus_mixture", corpus_mixture, _mixture_oracle())
     register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
