@@ -84,6 +84,13 @@ class ModelSpec:
     # target's old values for them (created_at-style audit columns);
     # brand-new keys take the build's values.
     merge_exclude_columns: list[str] = field(default_factory=list)
+    # dbt's pre_hook / post_hook: SQL statements run via spark.sql before
+    # the build and after the materialization commits. Hooks see the same
+    # session (temp views, configs); {{ this }} is replaced with the
+    # model's registered target view name. Post-hooks run ONLY after a
+    # successful write — a failed build never fires them (dbt semantics).
+    pre_hook: list[str] = field(default_factory=list)
+    post_hook: list[str] = field(default_factory=list)
 
 
 def _reconcile_schema(
@@ -194,6 +201,12 @@ class IncrementalRunner:
             for k, v in spec.pre_counts(self.spark, sf_dir).items():
                 log.info("%s: %s = %s", spec.name, k, v)  # D3
 
+        def _run_hooks(hooks: list[str]) -> None:
+            for sql in hooks:
+                self.spark.sql(sql.replace("{{ this }}", f"`{spec.name}`"))
+
+        _run_hooks(spec.pre_hook)
+
         incremental = self.target_exists(spec.name) and not full_refresh
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None
         new = spec.build(self.spark, sf_dir, wm)
@@ -228,6 +241,10 @@ class IncrementalRunner:
                 n = self._atomic_write(spec, self._merge(spec, target, new))
         else:
             n = self._atomic_write(spec, new)
+        if spec.post_hook:
+            # {{ this }} resolves to the just-committed target state
+            self.read_target(spec.name).createOrReplaceTempView(spec.name)
+            _run_hooks(spec.post_hook)
         return {
             "model": spec.name,
             "mode": mode,

@@ -658,3 +658,42 @@ def test_la_incremental_events_not_watermarked(spark, duck, target_root):
     assert_df_matches_oracle(
         runner.read_target("lead_activities_agg"), duck, expected
     )
+
+
+def test_pre_and_post_hooks_run_around_materialization(spark, target_root):
+    """dbt pre_hook/post_hook semantics: pre runs before the build, post
+    runs only after a successful commit with {{ this }} resolving to the
+    just-committed target; a failing build fires no post-hook."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    spark.sql("DROP VIEW IF EXISTS hook_audit")
+    spark.sql("DROP VIEW IF EXISTS hook_rowcount")
+    runner = IncrementalRunner(spark, target_root)
+
+    spec = _tp_batch1_spec()
+    spec.pre_hook = [
+        "CREATE OR REPLACE TEMP VIEW hook_audit AS SELECT 'pre_ran' AS stage"
+    ]
+    spec.post_hook = [
+        "CREATE OR REPLACE TEMP VIEW hook_rowcount AS "
+        "SELECT COUNT(*) AS n FROM {{ this }}"
+    ]
+    stats = runner.run(spec, SF_DIR)
+
+    assert spark.table("hook_audit").first().stage == "pre_ran"
+    assert spark.table("hook_rowcount").first().n == stats["rows_written"]
+
+    # a failing build must not fire the post-hook
+    def broken_build(sp, sfd, wm):
+        raise RuntimeError("boom")
+
+    bad = ModelSpec(
+        name="broken_model", unique_key="id", watermark_col="date",
+        build=broken_build,
+        post_hook=["CREATE OR REPLACE TEMP VIEW hook_never AS SELECT 1 AS x"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        runner.run(bad, SF_DIR)
+    assert "hook_never" not in [t.name for t in spark.catalog.listTables()]
