@@ -623,6 +623,129 @@ SELECT flag, 'unique' AS type, unique_orders AS metric FROM agg
 """
 
 
+def q_attribution_models(spark, sf_dir):
+    """Multi-model marketing attribution over the reference's own domain
+    (the reference hard-codes ONE model — paid-preferred latest touch,
+    models/lead_activities_agg.sql:45-55; real attribution work compares
+    models): per campaign, leads credited by FIRST touch (earliest
+    pageview), LAST touch (latest), and LINEAR (each of a lead's n
+    touches credits floor(1e6/n) micro-units — integer, so the
+    cross-engine sum is exact; double 1/n sums would be
+    addition-order-dependent).
+
+    Scale shape: the lead set is small → broadcast semi-join restricts
+    the event scan; first/last are map-side-combinable min_by/max_by per
+    lead (no window sort); linear is one count join + one aggregation."""
+    ev = _src(spark, sf_dir, "atomic_events")
+    leads = (
+        _src(spark, sf_dir, "lead_stage_change_events")
+        .select(F.lower("domain_userid").alias("domain_userid"))
+        .distinct()
+    )
+    touches = (
+        ev.filter(
+            (F.col("event") == "page_view")
+            & F.col("mkt_campaign").isNotNull()
+            & F.col("domain_userid").isNotNull()
+        )
+        .select(
+            F.lower("domain_userid").alias("domain_userid"),
+            F.lower("mkt_campaign").alias("campaign"),
+            "collector_tstamp",
+            "event_id",
+        )
+        .join(F.broadcast(leads), "domain_userid")
+    )
+    key = F.struct(
+        F.col("collector_tstamp").alias("t"), F.col("event_id").alias("e")
+    )
+    ends = touches.groupBy("domain_userid").agg(
+        F.min_by("campaign", key).alias("first_campaign"),
+        F.max_by("campaign", key).alias("last_campaign"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+    first = ends.groupBy(F.col("first_campaign").alias("campaign")).agg(
+        F.count(F.lit(1)).alias("first_touch_leads")
+    )
+    last = ends.groupBy(F.col("last_campaign").alias("campaign")).agg(
+        F.count(F.lit(1)).alias("last_touch_leads")
+    )
+    linear = (
+        touches.join(ends.select("domain_userid", "n_touches"), "domain_userid")
+        .groupBy("campaign")
+        .agg(
+            F.sum(F.floor(F.lit(1_000_000) / F.col("n_touches")))
+            .cast("long")
+            .alias("linear_microcredits")
+        )
+    )
+    return (
+        first.join(last, "campaign", "full")
+        .join(linear, "campaign", "full")
+        .select(
+            "campaign",
+            F.coalesce("first_touch_leads", F.lit(0)).cast("long").alias("first_touch_leads"),
+            F.coalesce("last_touch_leads", F.lit(0)).cast("long").alias("last_touch_leads"),
+            F.coalesce("linear_microcredits", F.lit(0)).cast("long").alias("linear_microcredits"),
+        )
+    )
+
+
+O_ATTRIBUTION = """
+, leads AS (
+    SELECT DISTINCT LOWER(domain_userid) AS domain_userid
+    FROM lead_stage_change_events
+),
+touches AS (
+    SELECT LOWER(e.domain_userid) AS domain_userid,
+           LOWER(e.mkt_campaign) AS campaign,
+           e.collector_tstamp, e.event_id
+    FROM atomic_events e
+    JOIN leads l ON LOWER(e.domain_userid) = l.domain_userid
+    WHERE e.event = 'page_view'
+      AND e.mkt_campaign IS NOT NULL
+      AND e.domain_userid IS NOT NULL
+),
+ranked AS (
+    SELECT domain_userid, campaign,
+           ROW_NUMBER() OVER (PARTITION BY domain_userid
+               ORDER BY collector_tstamp ASC, event_id ASC) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY domain_userid
+               ORDER BY collector_tstamp DESC, event_id DESC) AS rn_d
+    FROM touches
+),
+ends AS (
+    SELECT domain_userid,
+           MAX(CASE WHEN rn_a = 1 THEN campaign END) AS first_campaign,
+           MAX(CASE WHEN rn_d = 1 THEN campaign END) AS last_campaign,
+           COUNT(*) AS n_touches
+    FROM ranked GROUP BY domain_userid
+),
+first_t AS (
+    SELECT first_campaign AS campaign, COUNT(*) AS first_touch_leads
+    FROM ends GROUP BY first_campaign
+),
+last_t AS (
+    SELECT last_campaign AS campaign, COUNT(*) AS last_touch_leads
+    FROM ends GROUP BY last_campaign
+),
+linear_t AS (
+    SELECT t.campaign,
+           CAST(SUM(CAST(FLOOR(1000000 / e.n_touches) AS BIGINT)) AS BIGINT)
+               AS linear_microcredits
+    FROM touches t JOIN ends e USING (domain_userid)
+    GROUP BY t.campaign
+)
+SELECT COALESCE(f.campaign, l.campaign, n.campaign) AS campaign,
+       CAST(COALESCE(f.first_touch_leads, 0) AS BIGINT) AS first_touch_leads,
+       CAST(COALESCE(l.last_touch_leads, 0) AS BIGINT) AS last_touch_leads,
+       CAST(COALESCE(n.linear_microcredits, 0) AS BIGINT) AS linear_microcredits
+FROM first_t f
+FULL JOIN last_t l ON f.campaign = l.campaign
+FULL JOIN linear_t n ON COALESCE(f.campaign, l.campaign) = n.campaign
+"""
+
+
 # --------------------------------------------------------------------------
 # F series — scalar functions & expressions
 # --------------------------------------------------------------------------
@@ -1744,6 +1867,7 @@ PAIRS = [
     ("f_scalar_suite", q_f_scalar_suite, O_F),
     ("f_datetime_suite", q_f_datetime_suite, O_F_DATETIME),
     ("f_string_suite", q_f_string_suite, O_F_STRING),
+    ("attribution_models", q_attribution_models, O_ATTRIBUTION),
     ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
     ("tpch_q3", q_tpch_q3, O_TPCH_Q3),
     ("tpch_q5", q_tpch_q5, O_TPCH_Q5),
@@ -1780,6 +1904,7 @@ _NEEDS_VIEWS = {
     "j03_join_computed_key": ["atomic_events", "campaign_spends"],
     "a07_distinct": ["lead_stage_change_events"],
     "f_scalar_suite": ["atomic_events"],
+    "attribution_models": ["atomic_events", "lead_stage_change_events"],
 }
 
 
