@@ -691,6 +691,56 @@ def q_attribution_models(spark, sf_dir):
     )
 
 
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning visitor split — the acquisition metric every
+    traffic dashboard pairs with the reference's daily rollups: a visitor
+    is NEW on their first-seen day, RETURNING on later active days.
+
+    Scale shape: first-seen is one map-side-combinable min per user; the
+    per-(day, user) activity relation joins it back on user (both sides
+    already hashed on the same key) and the final rollup is a narrow
+    count — no windows, no self-join on the event log."""
+    ev = _src(spark, sf_dir, "atomic_events")
+    pv = ev.filter(
+        (F.col("event") == "page_view") & F.col("domain_userid").isNotNull()
+    ).select(
+        F.col("collector_tstamp").cast("date").alias("date"),
+        F.lower("domain_userid").alias("u"),
+    )
+    active = pv.distinct()
+    first_seen = active.groupBy("u").agg(F.min("date").alias("first_date"))
+    return (
+        active.join(first_seen, "u")
+        .groupBy("date")
+        .agg(
+            F.sum(F.when(F.col("date") == F.col("first_date"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_visitors"),
+            F.sum(F.when(F.col("date") != F.col("first_date"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_visitors"),
+        )
+    )
+
+
+O_NEW_VS_RETURNING = """
+, pv AS (
+    SELECT DISTINCT CAST(collector_tstamp AS DATE) AS date,
+           LOWER(domain_userid) AS u
+    FROM atomic_events
+    WHERE event = 'page_view' AND domain_userid IS NOT NULL
+),
+first_seen AS (SELECT u, MIN(date) AS first_date FROM pv GROUP BY u)
+SELECT p.date,
+       CAST(SUM(CASE WHEN p.date = f.first_date THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_visitors,
+       CAST(SUM(CASE WHEN p.date != f.first_date THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_visitors
+FROM pv p JOIN first_seen f USING (u)
+GROUP BY p.date
+"""
+
+
 O_ATTRIBUTION = """
 , leads AS (
     SELECT DISTINCT LOWER(domain_userid) AS domain_userid
@@ -1868,6 +1918,7 @@ PAIRS = [
     ("f_datetime_suite", q_f_datetime_suite, O_F_DATETIME),
     ("f_string_suite", q_f_string_suite, O_F_STRING),
     ("attribution_models", q_attribution_models, O_ATTRIBUTION),
+    ("new_vs_returning", q_new_vs_returning, O_NEW_VS_RETURNING),
     ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
     ("tpch_q3", q_tpch_q3, O_TPCH_Q3),
     ("tpch_q5", q_tpch_q5, O_TPCH_Q5),
@@ -1905,6 +1956,7 @@ _NEEDS_VIEWS = {
     "a07_distinct": ["lead_stage_change_events"],
     "f_scalar_suite": ["atomic_events"],
     "attribution_models": ["atomic_events", "lead_stage_change_events"],
+    "new_vs_returning": ["atomic_events"],
 }
 
 
