@@ -437,6 +437,64 @@ class IncrementalRunner:
         stats = self.run(dataclasses.replace(spec, build=observed_build), sf_dir, **kw)
         return stats, dict(obs.get)
 
+    def backfill(
+        self,
+        spec: ModelSpec,
+        sf_dir: str,
+        start: "dt.date",
+        end: "dt.date",
+    ) -> dict:
+        """Targeted rebuild of the partitions in [start, end] on a
+        date-partitioned target — the fix-a-bad-day operation a 100 TB
+        pipeline needs when source data is corrected retroactively and
+        the watermark has long since moved past it.
+
+        Runs the model's build with NO watermark (full logic), filters
+        the result to the backfill range, and overwrites exactly those
+        partition directories (same swap machinery as the incremental
+        merge, but REPLACE semantics: the rebuilt range's old rows are
+        dropped wholesale, since the build is authoritative for the
+        range). Partitions outside the range are never read or written —
+        pinned by test. The target must already exist with the
+        partitioned layout."""
+        if not spec.partition_by or spec.partition_by != ["date"]:
+            raise ValueError(
+                f"{spec.name}: backfill requires partition_by=['date']"
+            )
+        if not (self.target_exists(spec.name) and self._layout_is_partitioned(spec)):
+            raise RuntimeError(
+                f"{spec.name}: backfill needs an existing date-partitioned target"
+            )
+        new = spec.build(self.spark, sf_dir, None).filter(
+            (F.col("date") >= F.lit(start)) & (F.col("date") <= F.lit(end))
+        )
+        final = self.target_path(spec.name)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        new.write.mode("overwrite").partitionBy("date").parquet(tmp)
+        try:
+            n = self.spark.read.parquet(tmp).count()
+            swapped = 0
+            for rel in self._leaf_partition_dirs(tmp, 1):
+                src, dst = os.path.join(tmp, rel), os.path.join(final, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                bak = None
+                if os.path.isdir(dst):
+                    bak = f"{dst}.bak-{uuid.uuid4().hex[:8]}"
+                    os.rename(dst, bak)
+                os.rename(src, dst)
+                if bak is not None:
+                    shutil.rmtree(bak)
+                swapped += 1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "model": spec.name,
+            "mode": "backfill",
+            "range": [str(start), str(end)],
+            "rows_written": n,
+            "partitions_rewritten": swapped,
+        }
+
     def compact(self, name: str, *, target_file_mb: int = 128) -> dict:
         """Small-file compaction for a fragmented incremental target.
 
