@@ -171,6 +171,15 @@ class IncrementalRunner:
 
     def read_target(self, name: str) -> DataFrame:
         path = self.target_path(name)
+        if os.path.isfile(os.path.join(path, self._COMMIT_MARKER)):
+            # a partition swap died mid-commit: reading through it would
+            # compute a watermark past never-swapped partitions and lose
+            # their rows silently on the next merge — fail loudly instead
+            raise RuntimeError(
+                f"{name}: target has an unfinished partition commit "
+                f"({self._COMMIT_MARKER} present) — re-run the interrupted "
+                "merge/backfill before reading"
+            )
         df = self.spark.read.parquet(path)
         sidecar = os.path.join(path, self.SCHEMA_SIDECAR)
         if os.path.isfile(sidecar):
@@ -205,7 +214,13 @@ class IncrementalRunner:
             for sql in hooks:
                 self.spark.sql(sql.replace("{{ this }}", f"`{spec.name}`"))
 
-        _run_hooks(spec.pre_hook)
+        if spec.pre_hook:
+            # {{ this }} in a pre-hook sees the PRE-RUN target state (dbt
+            # semantics); on the very first run the relation simply does
+            # not exist yet and a hook referencing it fails, as in dbt
+            if self.target_exists(spec.name):
+                self.read_target(spec.name).createOrReplaceTempView(spec.name)
+            _run_hooks(spec.pre_hook)
 
         incremental = self.target_exists(spec.name) and not full_refresh
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None
@@ -343,6 +358,57 @@ class IncrementalRunner:
             out = out | p
         return out
 
+    _COMMIT_MARKER = "_commit_in_progress"
+
+    @staticmethod
+    def _dot_bak(dst: str) -> str:
+        """Backup name for a partition dir being replaced: dot-prefixed so
+        Spark partition discovery ignores it — crash residue can neither
+        resurrect old rows nor degrade the partition column's inferred
+        type (a bare `date=...bak-x` sibling would do both)."""
+        return os.path.join(
+            os.path.dirname(dst),
+            f".{os.path.basename(dst)}.bak-{uuid.uuid4().hex[:8]}",
+        )
+
+    def _swap_partition_dirs(
+        self, tmp: str, final: str, depth: int, remove: list[str] = ()
+    ) -> int:
+        """Move every partition dir under ``tmp`` into ``final`` (and
+        delete the ``remove`` dirs — replaced partitions with no rebuilt
+        successor). Crash posture on a plain filesystem: the swap window
+        is guarded by a ``_commit_in_progress`` marker that
+        ``read_target`` refuses to read through, so a torn multi-dir
+        commit surfaces LOUDLY (re-run the merge) instead of silently
+        advancing the watermark past never-swapped partitions and losing
+        their rows. The marker is removed only on success. On a
+        lakehouse, the table format's transaction log makes this commit
+        atomic; this is the honest filesystem equivalent."""
+        marker = os.path.join(final, self._COMMIT_MARKER)
+        with open(marker, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+        swapped = 0
+        for rel in remove:
+            dst = os.path.join(final, rel)
+            if os.path.isdir(dst):
+                bak = self._dot_bak(dst)
+                os.rename(dst, bak)
+                shutil.rmtree(bak)
+                swapped += 1
+        for rel in self._leaf_partition_dirs(tmp, depth):
+            src, dst = os.path.join(tmp, rel), os.path.join(final, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            bak = None
+            if os.path.isdir(dst):
+                bak = self._dot_bak(dst)
+                os.rename(dst, bak)
+            os.rename(src, dst)
+            if bak is not None:
+                shutil.rmtree(bak)
+            swapped += 1
+        os.remove(marker)  # success only — a failure leaves the loud marker
+        return swapped
+
     def _partitioned_merge_write(
         self, spec: ModelSpec, target: DataFrame, new: DataFrame
     ) -> tuple[int, int]:
@@ -371,18 +437,7 @@ class IncrementalRunner:
             merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
             try:
                 n = self.spark.read.parquet(tmp).count()
-                swapped = 0
-                for rel in self._leaf_partition_dirs(tmp, depth):
-                    src, dst = os.path.join(tmp, rel), os.path.join(final, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    bak = None
-                    if os.path.isdir(dst):
-                        bak = f"{dst}.bak-{uuid.uuid4().hex[:8]}"
-                        os.rename(dst, bak)
-                    os.rename(src, dst)
-                    if bak is not None:
-                        shutil.rmtree(bak)
-                    swapped += 1
+                swapped = self._swap_partition_dirs(tmp, final, depth)
                 self._write_schema_sidecar(final, new.dtypes)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
@@ -450,41 +505,44 @@ class IncrementalRunner:
         the watermark has long since moved past it.
 
         Runs the model's build with NO watermark (full logic), filters
-        the result to the backfill range, and overwrites exactly those
-        partition directories (same swap machinery as the incremental
-        merge, but REPLACE semantics: the rebuilt range's old rows are
-        dropped wholesale, since the build is authoritative for the
-        range). Partitions outside the range are never read or written —
-        pinned by test. The target must already exist with the
-        partitioned layout."""
-        if not spec.partition_by or spec.partition_by != ["date"]:
+        the result to the backfill range, and REPLACES exactly the
+        range's partition directories (shared swap machinery with the
+        incremental merge): rebuilt days swap in, and in-range days the
+        rebuild produced NO rows for are deleted — the build is
+        authoritative for the range, including "this day should not
+        exist" (retracted source data). Partitions outside the range are
+        never read or written — pinned by test. Works on any
+        single-column date-grain partition layout (all three shipped
+        models); the target must already exist partitioned."""
+        if len(spec.partition_by) != 1:
             raise ValueError(
-                f"{spec.name}: backfill requires partition_by=['date']"
+                f"{spec.name}: backfill requires a single partition column, "
+                f"got {spec.partition_by}"
             )
+        pcol = spec.partition_by[0]
         if not (self.target_exists(spec.name) and self._layout_is_partitioned(spec)):
             raise RuntimeError(
-                f"{spec.name}: backfill needs an existing date-partitioned target"
+                f"{spec.name}: backfill needs an existing partitioned target"
             )
         new = spec.build(self.spark, sf_dir, None).filter(
-            (F.col("date") >= F.lit(start)) & (F.col("date") <= F.lit(end))
+            (F.col(pcol) >= F.lit(start)) & (F.col(pcol) <= F.lit(end))
         )
         final = self.target_path(spec.name)
+        # existing in-range partition dirs (ISO date values sort
+        # lexicographically == chronologically)
+        in_range = [
+            d for d in os.listdir(final)
+            if d.startswith(f"{pcol}=")
+            and str(start) <= d.split("=", 1)[1] <= str(end)
+        ]
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        new.write.mode("overwrite").partitionBy("date").parquet(tmp)
+        new.write.mode("overwrite").partitionBy(pcol).parquet(tmp)
         try:
-            n = self.spark.read.parquet(tmp).count()
-            swapped = 0
-            for rel in self._leaf_partition_dirs(tmp, 1):
-                src, dst = os.path.join(tmp, rel), os.path.join(final, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                bak = None
-                if os.path.isdir(dst):
-                    bak = f"{dst}.bak-{uuid.uuid4().hex[:8]}"
-                    os.rename(dst, bak)
-                os.rename(src, dst)
-                if bak is not None:
-                    shutil.rmtree(bak)
-                swapped += 1
+            rebuilt = set(self._leaf_partition_dirs(tmp, 1))
+            n = self.spark.read.parquet(tmp).count() if rebuilt else 0
+            swapped = self._swap_partition_dirs(
+                tmp, final, 1, remove=[d for d in in_range if d not in rebuilt]
+            )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return {

@@ -177,7 +177,15 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycarely_saas_dbt_spark.sources.registry import register_sources
 
     register_sources(spark, sf_dir)
-    ev = spark.table("events").select("event_id", F.col("user_id").cast("string").alias("u"))
+    # NULL keys are excluded EXPLICITLY in both engines: Spark's concat_ws
+    # would silently drop a NULL segment (hashing just the row prefix)
+    # while SQL's || propagates NULL — without the filter the two sketches
+    # diverge the moment a NULL key appears
+    ev = (
+        spark.table("events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", F.col("user_id").cast("string").alias("u"))
+    )
 
     def half_sketch(pred):
         rows = ev.filter(pred).select(
@@ -223,7 +231,7 @@ def _cms_bucket_sql(row: int, key: str) -> str:
 
 
 O_CMS_HEAVY_HITTERS = f"""
-WITH ev AS (SELECT CAST(user_id AS STRING) AS u FROM events),
+WITH ev AS (SELECT CAST(user_id AS STRING) AS u FROM events WHERE user_id IS NOT NULL),
 buckets AS (
     {" UNION ALL ".join(f"SELECT u, {r} AS row, {_cms_bucket_sql(r, 'u')} AS bucket FROM ev" for r in range(CMS_DEPTH))}
 ),

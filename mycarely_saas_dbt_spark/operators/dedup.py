@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
+from mycarely_saas_dbt_spark.util import bounded_persist
 
 SHINGLE_LEN = 8
 SHINGLE_STRIDE = 4
@@ -119,7 +120,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation is self-joined — persist both so the text scan + explode and
     # the min-agg run once, not 20x (on a production lake these
     # intermediates would be checkpointed to the object store instead).
-    sh = _hashed_shingles(docs).persist()
+    sh = bounded_persist(_hashed_shingles(docs), "minhash:shingles")
     sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
     band_exprs = ", ".join(
         "{b}, md5(concat_ws('_', {cols}))".format(
@@ -130,9 +131,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     )
-    bands = sig.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
-    ).persist()
+    bands = bounded_persist(
+        sig.selectExpr(
+            "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
+        ),
+        "minhash:bands",
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -146,8 +150,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()  # reused by the doc-set, intersection, and final joins
     )
+    # reused by the doc-set, intersection, and final joins
+    candidates = bounded_persist(candidates, "minhash:candidates")
 
     # Verify only the docs that appear in some candidate pair: broadcast
     # the (tiny) candidate doc set and semi-restrict the shingle relation
@@ -320,6 +325,13 @@ FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 SIMHASH64_BITS = 64
 SIMHASH64_BANDS = 4          # 16 bits per band
 SIMHASH64_HAM_K = 3          # pairs within Hamming distance 3 are near-dups
+# The fingerprint hashes the FIRST 32767 tokens of each doc (part of the
+# cross-engine spec — the oracle applies the same cap). This bounds the
+# lane-packed aggregation exactly: per-lane counts < 2^15 < 2^16 (no lane
+# carry) and the top lane's sum < 2^15 * 2^48 < 2^63 (no BIGINT
+# overflow). Fingerprinting a bounded prefix is also the bounded-state
+# shape — a 10M-token outlier doc shouldn't dominate a fingerprint pass.
+SIMHASH64_MAX_TOKENS = 32767
 
 _HEX_DIGITS = "0123456789abcdef"
 
@@ -373,9 +385,14 @@ def simhash64(docs: DataFrame) -> DataFrame:
     Bit j of the fingerprint is 1 iff the majority of token md5s have bit
     j set (strictly: 2*set_count > n_tokens, matching the sign of the
     +1/-1 weighted sum). Counts come from the lane-packed aggregate
-    (`_sim64_packed_sums`); extraction is (ps_d >> lane) & 0xFFFF."""
+    (`_sim64_packed_sums`); extraction is (ps_d >> lane) & 0xFFFF. The
+    SIMHASH64_MAX_TOKENS prefix cap (mirrored in the oracle) keeps every
+    lane exactly overflow-free — see the constant's comment."""
     tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("t")
+        "doc_id",
+        F.explode(
+            F.slice(F.split("text", " "), 1, SIMHASH64_MAX_TOKENS)
+        ).alias("t"),
     ).withColumn("h", F.md5("t"))
     sums = tok.groupBy("doc_id").agg(
         *_sim64_packed_sums(), F.count(F.lit(1)).alias("n_tok")
@@ -465,7 +482,8 @@ def _simhash64_oracle() -> str:
     return f"""
 WITH tok AS (
     SELECT doc_id, md5(t) AS h
-    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    FROM documents,
+         UNNEST(string_split(text, ' ')[1:32767]) AS u(t)
 ),
 sums AS (
     SELECT doc_id,

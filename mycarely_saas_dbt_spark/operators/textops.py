@@ -1125,7 +1125,11 @@ def substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     requirement is pushed INTO the join condition so only the useful
     direction of each pair materializes. Verification is exact:
     instr(outer, inner) > 0. Output: (inner_doc, outer_doc, pos)."""
-    fp = winnowing_fingerprints_exploded(spark, sf_dir).persist()
+    from mycarely_saas_dbt_spark.util import bounded_persist
+
+    fp = bounded_persist(
+        winnowing_fingerprints_exploded(spark, sf_dir), "containment:fp"
+    )
     rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
         F.col("n_docs") <= FP_MAX_DF
     )

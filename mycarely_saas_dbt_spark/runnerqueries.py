@@ -661,7 +661,7 @@ def streaming_cms_oracle() -> str:
         for r in range(CMS_DEPTH)
     )
     return f"""
-WITH ev AS (SELECT CAST(user_id AS STRING) AS u FROM events),
+WITH ev AS (SELECT CAST(user_id AS STRING) AS u FROM events WHERE user_id IS NOT NULL),
 buckets AS ({buckets})
 SELECT row, bucket, COUNT(*) AS c FROM buckets GROUP BY row, bucket
 """

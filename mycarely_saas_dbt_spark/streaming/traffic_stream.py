@@ -757,9 +757,11 @@ def cms_stream(spark: SparkSession, sf_dir: str, workdir: str, n_slices: int = 3
 
     src = os.path.join(workdir, "src")
     os.makedirs(src, exist_ok=True)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").cast("string").alias("u")
-    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())  # NULL-key spec parity (see
+        .select("event_id", F.col("user_id").cast("string").alias("u"))
+    )  # operators.approx.q_cms_heavy_hitters)
     for i in range(n_slices):
         sl = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_slices)) == i)
         tmp = os.path.join(workdir, f"tmp{i}")

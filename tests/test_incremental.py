@@ -737,3 +737,58 @@ def test_backfill_rebuilds_only_the_requested_range(spark, duck, target_root):
         duck,
         tp.oracle_sql(id_strategy="hash"),
     )
+
+
+def test_backfill_deletes_days_the_build_retracted(spark, duck, target_root):
+    """REPLACE semantics include 'this day should not exist': a bogus
+    partition inside the backfill range with no rebuilt successor must be
+    deleted, and an entirely-empty rebuild range must not crash."""
+    import os
+
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    path = runner.target_path("traffic_pages_agg")
+
+    # fabricate a corrupted future day the source knows nothing about
+    bogus = dt.date(2030, 1, 1)
+    src_dir = sorted(d for d in os.listdir(path) if d.startswith("date="))[0]
+    import shutil as sh
+
+    sh.copytree(os.path.join(path, src_dir), os.path.join(path, f"date={bogus}"))
+
+    stats = runner.backfill(
+        inc.TRAFFIC_PAGES_SPEC, SF_DIR, bogus, dt.date(2030, 1, 2)
+    )
+    assert stats["rows_written"] == 0
+    assert stats["partitions_rewritten"] == 1  # the deleted bogus day
+    assert not os.path.isdir(os.path.join(path, f"date={bogus}"))
+    assert_df_matches_oracle(
+        runner.read_target("traffic_pages_agg"),
+        duck,
+        tp.oracle_sql(id_strategy="hash"),
+    )
+
+
+def test_read_target_refuses_torn_partition_commit(spark, target_root):
+    """A crash mid-swap leaves the _commit_in_progress marker; reading
+    through it would advance the watermark past unswapped partitions —
+    read_target must fail loudly instead."""
+    import os
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    marker = os.path.join(
+        runner.target_path("traffic_pages_agg"), runner._COMMIT_MARKER
+    )
+    open(marker, "w").close()
+    with _pytest.raises(RuntimeError, match="unfinished partition commit"):
+        runner.read_target("traffic_pages_agg")
+    os.remove(marker)
+    assert runner.read_target("traffic_pages_agg").count() > 0
