@@ -50,8 +50,12 @@ EXTENSION_QUERIES = [
     "dedup_simhash64",
     "text_winnowing",
     # round 4: PQ-ADC shortlist + exact re-rank (includes its own exact
-    # brute-force recall baseline, so the timing covers both paths)
+    # brute-force recall baseline, so the timing covers both paths), the
+    # fingerprint-candidate containment dedup, and the composed
+    # training-mix pipeline (near-dup keep + quality gate + domain cap)
     "ann_pq_adc_recall",
+    "substring_containment",
+    "training_mix_pipeline",
 ]
 
 

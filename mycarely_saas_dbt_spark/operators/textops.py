@@ -1189,7 +1189,53 @@ WHERE i.n_chars < o.n_chars AND strpos(o.text, i.text) > 0
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization pass — the cleanup every ingest runs before
+    dedup/tokenization so that byte-level noise doesn't defeat
+    content-keyed hashing: strip ASCII control characters, collapse
+    whitespace runs, trim, case-fold. Emits the normalized text plus
+    before/after lengths and a changed flag so the pass is auditable
+    (how much of the corpus was dirty). Pure narrow regexp_replace
+    chain — zero exchanges, whole-stage codegen."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents")
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", "[\\x00-\\x1f\\x7f]", " "),
+                " {2,}",
+                " ",
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(norm).cast("long").alias("len_norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_key"),
+    )
+
+
+O_TEXT_NORMALIZE = """
+WITH n AS (
+    SELECT doc_id, text,
+           lower(trim(regexp_replace(
+               regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+               ' {2,}', ' ', 'g'))) AS norm
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS len_raw,
+       CAST(length(norm) AS BIGINT) AS len_norm,
+       norm != text AS changed,
+       md5(norm) AS norm_key
+FROM n
+"""
+
+
 def register_extra(register) -> None:
+    register("text_normalize", text_normalize, O_TEXT_NORMALIZE)
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
     register("training_mix_pipeline", training_mix_pipeline, _training_mix_oracle())
     register("substring_containment", substring_containment, O_CONTAINMENT)
