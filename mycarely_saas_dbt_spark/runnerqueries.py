@@ -638,6 +638,98 @@ GROUP BY date, company_domain, page_urlpath
 """
 
 
+def target_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Row-level diff between two materializations of the same model:
+    (key, change) with change in {added, removed, changed}. The ops tool
+    behind 'what did this incremental run actually do' — full-outer join
+    on the unique key, value comparison via a md5 over every non-key
+    column (null-sentineled, so NULL→value transitions register).
+
+    Scale: one full-outer shuffle on the key; the value hash collapses
+    arbitrarily wide rows to one comparison column each side."""
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        cols = [c for c in df.columns if c != key]
+        fingerprint = F.md5(
+            F.concat_ws(
+                "\x01",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(cols)],
+            )
+        )
+        return df.select(F.col(key).alias("k"), fingerprint.alias(f"fp_{tag}"))
+
+    j = keyed(old, "old").join(keyed(new, "new"), "k", "full")
+    return (
+        j.select(
+            F.col("k").alias(key),
+            F.when(F.col("fp_old").isNull(), "added")
+            .when(F.col("fp_new").isNull(), "removed")
+            .when(F.col("fp_old") != F.col("fp_new"), "changed")
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def incremental_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the batch-1 traffic_pages target against the final two-batch
+    state: per change type, row counts — the audit a pipeline emits with
+    every incremental run. With hash surrogate ids (id embeds the full
+    grain INCLUDING date), re-emitted grain rows keep their id, so
+    'changed' captures value revisions and 'added' the new days."""
+    from mycarely_saas_dbt_spark.incremental import (
+        IncrementalRunner,
+        ModelSpec,
+        TRAFFIC_PAGES_SPEC,
+    )
+    from mycarely_saas_dbt_spark.plans.traffic_pages import traffic_pages_agg
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_diff_")
+    runner = IncrementalRunner(spark, root)
+
+    def b1_build(sp, sfd, wm):
+        register_sources(sp, sfd)
+        ev = sp.table("atomic_events").filter(
+            F.col("collector_tstamp").cast("date") <= F.lit(SPLIT)
+        )
+        return traffic_pages_agg(sp, sfd, events=ev, watermark=wm)
+
+    runner.run(ModelSpec("traffic_pages_agg", "id", "date", b1_build), sf_dir)
+    before = materialize(runner.read_target("traffic_pages_agg"))
+    runner.run(TRAFFIC_PAGES_SPEC, sf_dir)
+    after = materialize(runner.read_target("traffic_pages_agg"))
+    shutil.rmtree(root, ignore_errors=True)
+    return (
+        target_diff(before, after, "id")
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def incremental_diff_oracle() -> str:
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    b1 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'", id_strategy="hash"
+    )
+    full = tp.oracle_sql(id_strategy="hash")
+    # the upsert's final state == full build over all events for TP (every
+    # grain row re-emitted past the watermark carries the full recompute)
+    return f"""
+WITH before AS ({b1}), after AS ({full}),
+d AS (
+    SELECT COALESCE(b.id, a.id) AS id,
+           CASE WHEN b.id IS NULL THEN 'added'
+                WHEN a.id IS NULL THEN 'removed'
+                WHEN b.traffic != a.traffic THEN 'changed'
+           END AS change
+    FROM before b FULL JOIN after a ON b.id = a.id
+)
+SELECT change, COUNT(*) AS n_rows FROM d WHERE change IS NOT NULL
+GROUP BY change
+"""
+
+
 def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r4: streaming CMS — per-micro-batch partial sketches land in
     batch_id-named dirs (replay overwrites its own dir: exactly-once
@@ -702,3 +794,6 @@ def register_queries(register) -> None:
         streaming_incremental_merge_oracle(),
     )
     register("streaming_cms_sketch", streaming_cms_sketch, streaming_cms_oracle())
+    register(
+        "incremental_diff_report", incremental_diff_report, incremental_diff_oracle()
+    )
