@@ -638,6 +638,28 @@ GROUP BY date, company_domain, page_urlpath
 """
 
 
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: micro-batches broadcast-join
+    the nation dim, then a watermarked daily count per nation — the
+    stream never shuffles for the join, only for the windowed agg."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import enrich_stream
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_enrich_")
+    out = enrich_stream(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_ENRICH = """
+SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+       n.n_name AS nation,
+       COUNT(*) AS n_events
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def target_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Row-level diff between two materializations of the same model:
     (key, change) with change in {added, removed, changed}. The ops tool
@@ -794,6 +816,7 @@ def register_queries(register) -> None:
         streaming_incremental_merge_oracle(),
     )
     register("streaming_cms_sketch", streaming_cms_sketch, streaming_cms_oracle())
+    register("streaming_enrich_join", streaming_enrich_join, O_STREAMING_ENRICH)
     register(
         "incremental_diff_report", incremental_diff_report, incremental_diff_oracle()
     )

@@ -806,3 +806,53 @@ def cms_stream(spark: SparkSession, sf_dir: str, workdir: str, n_slices: int = 3
         .groupBy("row", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+# --------------------------------------------------------------------------
+# stream-static enrichment join
+# --------------------------------------------------------------------------
+
+def enrich_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
+    """Stream-STATIC join — the dimension-enrichment shape missing from
+    the stream-stream interval join: each micro-batch of the event
+    stream joins a static dimension table (broadcast hash join inside
+    the batch — no streaming state at all, the planner treats the dim
+    as a local relation), then feeds a watermarked daily count per
+    dimension attribute. At 100 TB the dim is the broadcast side and the
+    stream never shuffles for the join; only the windowed agg keys do.
+    Oracle: the identical batch join+rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("nk"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for f in stream.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    enriched = stream.withColumn("nk", F.pmod("user_id", F.lit(25))).join(
+        nation, "nk"
+    )
+    agg = (
+        enriched.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "nation")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("day"), "nation", "n_events"
+        )
+    )
+    target = os.path.join(workdir, "enriched")
+    q = _merge_upsert_sink(agg, target, ["day", "nation"])
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
