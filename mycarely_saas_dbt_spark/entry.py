@@ -99,7 +99,11 @@ DRIVER_WINDOW = [
     "text_lang_id",
     "text_fingerprint",
     "text_corpus_stats",
-    "corpus_curation_pipeline",
+    # r4: the training-mix composition (canonical-keep ∩ Gopher ∩
+    # domain-cap) supersedes the simpler corpus_curation_pipeline in the
+    # window — strictly richer stage coverage, same oracle rigor; the
+    # curation pipeline keeps its pytest oracle compare
+    "training_mix_pipeline",
     # incremental (dbt-semantics) runners
     "incremental_two_batch_upsert",
     "incremental_td_two_batch",

@@ -33,7 +33,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         "embedding_neardup",
         # text analysis
         "text_token_stats", "text_quality", "text_lang_id",
-        "text_fingerprint", "text_corpus_stats", "corpus_curation_pipeline",
+        "text_fingerprint", "text_corpus_stats", "training_mix_pipeline",
         # incremental + streaming runtimes
         "incremental_two_batch_upsert", "incremental_td_two_batch",
         "incremental_la_two_batch", "streaming_traffic_pages",
