@@ -235,11 +235,57 @@ GROUP BY CAST(ts AS DATE), event_type
 """
 
 
+SPLIT_VAL_PCT = 10   # val gets buckets [0, 10), test [10, 20), train rest
+SPLIT_TEST_PCT = 10
+
+
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the GROUP
+    (``source``), not the row, so every document of a source lands in
+    the same split — near-duplicate and boilerplate leakage across
+    train/eval cannot happen at the row level (the failure mode of
+    row-wise random splits on web corpora). Deterministic md5 group
+    buckets; output is the per-(split, source) audit plus doc counts."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    bucket = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_VAL_PCT, "val")
+        .when(bucket < SPLIT_VAL_PCT + SPLIT_TEST_PCT, "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "doc_id")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+O_GROUPED_SPLIT = f"""
+SELECT CASE
+         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100
+              < {SPLIT_VAL_PCT} THEN 'val'
+         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100
+              < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+         ELSE 'train'
+       END AS split,
+       source,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 PAIRS = [
     ("data_tests_suite", q_data_tests_suite, O_DATA_TESTS_SUITE),
     ("data_tests_store_failures", q_store_failures, O_STORE_FAILURES),
     ("sample_systematic", q_sample_systematic, O_SAMPLE_SYSTEMATIC),
     ("sample_stratified", q_sample_stratified, O_SAMPLE_STRATIFIED),
+    ("sample_grouped_split", q_grouped_split, O_GROUPED_SPLIT),
 ]
 
 
