@@ -623,6 +623,61 @@ SELECT flag, 'unique' AS type, unique_orders AS metric FROM agg
 """
 
 
+def q_f_agg_suite(spark, sf_dir):
+    """Modern aggregate-function parity per return flag: count_if,
+    bool_and/bool_or (EVERY/ANY), conditional sums, sum(DISTINCT) over
+    integers, min_by/max_by with deterministic struct tiebreaks — the
+    aggregate surface beyond the reference's COUNT/SUM/MAX, all
+    integer/boolean outputs so the compare is exact."""
+    li = _src(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+        F.sum(F.when(F.col("l_linenumber") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first_lines"),
+        F.sum_distinct(F.col("l_linenumber")).cast("long").alias("sum_distinct_ln"),
+        F.min_by(
+            "l_orderkey",
+            F.struct(F.col("l_quantity").alias("a"), F.col("l_orderkey").alias("b")),
+        ).alias("min_qty_order"),
+        F.max_by(
+            "l_orderkey",
+            F.struct(F.col("l_quantity").alias("a"), F.col("l_orderkey").alias("b")),
+        ).alias("max_qty_order"),
+    )
+
+
+O_F_AGG = """
+WITH ranked AS (
+    SELECT l_returnflag, l_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity ASC, l_orderkey ASC) AS rn_min,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity DESC, l_orderkey DESC) AS rn_max
+    FROM lineitem
+),
+ends AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn_min = 1 THEN l_orderkey END) AS min_qty_order,
+           MAX(CASE WHEN rn_max = 1 THEN l_orderkey END) AS max_qty_order
+    FROM ranked GROUP BY l_returnflag
+)
+SELECT a.l_returnflag,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.05) AS any_discounted,
+       CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first_lines,
+       CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_ln,
+       MIN(e.min_qty_order) AS min_qty_order,
+       MIN(e.max_qty_order) AS max_qty_order
+FROM lineitem a JOIN ends e ON a.l_returnflag = e.l_returnflag
+GROUP BY a.l_returnflag
+"""
+
+
 def q_attribution_models(spark, sf_dir):
     """Multi-model marketing attribution over the reference's own domain
     (the reference hard-codes ONE model — paid-preferred latest touch,
@@ -1917,6 +1972,7 @@ PAIRS = [
     ("f_scalar_suite", q_f_scalar_suite, O_F),
     ("f_datetime_suite", q_f_datetime_suite, O_F_DATETIME),
     ("f_string_suite", q_f_string_suite, O_F_STRING),
+    ("f_agg_suite", q_f_agg_suite, O_F_AGG),
     ("attribution_models", q_attribution_models, O_ATTRIBUTION),
     ("new_vs_returning", q_new_vs_returning, O_NEW_VS_RETURNING),
     ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
