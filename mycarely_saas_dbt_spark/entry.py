@@ -204,6 +204,44 @@ def _populate() -> None:
     ):
         register(name, _sql_api(oracle), oracle)
 
+    # Spark 4 recursive CTE (WITH RECURSIVE landed in 4.0): the SAME
+    # engine-portable SQL text runs verbatim in Spark AND DuckDB —
+    # ancestor closure over a binary-tree hierarchy derived from orders
+    # (integer arithmetic only; FLOOR(x/2.0) avoids the engines'
+    # differing integer-division operators). Iterative transitive
+    # closure is otherwise the DataFrame loop in connected_components —
+    # this entry pins the declarative recursion path.
+    RECURSIVE_CTE_SQL = """
+WITH RECURSIVE nodes AS (
+    SELECT DISTINCT CAST(o_orderkey % 64 AS INT) AS k FROM orders
+),
+anc AS (
+    SELECT k, k AS anc, 0 AS depth FROM nodes
+    UNION ALL
+    SELECT a.k, CAST(FLOOR(a.anc / 2.0) AS INT) AS anc, a.depth + 1 AS depth
+    FROM anc a WHERE a.anc > 0
+)
+SELECT k, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       COUNT(*) AS n_ancestors
+FROM anc GROUP BY k
+"""
+    register("sql_recursive_cte", _sql_api(RECURSIVE_CTE_SQL), RECURSIVE_CTE_SQL)
+
+    # Correlated scalar subquery (decorrelation path): each customer's
+    # most expensive order — the per-row subquery Catalyst rewrites into
+    # a join against the grouped MAX. Equality on the exact MAX (no
+    # float aggregation, so no cross-engine ulp risk); deterministic
+    # because ties simply emit both orders in both engines.
+    CORRELATED_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (
+    SELECT MAX(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+    register("sql_correlated_scalar", _sql_api(CORRELATED_SQL), CORRELATED_SQL)
+
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
     from mycarely_saas_dbt_spark import microqueries  # noqa: F401
