@@ -660,6 +660,28 @@ GROUP BY 1, 2
 """
 
 
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: a second micro-batch replays every
+    first-batch event within the lateness budget; all replays must drop,
+    so per-day counts equal the batch DISTINCT."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        dedup_within_watermark_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_ddww_")
+    out = dedup_within_watermark_stream(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_DEDUP_WW = """
+SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT event_id) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 def target_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Row-level diff between two materializations of the same model:
     (key, change) with change in {added, removed, changed}. The ops tool
@@ -817,6 +839,11 @@ def register_queries(register) -> None:
     )
     register("streaming_cms_sketch", streaming_cms_sketch, streaming_cms_oracle())
     register("streaming_enrich_join", streaming_enrich_join, O_STREAMING_ENRICH)
+    register(
+        "streaming_dedup_within_watermark",
+        streaming_dedup_within_watermark,
+        O_STREAMING_DEDUP_WW,
+    )
     register(
         "incremental_diff_report", incremental_diff_report, incremental_diff_oracle()
     )

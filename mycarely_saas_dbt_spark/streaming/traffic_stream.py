@@ -856,3 +856,71 @@ def enrich_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
     q = _merge_upsert_sink(agg, target, ["day", "nation"])
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# bounded-state streaming dedup (dropDuplicatesWithinWatermark)
+# --------------------------------------------------------------------------
+
+def dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-STATE streaming
+    dedup (Spark 3.5+): a key's state lives only for the watermark delay
+    after first sight, instead of forever (`dropDuplicates`' unbounded
+    key set — the state-size liability `dedup_stream`'s docstring
+    flags). The contract this entry proves: duplicates arriving WITHIN
+    the lateness budget of the original are dropped.
+
+    Fixture: the source is staged in two time-ordered slices, the second
+    of which REPLAYS every event of the first (same event_id, same ts).
+    All replays arrive within the 30-day budget of their originals, so
+    the deduped stream must equal the distinct original — per-day event
+    counts hash-match the batch DISTINCT oracle."""
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    f1 = ev.filter(F.col("ts") < F.lit(cut))
+    f2 = ev.filter(F.col("ts") >= F.lit(cut)).unionByName(f1)  # replays ride along
+    for i, df in enumerate((f1, f2), start=1):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    daily = deduped.select(F.col("ts").cast("date").alias("day"))
+
+    target = os.path.join(workdir, "out")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(target, f"batch_id={batch_id}")
+        )
+
+    q = (
+        daily.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
