@@ -1177,6 +1177,50 @@ GROUP BY grain, bucket, event_type
 """
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: for each ordered pair of distinct
+    event types, how many (user, day) baskets contain both — the support
+    table behind association/affinity analysis. The self-join runs on
+    the DISTINCT per-basket type relation (bounded: baskets x types,
+    never raw events x events), with a.type < b.type so each pair counts
+    once."""
+    ev = _src(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+O_EVENT_COOCCURRENCE = """
+WITH basket AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+    FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_baskets
+FROM basket a
+JOIN basket b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
 PAIRS = [
     ("win_lag_lead", q_win_lag_lead, O_WIN_LAG_LEAD),
     ("win_running", q_win_running, O_WIN_RUNNING),
@@ -1205,6 +1249,7 @@ PAIRS = [
     ("win_first_last_nth", q_win_first_last, O_WIN_FIRST_LAST),
     ("rollup_multires", q_rollup_multires, O_ROLLUP_MULTIRES),
     ("grouped_trend_pandas", q_grouped_trend, O_GROUPED_TREND),
+    ("event_cooccurrence", q_event_cooccurrence, O_EVENT_COOCCURRENCE),
 ]
 
 
