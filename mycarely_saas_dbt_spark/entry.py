@@ -242,6 +242,32 @@ WHERE o_totalprice = (
 """
     register("sql_correlated_scalar", _sql_api(CORRELATED_SQL), CORRELATED_SQL)
 
+    # Discrete percentiles by the explicit rank formula (value at rank
+    # ceil(p*n) under a TOTAL order) — exact on integral quantities, and
+    # the same portable SQL text runs verbatim in both engines, so the
+    # p25/p50/p90 values hash-match with no interpolation ulp risk
+    # (percentile_cont's half-sum ties are covered by percentile_qty).
+    PERCENTILE_DISC_SQL = """
+WITH r AS (
+    SELECT l_returnflag, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_quantity END)
+           AS p25_disc,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_quantity END)
+           AS p50_disc,
+       MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN l_quantity END)
+           AS p90_disc
+FROM r GROUP BY l_returnflag
+"""
+    register(
+        "sql_percentile_disc", _sql_api(PERCENTILE_DISC_SQL), PERCENTILE_DISC_SQL
+    )
+
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
     from mycarely_saas_dbt_spark import microqueries  # noqa: F401
