@@ -268,6 +268,33 @@ FROM r GROUP BY l_returnflag
         "sql_percentile_disc", _sql_api(PERCENTILE_DISC_SQL), PERCENTILE_DISC_SQL
     )
 
+    # RFM segmentation — the classic marketing-analytics rollup the
+    # reference's attribution pipeline feeds into: recency/frequency/
+    # monetary quintiles per customer (NTILE with a unique tiebreak —
+    # deterministic; money folded to integer cents so the ordering key
+    # is exact), counted per segment. Global NTILE at customer
+    # cardinality is report-grade (same caveat as win_rank_ntile).
+    RFM_SQL = """
+WITH c AS (
+    SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey,
+           NTILE(5) OVER (ORDER BY last_order ASC, o_custkey) AS r,
+           NTILE(5) OVER (ORDER BY n_orders ASC, o_custkey) AS f,
+           NTILE(5) OVER (ORDER BY cents ASC, o_custkey) AS m
+    FROM c
+)
+SELECT r, f, m, COUNT(*) AS n_customers
+FROM scored GROUP BY r, f, m
+"""
+    register("sql_rfm_segmentation", _sql_api(RFM_SQL), RFM_SQL)
+
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
     from mycarely_saas_dbt_spark import microqueries  # noqa: F401
