@@ -295,6 +295,49 @@ FROM scored GROUP BY r, f, m
 """
     register("sql_rfm_segmentation", _sql_api(RFM_SQL), RFM_SQL)
 
+    # Robust statistics — median + median-absolute-deviation per group,
+    # both by the exact discrete-rank formula on integer cents (two
+    # ranked passes; no float aggregation anywhere, so the outlier-proof
+    # spread metric hash-matches bit-exactly across engines).
+    ROBUST_STATS_SQL = """
+WITH v AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+           l_orderkey, l_linenumber
+    FROM lineitem
+),
+r1 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM v
+),
+med AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN cents END)
+               AS med_cents
+    FROM r1 GROUP BY l_returnflag
+),
+d AS (
+    SELECT v.l_returnflag, ABS(v.cents - m.med_cents) AS dev,
+           v.l_orderkey, v.l_linenumber
+    FROM v JOIN med m ON v.l_returnflag = m.l_returnflag
+),
+r2 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM d
+)
+SELECT r2.l_returnflag,
+       MIN(m.med_cents) AS median_cents,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN dev END)
+           AS mad_cents
+FROM r2 JOIN med m ON r2.l_returnflag = m.l_returnflag
+GROUP BY r2.l_returnflag
+"""
+    register("sql_robust_stats", _sql_api(ROBUST_STATS_SQL), ROBUST_STATS_SQL)
+
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
     from mycarely_saas_dbt_spark import microqueries  # noqa: F401
