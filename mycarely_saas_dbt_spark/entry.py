@@ -338,6 +338,22 @@ GROUP BY r2.l_returnflag
 """
     register("sql_robust_stats", _sql_api(ROBUST_STATS_SQL), ROBUST_STATS_SQL)
 
+    # Bag-semantics set operators (EXCEPT ALL / INTERSECT ALL): the
+    # multiset variants the distinct-set `set_ops` entry doesn't cover —
+    # duplicate multiplicities must subtract/intersect exactly.
+    BAG_SET_OPS_SQL = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+x AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+y AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+SELECT 'except_all' AS op, COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS n_keys FROM x
+UNION ALL
+SELECT 'intersect_all' AS op, COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS n_keys FROM y
+"""
+    register("sql_bag_set_ops", _sql_api(BAG_SET_OPS_SQL), BAG_SET_OPS_SQL)
+
     # Operator-level micro-queries (SURVEY §2) + extensions register lazily
     # from their own modules.
     from mycarely_saas_dbt_spark import microqueries  # noqa: F401
