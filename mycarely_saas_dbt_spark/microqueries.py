@@ -623,6 +623,38 @@ SELECT flag, 'unique' AS type, unique_orders AS metric FROM agg
 """
 
 
+def q_posexplode_outer(spark, sf_dir):
+    """OUTER lateral fan-out NULL semantics: posexplode_outer must emit
+    one (NULL pos, NULL token) row for a NULL array instead of dropping
+    the parent row (the silent-row-loss bug of a plain explode in
+    enrichment pipelines). Every 7th doc's array is NULLed to exercise
+    the edge; the oracle reproduces the exact outer semantics with a
+    UNION of the NULL-parent branch and the indexed unnest."""
+    d = _src(spark, sf_dir, "documents")
+    arr = F.when(
+        F.pmod("n_chars", F.lit(7)) != 0, F.slice(F.split("text", " "), 1, 3)
+    )
+    return d.select("doc_id", arr.alias("arr")).select(
+        "doc_id", F.posexplode_outer("arr").alias("p", "tok")
+    )
+
+
+O_POSEXPLODE_OUTER = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN n_chars % 7 != 0
+                THEN string_split(text, ' ')[1:3] END AS arr
+    FROM documents
+)
+SELECT doc_id, CAST(NULL AS INT) AS p, CAST(NULL AS VARCHAR) AS tok
+FROM t WHERE arr IS NULL
+UNION ALL
+SELECT t.doc_id, CAST(g.i - 1 AS INT) AS p, t.arr[g.i] AS tok
+FROM t, UNNEST(generate_series(1, len(t.arr))) AS g(i)
+WHERE t.arr IS NOT NULL
+"""
+
+
 def q_f_agg_suite(spark, sf_dir):
     """Modern aggregate-function parity per return flag: count_if,
     bool_and/bool_or (EVERY/ANY), conditional sums, sum(DISTINCT) over
@@ -1973,6 +2005,7 @@ PAIRS = [
     ("f_datetime_suite", q_f_datetime_suite, O_F_DATETIME),
     ("f_string_suite", q_f_string_suite, O_F_STRING),
     ("f_agg_suite", q_f_agg_suite, O_F_AGG),
+    ("posexplode_outer_nulls", q_posexplode_outer, O_POSEXPLODE_OUTER),
     ("attribution_models", q_attribution_models, O_ATTRIBUTION),
     ("new_vs_returning", q_new_vs_returning, O_NEW_VS_RETURNING),
     ("tpch_q1", q_tpch_q1, O_TPCH_Q1),
