@@ -79,34 +79,57 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     register_sources(spark, sf_dir)
 
-    # min of N_RUNS passes per query: first pass absorbs per-plan codegen and
-    # file-listing cold costs; min is the standard steady-state estimator for
-    # single-machine wall-clock with noisy neighbors.
+    # INTERLEAVED rounds (q1,q2,...,qN repeated N_ROUNDS times — A/B/A/B, not
+    # A×N then B×N): this box's wall-clock noise is +/-50% over minutes-long
+    # load swings (firecracker VM, shared host), so back-to-back runs of one
+    # query all land in the same swing and min-of-3 can't tell noise from
+    # regression (BENCH_r04 lesson: six queries "regressed" ~1.4-1.7x with no
+    # code change). Interleaving spreads each query's samples across the whole
+    # session, and the artifact reports min/median/spread per query so a
+    # reader can reject noisy numbers instead of trusting them.
+    # `queries` stays the min map (comparable with BENCH_r01..r04);
+    # `queries_median` / `queries_spread` are the falsifiability additions.
     # Crash-proof: one broken query must never erase the whole artifact
-    # (BENCH_r02 lesson — a single AnalysisException zeroed all 16 timings).
-    # Each query is caught individually, its timing/error is flushed to
-    # stderr as it completes, and the final JSON line always prints.
-    # 3 runs: this box's wall-clock noise is +/-50% per query run-to-run
-    # (firecracker VM, shared host); min-of-2 let one bad draw distort a
-    # query's number, min-of-3 keeps the artifact comparable across rounds.
-    N_RUNS = 3
-    timings: dict[str, float] = {}
+    # (BENCH_r02 lesson) — each run is caught individually and the final
+    # JSON line always prints.
+    N_ROUNDS = 5
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     names = [n for n in BENCH_QUERIES + EXTENSION_QUERIES if n in qs]
-    for name in names:
-        best = None
-        try:
-            for _ in range(N_RUNS):
+    for rnd in range(N_ROUNDS):
+        for name in names:
+            if name in errors:
+                continue
+            try:
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            timings[name] = round(best, 3)
-            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # noqa: BLE001 — record and keep going
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
+                samples.setdefault(name, []).append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001 — record and keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"[bench] {name}: ERROR {errors[name]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        print(f"[bench] --- round {rnd + 1}/{N_ROUNDS} done", file=sys.stderr, flush=True)
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for name in names:
+        runs = sorted(samples.get(name, []))
+        if not runs:
+            continue
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(t, 3) for t in runs]
+        print(
+            f"[bench] {name}: min={timings[name]}s median={medians[name]}s"
+            f" spread={spreads[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -114,9 +137,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spreads,
+        "total_median": round(sum(medians.values()), 3),
         "sf": sf,
-        "runs_per_query": N_RUNS,
+        "runs_per_query": N_ROUNDS,
         "aggregation": "min",
+        "schedule": "interleaved",
     }
     if errors:
         out["errors"] = errors

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
-from mycarely_saas_dbt_spark.util import bounded_persist
+from mycarely_saas_dbt_spark.util import bounded_persist, fanout_scan
 
 SHINGLE_LEN = 8
 SHINGLE_STRIDE = 4
@@ -76,7 +76,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
         f"transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1),"
         f" {SHINGLE_STRIDE}), i -> substring(text, i, {SHINGLE_LEN}))"
     )
-    return docs.select(
+    return fanout_scan(docs).select(
         "doc_id", F.explode(F.expr(expr)).alias("s")
     ).distinct()
 
@@ -121,7 +121,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the min-agg run once, not 20x (on a production lake these
     # intermediates would be checkpointed to the object store instead).
     sh = bounded_persist(_hashed_shingles(docs), "minhash:shingles")
-    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    # n_sh rides along in the SAME groupBy shuffle as the minhash mins —
+    # the Jaccard union sizes come for free instead of a second aggregate
+    # over the shingle relation.
+    sig = bounded_persist(
+        sh.groupBy("doc_id").agg(
+            *_minhash_aggs(), F.count(F.lit(1)).alias("n_sh")
+        ),
+        "minhash:sig",
+    )
     band_exprs = ", ".join(
         "{b}, md5(concat_ws('_', {cols}))".format(
             b=b,
@@ -131,11 +139,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     )
-    bands = bounded_persist(
-        sig.selectExpr(
-            "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
-        ),
-        "minhash:bands",
+    # bands is a cheap stack-explode over the CACHED sig — no separate
+    # persist needed; each side of the self-join re-reads the sig cache.
+    bands = sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
     )
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -157,14 +164,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify only the docs that appear in some candidate pair: broadcast
     # the (tiny) candidate doc set and semi-restrict the shingle relation
     # before the shingle-equality join — at 100 TB the full corpus's
-    # shingles never enter the verify stage.
+    # shingles never enter the verify stage. One explode pass over the
+    # cached candidates (not a union of two scans), and the restricted
+    # shingle relation is ITSELF persisted: it has three consumers (sizes,
+    # both sides of the intersection join), and without the persist each
+    # one re-ran the broadcast hash join over the full shingle cache —
+    # the BENCH_r04 2.28x local regression.
     cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_c = bounded_persist(
+        sh.join(F.broadcast(cand_docs), "doc_id"), "minhash:cand_shingles"
+    )
+    sizes = sig.join(F.broadcast(cand_docs), "doc_id").select("doc_id", "n_sh")
     inter = (
         candidates.join(sh_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
@@ -257,7 +271,7 @@ WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
 def simhash(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over the token multiset: bit j is the sign of the
     weighted sum of bit j of md5(token) (top bit of hex digit j)."""
-    tok = docs.select(
+    tok = fanout_scan(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).withColumn("h", F.md5("t"))
     aggs = [
@@ -388,7 +402,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     (`_sim64_packed_sums`); extraction is (ps_d >> lane) & 0xFFFF. The
     SIMHASH64_MAX_TOKENS prefix cap (mirrored in the oracle) keeps every
     lane exactly overflow-free — see the constant's comment."""
-    tok = docs.select(
+    tok = fanout_scan(docs).select(
         "doc_id",
         F.explode(
             F.slice(F.split("text", " "), 1, SIMHASH64_MAX_TOKENS)

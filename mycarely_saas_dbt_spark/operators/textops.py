@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
+from mycarely_saas_dbt_spark.util import fanout_scan
 
 # stopword-profile language markers (tiny on purpose — the heuristic is the
 # operator; swap in real profiles for production corpora)
@@ -285,7 +286,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass whose output is ~n_tokens/CHUNK_STEP rows per doc; downstream
     packing/batching reads it partitioned by doc_id."""
     register_sources(spark, sf_dir)
-    d = spark.table("documents").withColumn("__toks", _toks())
+    d = fanout_scan(spark.table("documents")).withColumn("__toks", _toks())
     d = d.withColumn("n_tokens", F.size("__toks"))
     starts = F.expr(f"sequence(0, n_tokens - 1, {CHUNK_STEP})")
     return (
@@ -525,7 +526,10 @@ def _winnow_batches(docs: DataFrame, *, exploded: bool) -> DataFrame:
         else "doc_id bigint, n_grams bigint, n_fingerprints bigint, "
              "min_fp bigint, max_fp bigint"
     )
-    return docs.mapInPandas(run, schema)
+    # Arrow stages inherit the scan's split count — a one-row-group parquet
+    # file would run the whole scorer on one core (fanout_scan is a no-op
+    # on a well-partitioned lake scan).
+    return fanout_scan(docs).mapInPandas(run, schema)
 
 
 def winnowing_fingerprints(

@@ -44,6 +44,26 @@ def bounded_persist(df: DataFrame, site: str) -> DataFrame:
     return df.persist()
 
 
+def fanout_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the executor cores before an
+    explode/UDF-heavy stage.
+
+    Small single-file parquet inputs (one row group) arrive as ONE input
+    partition, so an explode or Arrow stage directly above the scan runs
+    single-threaded no matter how many cores the session has — at sf0.1
+    this made shingling 3.5x slower than the same work on 32 splits. On a
+    real 100 TB lake the scan already has thousands of splits and this is
+    a metadata-only no-op (the condition below is false); the repartition
+    only fires when the input has fewer splits than half the cores, so we
+    never add a shuffle to a well-partitioned source.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _prune_mat_dirs() -> None:
     while len(_MAT_DIRS) > _MAT_KEEP:
         shutil.rmtree(_MAT_DIRS.popleft(), ignore_errors=True)
