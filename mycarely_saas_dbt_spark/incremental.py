@@ -11,10 +11,13 @@ Semantics replicated from dbt-redshift's incremental materialization
     then delete+insert by ``unique_key`` (S3).
 
 The upsert is Delta-style MERGE semantics built from primitives:
-``target ANTI-JOIN new ON unique_key  UNION ALL  new``, written to a temp
-directory and atomically swapped. On a production lake this writer would be
-Delta/Iceberg ``MERGE INTO`` (same logical plan, transactional commit); the
-parquet-swap fallback keeps the engine dependency-free.
+``target ANTI-JOIN new ON unique_key  UNION ALL  new``. Commits use a
+manifest-pointer protocol (see the manifest section below): new files land
+uncommitted in the partition dirs, one `_manifest/CURRENT` pointer swap
+publishes the version atomically — safe on object stores, where directory
+renames are copy+delete and a multi-dir swap has a visible torn window.
+This is Delta/Iceberg's transaction-log move with one pointer instead of a
+log, dependency-free.
 
 Scale notes (100 TB):
   * With date-partitioned targets (partition_by=...) incremental runs take
@@ -153,28 +156,51 @@ class IncrementalRunner:
 
     def target_exists(self, name: str) -> bool:
         p = self.target_path(name)
-        return os.path.isdir(p) and bool(
+        if not os.path.isdir(p):
+            return False
+        if os.path.isfile(os.path.join(p, self._MANIFEST_DIR, self._CURRENT)):
+            return True
+        return bool(
             [f for f in os.listdir(p) if f.endswith(".parquet") or f.startswith("part-")]
             or [d for d in os.listdir(p) if "=" in d]
         )
 
-    # Spark moves partitionBy columns to the END of the schema on read-back;
-    # this sidecar (underscore-prefixed => ignored by parquet discovery)
-    # records the model's canonical column order + types so read_target can
-    # restore them and a partitioned target is indistinguishable from an
-    # unpartitioned one to every consumer.
+    # Legacy (pre-manifest) targets recorded the model's canonical column
+    # order + types in this sidecar (Spark moves partitionBy columns to the
+    # END of the schema on read-back); manifest-committed targets carry
+    # dtypes in the manifest itself. Kept read-only for adopting old
+    # targets.
     SCHEMA_SIDECAR = "_mycarely_schema.json"
-
-    def _write_schema_sidecar(self, path: str, dtypes: list[tuple[str, str]]) -> None:
-        with open(os.path.join(path, self.SCHEMA_SIDECAR), "w") as f:
-            json.dump([list(p) for p in dtypes], f)
 
     def read_target(self, name: str) -> DataFrame:
         path = self.target_path(name)
+        manifest = self.current_manifest(name)
+        if manifest is not None:
+            # Manifest-committed target: read EXACTLY the live files (the
+            # one reader chokepoint of the commit protocol). basePath keeps
+            # hive partition-column inference working on explicit file
+            # lists; uncommitted/orphan files in the same dirs are simply
+            # never listed.
+            files = [
+                os.path.join(path, rel, f) if rel else os.path.join(path, f)
+                for rel, fl in manifest["partitions"].items()
+                for f in fl
+            ]
+            dtypes = manifest.get("dtypes")
+            if not files:
+                if dtypes is None:
+                    raise RuntimeError(f"{name}: empty target with no schema")
+                ddl = ", ".join(f"`{n}` {t}" for n, t in dtypes)
+                return self.spark.createDataFrame([], schema=ddl)
+            df = self.spark.read.option("basePath", path).parquet(*files)
+            if dtypes and {n for n, _ in dtypes} == set(df.columns):
+                df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+            return df
         if os.path.isfile(os.path.join(path, self._COMMIT_MARKER)):
-            # a partition swap died mid-commit: reading through it would
-            # compute a watermark past never-swapped partitions and lose
-            # their rows silently on the next merge — fail loudly instead
+            # legacy (pre-manifest) target whose dir-swap commit died
+            # mid-flight: reading through it would compute a watermark past
+            # never-swapped partitions and lose their rows silently on the
+            # next merge — fail loudly instead
             raise RuntimeError(
                 f"{name}: target has an unfinished partition commit "
                 f"({self._COMMIT_MARKER} present) — re-run the interrupted "
@@ -312,6 +338,9 @@ class IncrementalRunner:
         return merged
 
     def _layout_is_partitioned(self, spec: ModelSpec) -> bool:
+        manifest = self.current_manifest(spec.name)
+        if manifest is not None:
+            return manifest.get("partition_by") == list(spec.partition_by)
         path = self.target_path(spec.name)
         prefix = spec.partition_by[0] + "="
         return any(d.startswith(prefix) for d in os.listdir(path))
@@ -358,56 +387,144 @@ class IncrementalRunner:
             out = out | p
         return out
 
-    _COMMIT_MARKER = "_commit_in_progress"
+    _COMMIT_MARKER = "_commit_in_progress"  # legacy (pre-manifest) targets only
 
-    @staticmethod
-    def _dot_bak(dst: str) -> str:
-        """Backup name for a partition dir being replaced: dot-prefixed so
-        Spark partition discovery ignores it — crash residue can neither
-        resurrect old rows nor degrade the partition column's inferred
-        type (a bare `date=...bak-x` sibling would do both)."""
-        return os.path.join(
-            os.path.dirname(dst),
-            f".{os.path.basename(dst)}.bak-{uuid.uuid4().hex[:8]}",
-        )
+    # ------------------------------------------------------------------
+    # Manifest commit protocol (object-store-safe).
+    #
+    # Every committed table version is ONE small JSON file under
+    # `_manifest/` listing the exact live data files per partition
+    # directory; `_manifest/CURRENT` names the live version and is
+    # replaced with a single atomic `os.replace` (a single-key PUT on an
+    # object store). Writers add NEW uniquely-named files into the
+    # normal hive partition dirs — invisible to readers until the
+    # pointer swap — then commit, then vacuum the superseded files. A
+    # crash at ANY point before the pointer swap leaves readers on the
+    # previous consistent version (orphan files are unreferenced and
+    # cleaned by the next vacuum); there is no torn-commit window at
+    # all, unlike directory-rename swaps whose multi-rename sequence is
+    # copy+delete (and visible) on S3-class stores. This is the
+    # Delta/Iceberg transaction-log move with one pointer instead of a
+    # log — sufficient for a single-writer-per-model DAG.
+    # ------------------------------------------------------------------
 
-    def _swap_partition_dirs(
-        self, tmp: str, final: str, depth: int, remove: list[str] = ()
-    ) -> int:
-        """Move every partition dir under ``tmp`` into ``final`` (and
-        delete the ``remove`` dirs — replaced partitions with no rebuilt
-        successor). Crash posture on a plain filesystem: the swap window
-        is guarded by a ``_commit_in_progress`` marker that
-        ``read_target`` refuses to read through, so a torn multi-dir
-        commit surfaces LOUDLY (re-run the merge) instead of silently
-        advancing the watermark past never-swapped partitions and losing
-        their rows. The marker is removed only on success. On a
-        lakehouse, the table format's transaction log makes this commit
-        atomic; this is the honest filesystem equivalent."""
-        marker = os.path.join(final, self._COMMIT_MARKER)
-        with open(marker, "w") as fh:
-            fh.write(uuid.uuid4().hex)
-        swapped = 0
-        for rel in remove:
-            dst = os.path.join(final, rel)
-            if os.path.isdir(dst):
-                bak = self._dot_bak(dst)
-                os.rename(dst, bak)
-                shutil.rmtree(bak)
-                swapped += 1
-        for rel in self._leaf_partition_dirs(tmp, depth):
-            src, dst = os.path.join(tmp, rel), os.path.join(final, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            bak = None
-            if os.path.isdir(dst):
-                bak = self._dot_bak(dst)
-                os.rename(dst, bak)
-            os.rename(src, dst)
-            if bak is not None:
-                shutil.rmtree(bak)
-            swapped += 1
-        os.remove(marker)  # success only — a failure leaves the loud marker
-        return swapped
+    _MANIFEST_DIR = "_manifest"
+    _CURRENT = "CURRENT"
+
+    def _manifest_dir(self, name: str) -> str:
+        return os.path.join(self.target_path(name), self._MANIFEST_DIR)
+
+    def current_manifest(self, name: str) -> dict | None:
+        """The committed table version, or None for legacy/absent targets."""
+        cur = os.path.join(self._manifest_dir(name), self._CURRENT)
+        if not os.path.isfile(cur):
+            return None
+        with open(cur) as fh:
+            ver = fh.read().strip()
+        with open(os.path.join(self._manifest_dir(name), ver)) as fh:
+            return json.load(fh)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        """Write the version file, then atomically swap the CURRENT pointer
+        — the ONLY step that changes what readers see."""
+        mdir = self._manifest_dir(name)
+        os.makedirs(mdir, exist_ok=True)
+        ver = f"v{manifest['version']:06d}.json"
+        with open(os.path.join(mdir, ver), "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(mdir, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write(ver)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(mdir, self._CURRENT))
+
+    def _manifest_from_layout(
+        self, name: str, partition_by: list[str] | None
+    ) -> dict:
+        """Adopt a legacy (pre-manifest) target: version-0 manifest listing
+        the files already on disk, so the first manifest commit can carry
+        the untouched partitions forward without rewriting them."""
+        final = self.target_path(name)
+        depth = len(partition_by or [])
+        leaves = self._leaf_partition_dirs(final, depth) if depth else [""]
+        parts: dict[str, list[str]] = {}
+        for rel in leaves:
+            d = os.path.join(final, rel) if rel else final
+            names = [
+                f
+                for f in os.listdir(d)
+                if os.path.isfile(os.path.join(d, f))
+                and not f.startswith((".", "_"))
+            ]
+            if names:
+                parts[rel] = sorted(names)
+        dtypes = None
+        sidecar = os.path.join(final, self.SCHEMA_SIDECAR)
+        if os.path.isfile(sidecar):
+            with open(sidecar) as fh:
+                dtypes = json.load(fh)
+        return {
+            "version": 0,
+            "partition_by": list(partition_by or []),
+            "dtypes": dtypes,
+            "partitions": parts,
+        }
+
+    def _ingest_files(self, tmp: str, name: str, depth: int) -> dict[str, list[str]]:
+        """Move a finished Spark write from its staging dir into the target's
+        partition dirs under commit-unique names (uncommitted — readers
+        resolve the manifest, so these are invisible until the pointer
+        swap). Returns {partition_rel: [file names]}. On an object store a
+        production writer skips the staging hop and writes uniquely-named
+        files directly into the table prefix (the Delta writer shape);
+        locally Spark's `overwrite` staging keeps the write atomic per
+        task, so we move afterwards."""
+        final = self.target_path(name)
+        commit = uuid.uuid4().hex[:8]
+        leaves = self._leaf_partition_dirs(tmp, depth) if depth else [""]
+        parts: dict[str, list[str]] = {}
+        for rel in leaves:
+            src_dir = os.path.join(tmp, rel) if rel else tmp
+            dst_dir = os.path.join(final, rel) if rel else final
+            os.makedirs(dst_dir, exist_ok=True)
+            names = []
+            for f in sorted(os.listdir(src_dir)):
+                if f.startswith((".", "_")) or not os.path.isfile(
+                    os.path.join(src_dir, f)
+                ):
+                    continue
+                new_name = f"{commit}-{f}"
+                os.rename(os.path.join(src_dir, f), os.path.join(dst_dir, new_name))
+                names.append(new_name)
+            if names:
+                parts[rel] = names
+        return parts
+
+    def _vacuum(self, name: str, manifest: dict) -> None:
+        """Delete data files not referenced by the committed manifest
+        (superseded versions, crash orphans) and prune emptied partition
+        dirs. Runs strictly AFTER the pointer swap — a crash here leaves
+        only invisible garbage, never an inconsistent table."""
+        final = self.target_path(name)
+        live = {
+            os.path.join(rel, f) if rel else f
+            for rel, fl in manifest["partitions"].items()
+            for f in fl
+        }
+        for dp, dns, fs in os.walk(final, topdown=True):
+            dns[:] = [d for d in dns if not d.startswith((".", "_"))]
+            for f in fs:
+                if f.startswith((".", "_")):
+                    continue
+                rel = os.path.relpath(os.path.join(dp, f), final)
+                if rel not in live:
+                    os.remove(os.path.join(dp, f))
+        for dp, dns, fs in os.walk(final, topdown=False):
+            if dp != final and not os.listdir(dp):
+                os.rmdir(dp)
 
     def _partitioned_merge_write(
         self, spec: ModelSpec, target: DataFrame, new: DataFrame
@@ -425,7 +542,8 @@ class IncrementalRunner:
         stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
         new.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(stage)
         try:
-            if not self._leaf_partition_dirs(stage, depth):
+            touched_rels = self._leaf_partition_dirs(stage, depth)
+            if not touched_rels:
                 return 0, 0  # empty batch: nothing past the watermark
             staged = self.spark.read.parquet(stage).select(*new.columns)
             touched = staged.select(*spec.partition_by).distinct().collect()
@@ -437,31 +555,57 @@ class IncrementalRunner:
             merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
             try:
                 n = self.spark.read.parquet(tmp).count()
-                swapped = self._swap_partition_dirs(tmp, final, depth)
-                self._write_schema_sidecar(final, new.dtypes)
+                # New files land in the partition dirs UNCOMMITTED; the
+                # manifest pointer swap below is the single atomic commit.
+                base = self.current_manifest(spec.name) or self._manifest_from_layout(
+                    spec.name, spec.partition_by
+                )
+                parts = dict(base["partitions"])
+                for rel in touched_rels:
+                    parts.pop(rel, None)
+                parts_new = self._ingest_files(tmp, spec.name, depth)
+                parts.update(parts_new)
+                manifest = {
+                    "version": base["version"] + 1,
+                    "partition_by": list(spec.partition_by),
+                    "dtypes": [list(p) for p in new.dtypes],
+                    "partitions": parts,
+                }
+                self._commit_manifest(spec.name, manifest)
+                self._vacuum(spec.name, manifest)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-            return n, swapped
+            return n, len(set(touched_rels) | set(parts_new))
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
     def _atomic_write(self, spec: ModelSpec, df: DataFrame) -> int:
-        """Materialize to a temp dir, then swap — the merge must finish
-        reading the old files before they are replaced."""
+        """Full-refresh CTAS under the manifest protocol: stage the write,
+        move the files in uncommitted, commit a manifest referencing ONLY
+        them (old files — legacy or previous versions — become
+        unreferenced), vacuum."""
         final = self.target_path(spec.name)
+        os.makedirs(final, exist_ok=True)
+        depth = len(spec.partition_by or [])
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if spec.partition_by:
             writer = writer.partitionBy(*spec.partition_by)
         writer.parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
-        self._write_schema_sidecar(tmp, df.dtypes)
-        bak = f"{final}.bak-{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(final):
-            os.rename(final, bak)
-        os.rename(tmp, final)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
+        try:
+            n = self.spark.read.parquet(tmp).count()
+            base = self.current_manifest(spec.name)
+            parts = self._ingest_files(tmp, spec.name, depth)
+            manifest = {
+                "version": (base["version"] + 1) if base else 1,
+                "partition_by": list(spec.partition_by or []),
+                "dtypes": [list(p) for p in df.dtypes],
+                "partitions": parts,
+            }
+            self._commit_manifest(spec.name, manifest)
+            self._vacuum(spec.name, manifest)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return n
 
 
@@ -528,21 +672,35 @@ class IncrementalRunner:
             (F.col(pcol) >= F.lit(start)) & (F.col(pcol) <= F.lit(end))
         )
         final = self.target_path(spec.name)
-        # existing in-range partition dirs (ISO date values sort
+        base = self.current_manifest(spec.name) or self._manifest_from_layout(
+            spec.name, spec.partition_by
+        )
+        # committed in-range partitions (ISO date values sort
         # lexicographically == chronologically)
         in_range = [
-            d for d in os.listdir(final)
-            if d.startswith(f"{pcol}=")
-            and str(start) <= d.split("=", 1)[1] <= str(end)
+            rel for rel in base["partitions"]
+            if rel.startswith(f"{pcol}=")
+            and str(start) <= rel.split("=", 1)[1] <= str(end)
         ]
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         new.write.mode("overwrite").partitionBy(pcol).parquet(tmp)
         try:
             rebuilt = set(self._leaf_partition_dirs(tmp, 1))
             n = self.spark.read.parquet(tmp).count() if rebuilt else 0
-            swapped = self._swap_partition_dirs(
-                tmp, final, 1, remove=[d for d in in_range if d not in rebuilt]
-            )
+            parts = dict(base["partitions"])
+            for rel in in_range:  # the build is authoritative for the range
+                parts.pop(rel, None)
+            parts_new = self._ingest_files(tmp, spec.name, 1) if rebuilt else {}
+            parts.update(parts_new)
+            manifest = {
+                "version": base["version"] + 1,
+                "partition_by": list(spec.partition_by),
+                "dtypes": [list(p) for p in new.dtypes],
+                "partitions": parts,
+            }
+            self._commit_manifest(spec.name, manifest)
+            self._vacuum(spec.name, manifest)
+            swapped = len(set(in_range) | set(parts_new))
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return {
@@ -553,49 +711,107 @@ class IncrementalRunner:
             "partitions_rewritten": swapped,
         }
 
-    def compact(self, name: str, *, target_file_mb: int = 128) -> dict:
-        """Small-file compaction for a fragmented incremental target.
+    def compact(
+        self,
+        name: str,
+        *,
+        target_file_mb: float = 128,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction (+ optional re-clustering) for a
+        fragmented incremental target.
 
-        Every merge run rewrites the table as `shuffle.partitions` files;
-        after many runs (or with date partitioning, many tiny per-partition
-        files) scan overhead is dominated by file-open costs. Rewrite the
-        target into ceil(bytes / target_file_mb) files via repartition —
-        content-identical, atomic-swap, row-count-verified. On a lakehouse
-        this is OPTIMIZE / rewrite_data_files; sizing to ~128 MB keeps
-        parquet row groups aligned with HDFS/object-store read units.
+        Every merge run rewrites its partitions as `shuffle.partitions`
+        files; after many runs scan overhead is dominated by file-open
+        costs. Rewrite the target into ceil(bytes / target_file_mb) files
+        via repartition — content-identical, manifest-committed,
+        row-count-verified. With ``cluster_by`` the rewrite also lays the
+        data out for skipping on those columns: one column = range-sort;
+        two columns = Morton z-order (lakehouse OPTIMIZE ZORDER — see
+        sources/zorder.py), so parquet footer min/max stats prune files on
+        EITHER clustered column afterwards. On a lakehouse this whole
+        method is OPTIMIZE / rewrite_data_files.
         """
         path = self.target_path(name)
-        n_bytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path)
-            for f in fs
-            if not f.startswith((".", "_"))
-        )
-        n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
-        # preserve a partitioned layout: hive-style `col=value` dirs on disk
-        part_cols = sorted(
-            {d.split("=")[0] for d in os.listdir(path) if "=" in d and os.path.isdir(os.path.join(path, d))}
-        )
+        base = self.current_manifest(name)
+        if base is not None:
+            part_cols = list(base["partition_by"])
+            n_bytes = sum(
+                os.path.getsize(os.path.join(path, rel, f) if rel else os.path.join(path, f))
+                for rel, fl in base["partitions"].items()
+                for f in fl
+            )
+        else:
+            # legacy layout: hive-style `col=value` dirs on disk
+            part_cols = sorted(
+                {d.split("=")[0] for d in os.listdir(path) if "=" in d and os.path.isdir(os.path.join(path, d))}
+            )
+            n_bytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        n_files = int(max(1, -(-n_bytes // (target_file_mb * 1024 * 1024))))
         df = self.read_target(name)
         before = df.count()
         tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-        writer = df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+        if cluster_by:
+            if len(cluster_by) == 1:
+                sort_col = F.col(cluster_by[0])
+                clustered = df.withColumn("__cluster", sort_col)
+            elif len(cluster_by) == 2:
+                from mycarely_saas_dbt_spark.sources.zorder import _grid, morton2
+
+                x, y = cluster_by
+                xlo, xhi = df.agg(F.min(x), F.max(x)).first()
+                ylo, yhi = df.agg(F.min(y), F.max(y)).first()
+                clustered = df.withColumn(
+                    "__cluster",
+                    morton2(_grid(F.col(x), xlo, xhi), _grid(F.col(y), ylo, yhi)),
+                )
+            else:
+                raise ValueError("cluster_by supports 1 or 2 columns")
+            keys = part_cols + ["__cluster"]
+            writer = (
+                clustered.repartitionByRange(n_files, *keys)
+                .sortWithinPartitions(*keys)
+                .drop("__cluster")
+            )
+        else:
+            writer = (
+                df.repartition(n_files, *part_cols)
+                if part_cols
+                else df.repartition(n_files)
+            )
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
-        self._write_schema_sidecar(tmp, df.dtypes)
-        after = self.spark.read.parquet(tmp).count()
-        if after != before:
+        try:
+            after = self.spark.read.parquet(tmp).count()
+            if after != before:
+                raise RuntimeError(
+                    f"compaction row-count mismatch on {name}: {before} -> {after}"
+                )
+            parts = self._ingest_files(tmp, name, len(part_cols))
+            manifest = {
+                "version": (base["version"] + 1) if base else 1,
+                "partition_by": part_cols,
+                "dtypes": [list(p) for p in df.dtypes],
+                "partitions": parts,
+            }
+            self._commit_manifest(name, manifest)
+            self._vacuum(name, manifest)
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compaction row-count mismatch on {name}: {before} -> {after}"
-            )
-        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        os.rename(path, bak)
-        os.rename(tmp, path)
-        shutil.rmtree(bak)
-        return {"model": name, "files": n_files, "rows": after, "bytes": n_bytes}
+        return {
+            "model": name,
+            "files": n_files,
+            "rows": after,
+            "bytes": n_bytes,
+            "cluster_by": cluster_by,
+        }
 
 
 # ---------------------------------------------------------------------------

@@ -469,7 +469,8 @@ def _file_state(root):
     import os
 
     state = {}
-    for dp, _, fs in os.walk(root):
+    for dp, dns, fs in os.walk(root):
+        dns[:] = [d for d in dns if not d.startswith((".", "_"))]  # _manifest etc.
         for f in fs:
             if f.startswith((".", "_")):
                 continue
@@ -752,12 +753,25 @@ def test_backfill_deletes_days_the_build_retracted(spark, duck, target_root):
     runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
     path = runner.target_path("traffic_pages_agg")
 
-    # fabricate a corrupted future day the source knows nothing about
+    # fabricate a COMMITTED corrupted future day the source knows nothing
+    # about: copy a partition dir and register it in the current manifest
+    # (under the manifest protocol, unreferenced files are by definition
+    # not part of the table — the bad day must be committed to count)
+    import json
+
     bogus = dt.date(2030, 1, 1)
     src_dir = sorted(d for d in os.listdir(path) if d.startswith("date="))[0]
     import shutil as sh
 
     sh.copytree(os.path.join(path, src_dir), os.path.join(path, f"date={bogus}"))
+    mdir = runner._manifest_dir("traffic_pages_agg")
+    with open(os.path.join(mdir, "CURRENT")) as fh:
+        ver = fh.read().strip()
+    with open(os.path.join(mdir, ver)) as fh:
+        m = json.load(fh)
+    m["partitions"][f"date={bogus}"] = m["partitions"][src_dir]
+    with open(os.path.join(mdir, ver), "w") as fh:
+        json.dump(m, fh)
 
     stats = runner.backfill(
         inc.TRAFFIC_PAGES_SPEC, SF_DIR, bogus, dt.date(2030, 1, 2)
@@ -772,10 +786,80 @@ def test_backfill_deletes_days_the_build_retracted(spark, duck, target_root):
     )
 
 
-def test_read_target_refuses_torn_partition_commit(spark, target_root):
-    """A crash mid-swap leaves the _commit_in_progress marker; reading
-    through it would advance the watermark past unswapped partitions —
-    read_target must fail loudly instead."""
+def test_crash_before_manifest_swap_keeps_old_version_readable(
+    spark, duck, target_root
+):
+    """THE manifest-commit crash contract: kill the writer after the new
+    files are already sitting in the partition dirs but BEFORE the
+    CURRENT pointer swap — readers must still see the old committed
+    version exactly (the new files are unreferenced and invisible), and a
+    clean re-run must converge to the correct merged state and vacuum the
+    orphans."""
+    import dataclasses
+    import os
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.plans import traffic_pages as tp
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    spec1 = dataclasses.replace(
+        inc.TRAFFIC_PAGES_SPEC, build=_tp_batch1_spec().build
+    )
+    runner.run(spec1, SF_DIR)
+    path = runner.target_path("traffic_pages_agg")
+    v1 = runner.current_manifest("traffic_pages_agg")
+    before_rows = runner.read_target("traffic_pages_agg").count()
+    before_files = _file_state(path)
+
+    orig_commit = runner._commit_manifest
+
+    def crash_commit(name, manifest):
+        raise OSError("simulated writer death before pointer swap")
+
+    runner._commit_manifest = crash_commit
+    with _pytest.raises(OSError, match="simulated writer death"):
+        runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    runner._commit_manifest = orig_commit
+
+    # orphan (uncommitted) files ARE on disk next to the live ones...
+    assert set(_file_state(path)) > set(before_files)
+    # ...but the committed version is untouched: same manifest, same rows
+    assert runner.current_manifest("traffic_pages_agg") == v1
+    assert runner.read_target("traffic_pages_agg").count() == before_rows
+    b1 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) <= DATE '{SPLIT}'", id_strategy="hash"
+    )
+    assert_df_matches_oracle(runner.read_target("traffic_pages_agg"), duck, b1)
+
+    # clean re-run converges and vacuums the orphans
+    stats = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    assert stats["mode"] == "incremental-pruned"
+    m2 = runner.current_manifest("traffic_pages_agg")
+    live = {
+        os.path.join(rel, f) if rel else f
+        for rel, fl in m2["partitions"].items()
+        for f in fl
+    }
+    assert set(_file_state(path)) == live, "unvacuumed orphans remain"
+    b2 = tp.oracle_sql(
+        f"AND CAST(collector_tstamp AS DATE) > DATE '{SPLIT}'", id_strategy="hash"
+    )
+    expected = f"""
+    WITH b1 AS ({b1}), b2 AS ({b2})
+    SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b2)
+    UNION ALL SELECT * FROM b2
+    """
+    assert_df_matches_oracle(runner.read_target("traffic_pages_agg"), duck, expected)
+
+
+def test_read_target_refuses_torn_legacy_commit(spark, target_root):
+    """Pre-manifest (legacy) targets committed via directory renames; a
+    crash mid-swap left the _commit_in_progress marker. read_target must
+    still refuse to read through it (reading would advance the watermark
+    past unswapped partitions) — but ONLY for legacy targets; a
+    manifest-committed target has no torn window at all."""
     import os
 
     import pytest as _pytest
@@ -784,9 +868,14 @@ def test_read_target_refuses_torn_partition_commit(spark, target_root):
 
     runner = inc.IncrementalRunner(spark, target_root)
     runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
-    marker = os.path.join(
-        runner.target_path("traffic_pages_agg"), runner._COMMIT_MARKER
-    )
+    path = runner.target_path("traffic_pages_agg")
+    # strip the manifest -> the target degrades to a legacy hive layout
+    import shutil as sh
+
+    sh.rmtree(runner._manifest_dir("traffic_pages_agg"))
+    assert runner.read_target("traffic_pages_agg").count() > 0  # legacy read ok
+
+    marker = os.path.join(path, runner._COMMIT_MARKER)
     open(marker, "w").close()
     with _pytest.raises(RuntimeError, match="unfinished partition commit"):
         runner.read_target("traffic_pages_agg")

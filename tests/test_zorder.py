@@ -92,3 +92,57 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
         == spark.read.parquet(lpath).count()
         == ev.count()
     )
+
+
+def test_compact_cluster_by_rewrites_model_target_for_skipping(spark, tmp_path):
+    """Maintenance path: `compact(..., cluster_by=[x, y])` must re-cluster
+    an existing incremental model target in place (manifest-committed,
+    content-identical) so that parquet footer stats afterwards skip files
+    on BOTH clustered columns — OPTIMIZE ZORDER over a live target."""
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.01")
+
+    def build(sp, sfd, wm):
+        return sp.table("events").select(
+            "user_id",
+            F.dayofyear("ts").cast("long").alias("day"),
+            "event_id",
+        )
+
+    spec = ModelSpec("evz", "event_id", "day", build)
+    runner = IncrementalRunner(spark, str(tmp_path))
+    runner.run(spec, "/root/testdata/sf0.01")
+    before = runner.read_target("evz")
+    n_before = before.count()
+    sum_before = before.agg(F.sum("event_id"), F.sum("user_id")).first()
+
+    # tiny target_file_mb forces a multi-file rewrite so skipping is testable
+    stats = runner.compact(
+        "evz", target_file_mb=0.006, cluster_by=["user_id", "day"]
+    )
+    assert stats["cluster_by"] == ["user_id", "day"]
+    n_files = stats["files"]
+    assert n_files >= 4, stats
+
+    m = runner.current_manifest("evz")
+    path = runner.target_path("evz")
+    live = [os.path.join(path, rel, f) if rel else os.path.join(path, f)
+            for rel, fl in m["partitions"].items() for f in fl]
+    assert len(live) == n_files
+    bb = _bboxes(live, "user_id", "day")
+
+    xlo = min(b[0] for b in bb); xhi = max(b[1] for b in bb)
+    ylo = min(b[2] for b in bb); yhi = max(b[3] for b in bb)
+    xq = (xlo, xlo + max(1, (xhi - xlo) // 8))
+    yq = (ylo, ylo + max(1, (yhi - ylo) // 8))
+    assert _files_touched(bb, xr=xq) < n_files, (bb, xq)
+    assert _files_touched(bb, yr=yq) < n_files, (bb, yq)
+
+    # content identical after the rewrite
+    after = runner.read_target("evz")
+    assert after.count() == n_before
+    assert after.agg(F.sum("event_id"), F.sum("user_id")).first() == sum_before
