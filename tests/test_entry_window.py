@@ -24,22 +24,26 @@ def test_driver_window_covers_llm_pipeline_surface():
         # reference models
         "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg",
         # dedup family (r4 rotation: 64-bit Hamming-banded simhash is the
-        # scale shape; the 16-bit variant is pytest-covered)
+        # scale shape; r5: ngram-jaccard demoted to pytest, containment in)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64",
-        "dedup_ngram_jaccard", "dedup_cc_clusters",
+        "dedup_cc_clusters", "substring_containment",
         # ANN family (r4 rotation: the Arrow-batched alternate scorer of
         # ann_cosine_topk moved to pytest-only in favour of p09)
         "ann_cosine_topk", "ann_ivf_topk",
         "embedding_neardup",
-        # text analysis
+        # text analysis (r5: fingerprint demoted — winnowing's sibling —
+        # tfidf_keywords in)
         "text_token_stats", "text_quality", "text_lang_id",
-        "text_fingerprint", "text_corpus_stats", "training_mix_pipeline",
+        "text_corpus_stats", "training_mix_pipeline", "tfidf_keywords",
         # incremental + streaming runtimes
         "incremental_two_batch_upsert", "incremental_td_two_batch",
         "incremental_la_two_batch", "streaming_traffic_pages",
         "streaming_sessionize", "streaming_late_drop",
         # heaviest OLAP extensions
         "sessionize_events", "approx_distinct_daily",
+        # r5 first-time artifact coverage
+        "rollup_multires", "cms_heavy_hitters", "attribution_models",
+        "sql_recursive_cte", "zorder_morton",
     }
     assert must_have <= first50
 
