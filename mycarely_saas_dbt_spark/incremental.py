@@ -172,9 +172,40 @@ class IncrementalRunner:
     # targets.
     SCHEMA_SIDECAR = "_mycarely_schema.json"
 
-    def read_target(self, name: str) -> DataFrame:
+    def list_versions(self, name: str) -> list[int]:
+        """Committed version numbers still on disk (ascending). Versions
+        older than the vacuum retention horizon may list here but no
+        longer have all their data files — `read_target(version=...)`
+        raises for those."""
+        mdir = self._manifest_dir(name)
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _manifest_at(self, name: str, version: int) -> dict:
+        p = os.path.join(self._manifest_dir(name), f"v{version:06d}.json")
+        if not os.path.isfile(p):
+            raise RuntimeError(f"{name}: no committed version {version}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def read_target(self, name: str, *, version: int | None = None) -> DataFrame:
+        """Read the committed target. ``version`` time-travels to an older
+        committed snapshot (within the vacuum retention horizon — see
+        ``_vacuum``): the manifest IS the snapshot, so reading v(N-1) is
+        just resolving its file list instead of CURRENT's."""
         path = self.target_path(name)
-        manifest = self.current_manifest(name)
+        manifest = (
+            self._manifest_at(name, version)
+            if version is not None
+            else self.current_manifest(name)
+        )
+        if version is not None and manifest is None:
+            raise RuntimeError(f"{name}: no committed version {version}")
         if manifest is not None:
             # Manifest-committed target: read EXACTLY the live files (the
             # one reader chokepoint of the commit protocol). basePath keeps
@@ -186,6 +217,13 @@ class IncrementalRunner:
                 for rel, fl in manifest["partitions"].items()
                 for f in fl
             ]
+            missing = [f for f in files if not os.path.isfile(f)]
+            if missing:
+                raise RuntimeError(
+                    f"{name}: version {manifest['version']} is beyond the "
+                    f"vacuum retention horizon ({len(missing)} of its files "
+                    "were reclaimed)"
+                )
             dtypes = manifest.get("dtypes")
             if not files:
                 if dtypes is None:
@@ -196,6 +234,8 @@ class IncrementalRunner:
             if dtypes and {n for n, _ in dtypes} == set(df.columns):
                 df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
             return df
+        if version is not None:
+            raise RuntimeError(f"{name}: target has no manifest (legacy layout)")
         if os.path.isfile(os.path.join(path, self._COMMIT_MARKER)):
             # legacy (pre-manifest) target whose dir-swap commit died
             # mid-flight: reading through it would compute a watermark past
@@ -426,7 +466,24 @@ class IncrementalRunner:
 
     def _commit_manifest(self, name: str, manifest: dict) -> None:
         """Write the version file, then atomically swap the CURRENT pointer
-        — the ONLY step that changes what readers see."""
+        — the ONLY step that changes what readers see.
+
+        Optimistic concurrency: the new version number was derived from the
+        manifest the writer READ; if CURRENT has advanced to (or past) that
+        number since, another writer committed concurrently and this commit
+        would silently drop their merge — refuse instead (the Delta/Iceberg
+        conflict-detection move; the single-writer-per-model DAG never hits
+        it). The check-then-replace race window is a filesystem metadata
+        read apart; a real multi-writer deployment closes it with a
+        conditional PUT / putIfAbsent on the version file."""
+        cur = self.current_manifest(name)
+        if cur is not None and cur["version"] >= manifest["version"]:
+            raise RuntimeError(
+                f"{name}: concurrent commit detected — CURRENT is already at "
+                f"version {cur['version']} but this writer derived version "
+                f"{manifest['version']} from an older read; re-run the merge "
+                "against the new table state"
+            )
         mdir = self._manifest_dir(name)
         os.makedirs(mdir, exist_ok=True)
         ver = f"v{manifest['version']:06d}.json"
@@ -503,15 +560,28 @@ class IncrementalRunner:
                 parts[rel] = names
         return parts
 
+    # Vacuum retention: data files referenced by the last N committed
+    # manifests survive vacuum, so readers can time-travel back N-1
+    # versions (`read_target(version=...)`) and in-flight readers of the
+    # just-replaced version never lose files mid-query. The lakehouse
+    # retention-period knob, expressed in versions.
+    RETAIN_VERSIONS = 2
+
     def _vacuum(self, name: str, manifest: dict) -> None:
-        """Delete data files not referenced by the committed manifest
+        """Delete data files not referenced by any RETAINED manifest
         (superseded versions, crash orphans) and prune emptied partition
         dirs. Runs strictly AFTER the pointer swap — a crash here leaves
         only invisible garbage, never an inconsistent table."""
         final = self.target_path(name)
+        retained = [manifest]
+        floor = manifest["version"] - self.RETAIN_VERSIONS + 1
+        for v in self.list_versions(name):
+            if floor <= v < manifest["version"]:
+                retained.append(self._manifest_at(name, v))
         live = {
             os.path.join(rel, f) if rel else f
-            for rel, fl in manifest["partitions"].items()
+            for m in retained
+            for rel, fl in m["partitions"].items()
             for f in fl
         }
         for dp, dns, fs in os.walk(final, topdown=True):

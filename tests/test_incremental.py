@@ -382,13 +382,17 @@ def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root)
     )
     path = runner.target_path("traffic_pages_agg")
 
-    def parquet_files():
-        return [f for f in os.listdir(path) if f.endswith(".parquet")]
+    def live_files():
+        # LIVE files per the committed manifest — vacuum retention keeps
+        # superseded versions' files on disk for time travel, so raw
+        # directory listings over-count
+        m = runner.current_manifest("traffic_pages_agg")
+        return [f for fl in m["partitions"].values() for f in fl]
 
-    before_files = len(parquet_files())
+    before_files = len(live_files())
     before = runner.read_target("traffic_pages_agg").toPandas()
     stats = runner.compact("traffic_pages_agg")
-    after_files = len(parquet_files())
+    after_files = len(live_files())
     assert after_files == stats["files"] == 1  # tiny table -> one 128MB file
     assert after_files < before_files
     after = runner.read_target("traffic_pages_agg").toPandas()
@@ -585,11 +589,18 @@ def test_partitioned_merge_replaces_reemitted_partition_in_place(
     assert stats["partitions_rewritten"] == 1
     after = _file_state(path)
     redo_dir = f"day={redo_day}"
+    m = runner.current_manifest("d")
+    live_redo = {
+        os.path.join(redo_dir, f) for f in m["partitions"].get(redo_dir, [])
+    }
     for rel, st in before.items():
         if rel.split(os.sep)[0] == redo_dir:
-            assert after.get(rel) != st or rel not in after
+            # the old file may remain on disk (vacuum retention keeps one
+            # superseded version for time travel) but must be DELISTED
+            assert rel not in live_redo, f"replaced file still live: {rel}"
         else:
             assert after.get(rel) == st, f"unrelated partition touched: {rel}"
+    assert live_redo, "rewritten partition has no live files"
     out = runner.read_target("d")
     assert out.filter(F.col("day") == F.lit(redo_day)).first()["n"] > 1000
     assert out.groupBy("day").count().filter(F.col("count") > 1).count() == 0
@@ -778,7 +789,16 @@ def test_backfill_deletes_days_the_build_retracted(spark, duck, target_root):
     )
     assert stats["rows_written"] == 0
     assert stats["partitions_rewritten"] == 1  # the deleted bogus day
-    assert not os.path.isdir(os.path.join(path, f"date={bogus}"))
+    # delisted from the committed manifest (the on-disk dir survives one
+    # retention generation for time travel, then vacuums)
+    m2 = runner.current_manifest("traffic_pages_agg")
+    assert f"date={bogus}" not in m2["partitions"]
+    assert (
+        runner.read_target("traffic_pages_agg")
+        .filter(F.col("date") >= "2030-01-01")
+        .count()
+        == 0
+    )
     assert_df_matches_oracle(
         runner.read_target("traffic_pages_agg"),
         duck,
@@ -839,7 +859,11 @@ def test_crash_before_manifest_swap_keeps_old_version_readable(
     m2 = runner.current_manifest("traffic_pages_agg")
     live = {
         os.path.join(rel, f) if rel else f
-        for rel, fl in m2["partitions"].items()
+        for v in runner.list_versions("traffic_pages_agg")
+        if v > m2["version"] - runner.RETAIN_VERSIONS
+        for rel, fl in runner._manifest_at("traffic_pages_agg", v)[
+            "partitions"
+        ].items()
         for f in fl
     }
     assert set(_file_state(path)) == live, "unvacuumed orphans remain"
@@ -881,3 +905,86 @@ def test_read_target_refuses_torn_legacy_commit(spark, target_root):
         runner.read_target("traffic_pages_agg")
     os.remove(marker)
     assert runner.read_target("traffic_pages_agg").count() > 0
+
+
+def test_time_travel_reads_previous_version_within_retention(
+    spark, target_root
+):
+    """Manifest versions double as snapshots: `read_target(version=N-1)`
+    resolves the older manifest's file list (vacuum retains
+    RETAIN_VERSIONS generations), and versions beyond the horizon raise
+    loudly instead of silently returning partial data."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    spec1 = dataclasses.replace(
+        inc.TRAFFIC_PAGES_SPEC, build=_tp_batch1_spec().build
+    )
+    runner.run(spec1, SF_DIR)  # v1
+    v1 = runner.current_manifest("traffic_pages_agg")["version"]
+    v1_rows = runner.read_target("traffic_pages_agg").count()
+
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)  # v2: merge adds new days
+    v2_rows = runner.read_target("traffic_pages_agg").count()
+    assert v2_rows > v1_rows
+
+    # time travel: v1 is one generation back — fully readable
+    assert runner.list_versions("traffic_pages_agg") == [v1, v1 + 1]
+    old = runner.read_target("traffic_pages_agg", version=v1)
+    assert old.count() == v1_rows
+
+    # two full rewrites (compactions) push the merge version beyond the
+    # RETAIN_VERSIONS=2 horizon: its files are NOT shared with any
+    # retained manifest, so vacuum reclaims them and the read must fail
+    # LOUDLY (no silent partial table)
+    runner.compact("traffic_pages_agg")  # v3: all-new files
+    pre_compact = runner.read_target("traffic_pages_agg", version=v1 + 1)
+    assert pre_compact.count() == v2_rows  # v2 still in horizon
+    runner.compact("traffic_pages_agg")  # v4: v2's files now reclaimed
+    assert (
+        runner.read_target("traffic_pages_agg", version=v1 + 2).count()
+        == v2_rows
+    )  # v3 in horizon
+    with _pytest.raises(RuntimeError, match="retention horizon"):
+        runner.read_target("traffic_pages_agg", version=v1 + 1).count()
+    # unknown version is a loud error too
+    with _pytest.raises(RuntimeError, match="no committed version"):
+        runner.read_target("traffic_pages_agg", version=99)
+
+
+def test_concurrent_commit_is_refused_not_clobbered(spark, target_root):
+    """Optimistic concurrency on the manifest commit: a writer whose
+    version number derives from a stale read must FAIL when another
+    writer committed in between — never silently overwrite the other
+    writer's merge."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner_a = inc.IncrementalRunner(spark, target_root)
+    runner_b = inc.IncrementalRunner(spark, target_root)
+    spec1 = dataclasses.replace(
+        inc.TRAFFIC_PAGES_SPEC, build=_tp_batch1_spec().build
+    )
+    runner_a.run(spec1, SF_DIR)  # v1
+
+    # writer B reads v1 and prepares a commit; writer A commits v2 first
+    stale = runner_b.current_manifest("traffic_pages_agg")
+    runner_a.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)  # v2
+    v2 = runner_a.current_manifest("traffic_pages_agg")
+    doomed = {
+        "version": stale["version"] + 1,  # == v2: stale derivation
+        "partition_by": stale["partition_by"],
+        "dtypes": stale["dtypes"],
+        "partitions": stale["partitions"],
+    }
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        runner_b._commit_manifest("traffic_pages_agg", doomed)
+    # the winning commit is untouched
+    assert runner_a.current_manifest("traffic_pages_agg") == v2
