@@ -447,8 +447,11 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid")
     )
     exact = ann_cosine_topk(spark, sf_dir).select("qid", "vid")
-    hits = ivf.join(exact, ["qid", "vid"]).count()
-    total = exact.count()
+    total, hits = (
+        exact.join(ivf.withColumn("hit", F.lit(1)), ["qid", "vid"], "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
     recall = hits / total if total else 0.0
     return spark.createDataFrame(
         [(total, recall >= IVF_RECALL_FLOOR)], "n_exact bigint, recall_ok boolean"
@@ -711,11 +714,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k contract for ``pq_adc_topk`` vs the exact brute-force
-    top-k (same grading pattern as ``ann_ivf_kmeans_recall``)."""
-    pq_topk = pq_adc_topk(spark, sf_dir)
+    top-k (same grading pattern as ``ann_ivf_kmeans_recall``). Hits and
+    total come from ONE left-join aggregate, so each pipeline (PQ and
+    exact) executes once instead of twice."""
+    pq_topk = pq_adc_topk(spark, sf_dir).withColumn("hit", F.lit(1))
     exact = ann_cosine_topk(spark, sf_dir).select("qid", "vid")
-    hits = pq_topk.join(exact, ["qid", "vid"]).count()
-    total = exact.count()
+    total, hits = (
+        exact.join(pq_topk, ["qid", "vid"], "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
     recall = hits / total if total else 0.0
     return spark.createDataFrame(
         [(total, recall >= PQ_RECALL_FLOOR)], "n_exact bigint, recall_ok boolean"

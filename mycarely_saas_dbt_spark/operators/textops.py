@@ -1238,6 +1238,80 @@ FROM n
 """
 
 
+# C4-style global repeated-span removal (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning" §2.2 — C4 drops any three-sentence span that
+# occurs more than once in the corpus, keeping the FIRST occurrence). The
+# testdata's documents are token streams without sentence boundaries, so the
+# span unit here is a fixed SEG_TOKENS-token segment (stride = length: the
+# "paragraph" surrogate).
+SEG_TOKENS = 8
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-segment removal: segment every document into
+    SEG_TOKENS-token spans, keep each distinct span's FIRST occurrence
+    (min (doc_id, seg_idx) corpus-wide) and drop every later repeat, then
+    report per doc the survivor counts and the md5 of the cleaned text.
+
+    Scale shape (the C4 dedup at 100 TB): one narrow segment explode, one
+    map-combinable MIN aggregate keyed by span text (the first-occurrence
+    table), one shuffle equi-join on the span key, one groupBy doc_id to
+    reassemble — no window over the corpus, no driver state. The
+    first-occurrence position packs (doc_id, seg_idx) into one BIGINT so
+    the MIN is a plain long aggregate in both engines."""
+    register_sources(spark, sf_dir)
+    d = fanout_scan(spark.table("documents")).select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(tk) / {SEG_TOKENS}.0) as int) - 1), "
+                f"i -> array_join(slice(tk, i * {SEG_TOKENS} + 1, {SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn(
+        "pos", F.col("doc_id") * F.lit(1_000_000) + F.col("seg_idx")
+    )
+    firsts = segs.groupBy("seg").agg(F.min("pos").alias("first_pos"))
+    kept = segs.join(firsts, "seg").withColumn(
+        "keep", F.col("pos") == F.col("first_pos")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN keep THEN struct(seg_idx, seg) END)), s -> s.seg)"
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+O_LINE_DEDUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+segs AS (
+    SELECT doc_id, CAST(i AS INT) AS seg_idx,
+           array_to_string(tk[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg,
+           doc_id * 1000000 + i AS pos
+    FROM t, UNNEST(range(0, CAST(ceil(len(tk) / {SEG_TOKENS}.0) AS INT))) AS u(i)
+),
+firsts AS (SELECT seg, MIN(pos) AS first_pos FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN s.pos = f.first_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN s.pos = f.first_pos THEN s.seg END,
+                               ' ' ORDER BY s.seg_idx), '')) AS clean_md5
+FROM segs s JOIN firsts f USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 def register_extra(register) -> None:
     register("text_normalize", text_normalize, O_TEXT_NORMALIZE)
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
@@ -1248,6 +1322,7 @@ def register_extra(register) -> None:
     register("text_levenshtein_pairs", levenshtein_pairs, O_LEVENSHTEIN)
     register("lang_id_accuracy", lang_id_accuracy, O_LANG_ID_ACCURACY)
     register("domain_cap_sample", domain_cap_sample, O_DOMAIN_CAP)
+    register("line_dedup", line_dedup, O_LINE_DEDUP)
 
 
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
