@@ -132,6 +132,65 @@ FROM e ASOF LEFT JOIN s
 )
 
 
+def q_asof_spend_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME backward as-of join as ``q_asof_spend`` — hash-checked
+    against the identical DuckDB ASOF LEFT JOIN oracle — expressed through
+    Spark's COGROUPED-MAP API (``groupBy().cogroup().applyInPandas``), the
+    one Arrow escape hatch the engine hadn't exercised: both sides shuffle
+    once on the key, each key's two Arrow frames meet in one pandas
+    function (``pd.merge_asof``, the vectorized per-group merge). Use this
+    shape when per-key alignment logic outgrows what a window can express
+    (interpolation, custom gap rules); the window formulation in
+    ``asof_join`` remains the pure-JVM default."""
+    import pandas as pd
+
+    register_sources(spark, sf_dir)
+    ev = (
+        spark.table("atomic_events")
+        .filter(F.col("mkt_campaign").isNotNull())
+        .select(
+            "event_id",
+            F.lower("mkt_campaign").alias("campaign"),
+            F.col("collector_tstamp").cast("date").alias("event_date"),
+        )
+    )
+    sp = (
+        spark.table("campaign_spends")
+        .filter(F.col("spend").isNotNull())
+        .groupBy(F.col("campaign_name").alias("campaign"), "spend_date")
+        .agg(F.sum("spend").alias("spend"))
+    )
+
+    schema = (
+        "event_id string, campaign string, event_date date, "
+        "spend_date date, spend double"
+    )
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:  # spend-only campaigns contribute no output rows
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 ["event_id", "campaign", "event_date", "spend_date", "spend"]}
+            )
+        l = left.assign(__t=pd.to_datetime(left["event_date"])).sort_values(
+            ["__t", "event_id"], kind="mergesort"
+        )
+        if right.empty:
+            out = l.assign(spend_date=None, spend=None)
+        else:
+            r = right.assign(
+                __rt=pd.to_datetime(right["spend_date"])
+            ).sort_values("__rt", kind="mergesort")[["__rt", "spend_date", "spend"]]
+            out = pd.merge_asof(l, r, left_on="__t", right_on="__rt")
+        return out[["event_id", "campaign", "event_date", "spend_date", "spend"]]
+
+    return (
+        ev.groupBy("campaign")
+        .cogroup(sp.groupBy("campaign"))
+        .applyInPandas(merge, schema)
+    )
+
+
 RANGE_BAND_S = 300
 
 
@@ -233,6 +292,7 @@ GROUP BY e.event_type, d.dim_users
 
 PAIRS = [
     ("asof_join_spend", q_asof_spend, O_ASOF_SPEND),
+    ("asof_join_spend_cogroup", q_asof_spend_cogroup, O_ASOF_SPEND),
     ("range_join_pairs", q_range_pairs, O_RANGE_PAIRS),
     ("skew_salted_agg", q_salted_agg, O_SALTED_AGG),
     ("skew_salted_join", q_salted_join, O_SALTED_JOIN),

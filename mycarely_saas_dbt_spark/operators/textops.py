@@ -13,7 +13,7 @@ corpus scan: one pass, predicate pushdown, no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
@@ -1312,6 +1312,70 @@ GROUP BY s.doc_id
 """
 
 
+# Temperature-flattened source mixture (the multilingual-sampling rule of
+# Conneau & Lample 2019 / mC4: sample source s with probability ∝ n_s^(1/τ),
+# here τ=2). Keep-rates are anchored to the SMALLEST source (it keeps 100%):
+# r_s = sqrt(n_min / n_s), so realized counts ∝ sqrt(n_s) — the flattening —
+# while staying bit-deterministic across engines: one integer division and
+# one IEEE-exact sqrt per source, no cross-source float summation whose
+# accumulation order could differ between Spark and the oracle.
+TEMP_TAU = 2
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep-rates r_s = sqrt(n_min/n_s) realized with the
+    deterministic md5-ppm bucket rule (keep iff bucket(doc_id) <
+    floor(r_s * 1e6)); reports per source the total, the ppm rate, and the
+    realized keep count. Two tiny aggregates + one broadcast join + one
+    corpus pass — the 100 TB shape of every data-mixing stage."""
+    register_sources(spark, sf_dir)
+    d = spark.table("documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    # single-row aggregate broadcast (not a global window — the counts
+    # relation is per-source-small but the shape should stay clean)
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_src").cast("double"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_src",
+        F.floor(rate * 1_000_000).cast("long").alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("rate_ppm").alias("rate_ppm"),
+            F.sum(F.when(bucket < F.col("rate_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+O_TEMPERATURE_MIXTURE = """
+WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+r AS (
+    SELECT source, n_src,
+           CAST(floor(sqrt(CAST((SELECT MIN(n_src) FROM c) AS DOUBLE)
+                           / CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT)
+               AS rate_ppm
+    FROM c
+)
+SELECT d.source, COUNT(*) AS n_total, MIN(r.rate_ppm) AS rate_ppm,
+       CAST(SUM(CASE WHEN
+            CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 1000000 < r.rate_ppm
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN r USING (source)
+GROUP BY d.source
+"""
+
+
 def register_extra(register) -> None:
     register("text_normalize", text_normalize, O_TEXT_NORMALIZE)
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
@@ -1323,6 +1387,7 @@ def register_extra(register) -> None:
     register("lang_id_accuracy", lang_id_accuracy, O_LANG_ID_ACCURACY)
     register("domain_cap_sample", domain_cap_sample, O_DOMAIN_CAP)
     register("line_dedup", line_dedup, O_LINE_DEDUP)
+    register("temperature_mixture", temperature_mixture, O_TEMPERATURE_MIXTURE)
 
 
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -551,6 +551,34 @@ GROUP BY v.user_id
 """
 
 
+def streaming_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with sentinel-driven outer
+    flush; per-user (matched, unmatched-view) counts must equal the batch
+    LEFT JOIN — the exact every-outer-row-emitted-once check."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        interval_left_join_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_ssloj_")
+    out = interval_left_join_stream(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_INTERVAL_LEFT_JOIN = """
+SELECT v.user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTES
+GROUP BY v.user_id
+"""
+
+
 def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful operators (dedup -> tumbling-window count) drained
     with availableNow; per-day distinct (user, event_type) pairs must match
@@ -831,6 +859,11 @@ def register_queries(register) -> None:
     register("streaming_dedup_daily", streaming_dedup_daily, O_STREAMING_DEDUP_DAILY)
     register(
         "streaming_interval_join", streaming_interval_join, O_STREAMING_INTERVAL_JOIN
+    )
+    register(
+        "streaming_interval_left_join",
+        streaming_interval_left_join,
+        O_STREAMING_INTERVAL_LEFT_JOIN,
     )
     register(
         "streaming_incremental_merge",

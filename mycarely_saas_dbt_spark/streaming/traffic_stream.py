@@ -877,3 +877,111 @@ def dedup_within_watermark_stream(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def interval_left_join_stream(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the outer-emission
+    semantics the inner `interval_join_stream` doesn't exercise: an
+    unmatched view is held in state until BOTH watermarks prove no
+    matching click can still arrive, then emitted once with NULL click.
+
+    Outer emission is watermark-driven and a batch's watermark is the one
+    computed at the END of the previous batch, so a single availableNow
+    drain of one file would finish with every unmatched view still stuck
+    in state. Fixture: the real events land in batch 1, then TWO
+    far-future sentinel batches (one view + one click each, negative
+    user_id so they can never match real rows) advance both sides'
+    watermarks past every real event — the first sentinel batch publishes
+    the new watermark, the second runs under it and flushes all remaining
+    outer state. Sentinels are filtered from the result; per-user
+    (n_pairs, n_unmatched) hash-match the batch LEFT JOIN oracle — an
+    EXACT check that every unmatched view was emitted exactly once."""
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    hi = ev.agg(F.max("ts")).first()[0]
+
+    def sentinel(uid: int, etype: str, days: int) -> DataFrame:
+        return ev.limit(1).select(
+            *[
+                F.lit(uid).cast("long").alias(c)
+                if c == "user_id"
+                else F.lit(etype).alias(c)
+                if c == "event_type"
+                else (F.lit(hi) + F.expr(f"INTERVAL {days} DAYS")).alias(c)
+                if c == "ts"
+                else F.col(c)
+                for c in ev.columns
+            ]
+        )
+
+    batches = [
+        ev,
+        sentinel(-1, "view", 400).unionByName(sentinel(-2, "click", 400)),
+        sentinel(-3, "view", 800).unionByName(sentinel(-4, "click", 800)),
+    ]
+    for i, df in enumerate(batches, start=1):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_MINUTES} MINUTES")
+        ),
+        "leftOuter",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+
+    target = os.path.join(workdir, "out")
+    q = start_exactly_once(
+        joined,
+        target,
+        semantics="batch_dir",
+        checkpoint=os.path.join(workdir, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("click_id").alias("n_pairs"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+    )
