@@ -94,3 +94,37 @@ def test_incremental_merge_stream_partitioned_layout(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("total_visits"))
     )
     assert rows == {tuple(r) for r in batch.collect()}
+
+
+def test_user_profile_transform_with_state(spark, duck, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the applyInPandasWithState
+    profile — full oracle compare when the container can run it, loud
+    documented gate when it can't (the TWS Python worker needs protobuf,
+    absent here as of round 5)."""
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        tws_available,
+        user_profile_tws_stream,
+    )
+
+    if not tws_available():
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            user_profile_tws_stream(spark, SF_SMALL, str(tmp_path / "prof"))
+        _pytest.skip("container lacks protobuf — TWS worker cannot start")
+
+    target = str(tmp_path / "prof")
+    q = user_profile_tws_stream(spark, SF_SMALL, target)
+    q.awaitTermination(300)
+    from tests.conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        spark.read.parquet(target),
+        duck,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS last_ts_s
+        FROM events GROUP BY user_id
+        """,
+    )
