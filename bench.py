@@ -56,6 +56,10 @@ EXTENSION_QUERIES = [
     "ann_pq_adc_recall",
     "substring_containment",
     "training_mix_pipeline",
+    # round 5: C4-style corpus repeated-span removal (shuffle-join shape)
+    # and the cogrouped-map Arrow as-of join
+    "line_dedup",
+    "asof_join_spend_cogroup",
 ]
 
 

@@ -43,6 +43,12 @@ AUDIT = [
     "tfidf_keywords",
     "rollup_multires",
     "p09_compound_and",
+    # round 5 additions
+    "line_dedup",
+    "temperature_mixture",
+    "asof_join_spend_cogroup",
+    "substring_containment",
+    "training_mix_pipeline",
 ]
 
 

@@ -21,3 +21,21 @@ def test_bounded_persist_unpersists_previous_generation(spark):
     pc.count()
     assert pb.storageLevel.useMemory or pb.storageLevel.useDisk
     pb.unpersist(), pc.unpersist()
+
+
+def test_fanout_scan_spreads_narrow_scans_and_noops_on_wide(spark):
+    """fanout_scan must repartition a single-split scan up to the session
+    parallelism, and be a strict no-op (same plan object) on an input
+    that already has enough splits."""
+    from mycarely_saas_dbt_spark.util import fanout_scan
+
+    narrow = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    spread = fanout_scan(narrow)
+    assert (
+        spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    assert spread.count() == narrow.count()
+
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism)
+    assert fanout_scan(wide) is wide  # no extra exchange on a healthy scan
