@@ -188,3 +188,39 @@ def test_pq_adc_recall_floor_with_trained_codebooks(spark):
     total = exact.count()
     assert total > 0
     assert hits / total >= PQ_RECALL_FLOOR, (hits, total)
+
+
+def test_line_dedup_plan_is_narrow_and_equijoined(spark):
+    """C4 repeated-span removal must read only (doc_id, text) from the
+    scan and route candidates through an equi-join on the span key —
+    never a cartesian pairing."""
+    from mycarely_saas_dbt_spark.operators.textops import line_dedup
+
+    plan = _plan(line_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    scan = plan[plan.index("ReadSchema"):][:200]
+    assert "text" in scan and "lang" not in scan and "source" not in scan, scan
+
+
+def test_temperature_mixture_broadcasts_rates(spark):
+    """The per-source rates relation is tiny and must broadcast onto the
+    corpus scan — no sort-merge join, no global window."""
+    from mycarely_saas_dbt_spark.operators.textops import temperature_mixture
+
+    plan = _plan(temperature_mixture(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cogroup_asof_uses_cogrouped_arrow_exec(spark):
+    """The cogrouped-map as-of join must run through the
+    FlatMapCoGroupsInPandas node (both sides shuffled once on the key
+    into one Arrow merge) — not a JVM join that would defeat the point
+    of the API demonstration."""
+    from mycarely_saas_dbt_spark.operators.joins import q_asof_spend_cogroup
+
+    plan = _plan(q_asof_spend_cogroup(spark, SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
