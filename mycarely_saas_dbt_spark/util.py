@@ -56,7 +56,17 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     a metadata-only no-op (the condition below is false); the repartition
     only fires when the input has fewer splits than half the cores, so we
     never add a shuffle to a well-partitioned source.
+
+    Applied per-site where an interleaved A/B at sf0.1 showed a win (the
+    r5 blanket application made three pure-Catalyst tokenize paths
+    SLOWER — the added exchange cost more than the parallelism bought;
+    scripts/ab_fanout.py is the measurement harness). MYCARELY_FANOUT=0
+    disables it globally for that A/B.
     """
+    import os
+
+    if os.environ.get("MYCARELY_FANOUT", "1") == "0":
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
