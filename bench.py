@@ -151,7 +151,17 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out), flush=True)
+    # Full artifact (incl. per-query spreads) goes to its OWN file — the
+    # driver's stdout tail capture truncated the r5 JSON line's head
+    # (BENCH_r05 `parsed: null`). stdout gets a compact line (no spread
+    # map) guaranteed to fit the capture window; `spread_file` points at
+    # the full record.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_result.json"), "w") as fh:
+        json.dump(out, fh)
+    compact = {k: v for k, v in out.items() if k != "queries_spread"}
+    compact["spread_file"] = "bench_result.json"
+    print(json.dumps(compact), flush=True)
     try:
         spark.stop()
     except Exception:

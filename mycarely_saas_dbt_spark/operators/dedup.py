@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
-from mycarely_saas_dbt_spark.util import bounded_persist, fanout_scan
+from mycarely_saas_dbt_spark.util import bounded_persist
 
 SHINGLE_LEN = 8
 SHINGLE_STRIDE = 4
@@ -76,7 +76,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
         f"transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1),"
         f" {SHINGLE_STRIDE}), i -> substring(text, i, {SHINGLE_LEN}))"
     )
-    return fanout_scan(docs).select(
+    return docs.select(
         "doc_id", F.explode(F.expr(expr)).alias("s")
     ).distinct()
 
@@ -271,7 +271,7 @@ WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
 def simhash(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over the token multiset: bit j is the sign of the
     weighted sum of bit j of md5(token) (top bit of hex digit j)."""
-    tok = fanout_scan(docs).select(
+    tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).withColumn("h", F.md5("t"))
     aggs = [
@@ -402,7 +402,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     (`_sim64_packed_sums`); extraction is (ps_d >> lane) & 0xFFFF. The
     SIMHASH64_MAX_TOKENS prefix cap (mirrored in the oracle) keeps every
     lane exactly overflow-free — see the constant's comment."""
-    tok = fanout_scan(docs).select(
+    tok = docs.select(
         "doc_id",
         F.explode(
             F.slice(F.split("text", " "), 1, SIMHASH64_MAX_TOKENS)

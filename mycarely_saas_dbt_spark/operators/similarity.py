@@ -653,12 +653,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    expressed the argmax/argmin as Catalyst higher-order functions
     #    over literal arrays; interpreted per-element HOF evaluation cost
     #    ~2 ms/row — the batched matrix form is ~100× faster and is how
-    #    an encoder would actually run at 100 TB. fanout_scan: Arrow
-    #    stage directly above a possibly-single-split scan (the measured-
-    #    win class of sites — see util.fanout_scan).
+    #    an encoder would actually run at 100 TB. (No fanout_scan: the r6
+    #    paired A/B measured the protective repartition as a net loss
+    #    here too — scripts/ab_fanout.py.)
     import numpy as np
-
-    from mycarely_saas_dbt_spark.util import fanout_scan
 
     C_enc, B_enc = C.copy(), B.copy()
     n_m, n_sub = PQ_M, PQ_SUBDIM
@@ -684,7 +682,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    enc = fanout_scan(e.select("vec_id", "embedding")).mapInPandas(
+    enc = e.select("vec_id", "embedding").mapInPandas(
         encode, "vid bigint, cid int, codes array<int>"
     )
 

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
-from mycarely_saas_dbt_spark.util import fanout_scan
 
 # stopword-profile language markers (tiny on purpose — the heuristic is the
 # operator; swap in real profiles for production corpora)
@@ -286,7 +285,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass whose output is ~n_tokens/CHUNK_STEP rows per doc; downstream
     packing/batching reads it partitioned by doc_id."""
     register_sources(spark, sf_dir)
-    d = fanout_scan(spark.table("documents")).withColumn("__toks", _toks())
+    d = spark.table("documents").withColumn("__toks", _toks())
     d = d.withColumn("n_tokens", F.size("__toks"))
     starts = F.expr(f"sequence(0, n_tokens - 1, {CHUNK_STEP})")
     return (
@@ -526,10 +525,10 @@ def _winnow_batches(docs: DataFrame, *, exploded: bool) -> DataFrame:
         else "doc_id bigint, n_grams bigint, n_fingerprints bigint, "
              "min_fp bigint, max_fp bigint"
     )
-    # Arrow stages inherit the scan's split count — a one-row-group parquet
-    # file would run the whole scorer on one core (fanout_scan is a no-op
-    # on a well-partitioned lake scan).
-    return fanout_scan(docs).mapInPandas(run, schema)
+    # Arrow stages inherit the scan's split count; the r6 interleaved A/B
+    # (scripts/ab_fanout.py) measured the protective repartition as a net
+    # LOSS at every site, so the scorer rides the scan's own splits.
+    return docs.mapInPandas(run, schema)
 
 
 def winnowing_fingerprints(
@@ -1260,7 +1259,7 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence position packs (doc_id, seg_idx) into one BIGINT so
     the MIN is a plain long aggregate in both engines."""
     register_sources(spark, sf_dir)
-    d = fanout_scan(spark.table("documents")).select(
+    d = spark.table("documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
     segs = d.select(
@@ -1272,7 +1271,12 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_idx", "seg"),
     ).withColumn(
-        "pos", F.col("doc_id") * F.lit(1_000_000) + F.col("seg_idx")
+        # (doc_id, seg_idx) packed into one BIGINT so the first-occurrence
+        # MIN stays a plain long aggregate in both engines. 2^32 shift
+        # (ADVICE r5): seg_idx < 2^32 ⇔ docs under ~34e9 tokens (no real
+        # document approaches this), doc_id < 2^31 before the product
+        # overflows — vs the old 1e6 shift which collided at 8M-token docs
+        "pos", F.col("doc_id") * F.lit(4_294_967_296) + F.col("seg_idx")
     )
     firsts = segs.groupBy("seg").agg(F.min("pos").alias("first_pos"))
     kept = segs.join(firsts, "seg").withColumn(
@@ -1298,7 +1302,7 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 segs AS (
     SELECT doc_id, CAST(i AS INT) AS seg_idx,
            array_to_string(tk[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg,
-           doc_id * 1000000 + i AS pos
+           doc_id * 4294967296 + i AS pos
     FROM t, UNNEST(range(0, CAST(ceil(len(tk) / {SEG_TOKENS}.0) AS INT))) AS u(i)
 ),
 firsts AS (SELECT seg, MIN(pos) AS first_pos FROM segs GROUP BY seg)

@@ -44,6 +44,10 @@ def test_driver_window_covers_llm_pipeline_surface():
         # r5 first-time artifact coverage
         "rollup_multires", "cms_heavy_hitters", "attribution_models",
         "sql_recursive_cte", "zorder_morton",
+        # r6 first-time artifact coverage (VERDICT r5 item 5)
+        "line_dedup", "temperature_mixture", "asof_join_spend_cogroup",
+        "dedup_canonical_keep", "streaming_dedup_within_watermark",
+        "domain_cap_sample", "text_normalize", "scd2_snapshot_two_batch",
     }
     assert must_have <= first50
 
