@@ -60,6 +60,10 @@ EXTENSION_QUERIES = [
     # and the cogrouped-map Arrow as-of join
     "line_dedup",
     "asof_join_spend_cogroup",
+    # round 6: inverted-index BM25 retrieval and the Gopher within-doc
+    # repetition filter
+    "bm25_search",
+    "repetition_filter",
 ]
 
 

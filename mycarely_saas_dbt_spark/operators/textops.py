@@ -1380,6 +1380,262 @@ GROUP BY d.source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Sparck Jones / Okapi BM25) — the
+# inverted-index search shape over the corpus
+# ---------------------------------------------------------------------------
+
+BM25_TOP_K = 10
+BM25_SCALE = 1000           # score fixed-point scale (millis)
+# fixed demo query set over the corpus vocabulary; a production system
+# feeds a query table instead — the plan is identical
+BM25_QUERIES = [
+    (0, ["spark", "join", "query"]),
+    (1, ["window", "agg", "data"]),
+    (2, ["customer", "order", "part"]),
+]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (k1=1.2, b=0.75) in EXACT INTEGER
+    arithmetic — the repo's cross-engine bit-stability pattern (as
+    tfidf_keywords): ln() and float division differ in ulps between
+    engines and flip rank ties, so the idf is kept as the Robertson
+    rational (N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1) (log-free —
+    monotone per term, so per-term ordering is preserved; swap in ln for
+    the classic weighting where bit-parity isn't a requirement) and the
+    whole per-term score is one integer DIV:
+
+        score_k = (2N-2df+1) * 44*S*tf * SCALE
+                  DIV ( (2df+1) * (20*S*tf + 6*S + 18*dl*N) )
+
+    which is floor(SCALE * idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)))
+    with avgdl = S/N cleared of fractions (k1=6/5, b=3/4 → the 44/20/6/18
+    integer coefficients). All factors bounded: products stay < 2^63 up
+    to ~1e9-token corpora per the constants' derivation; at true lake
+    scale the double form is the production scorer (parity harness not
+    needed there).
+
+    Scale shape (the inverted-index search path): one (doc_id, term)
+    count shuffle builds the postings (map-side combinable); df and the
+    corpus totals are tiny aggregates (vocabulary-sized / one row,
+    broadcast); the query relation broadcasts against the postings —
+    the postings never reshuffle for scoring; the final top-k is a
+    per-query window over candidate postings only (docs sharing a query
+    term), never the corpus."""
+    from mycarely_saas_dbt_spark.util import bounded_persist
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    tf = bounded_persist(
+        docs.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "bm25:tf",
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").cast("long").alias("S"), F.count(F.lit(1)).alias("N")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+            "qid bigint, term string",
+        )
+    )
+    scored = (
+        q.join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(totals))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                f"(2*N - 2*df + 1) * 44 * S * tf * {BM25_SCALE} DIV "
+                "((2*df + 1) * (20*S*tf + 6*S + 18*dl*N))"
+            ).alias("term_score"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("term_score").cast("long").alias("score_k"),
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_k").desc(), F.col("n_hit").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "doc_id", "score_k", "n_hit", "rank")
+    )
+
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+O_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS S, COUNT(*) AS N FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {_BM25_VALUES}),
+scored AS (
+    SELECT q.qid, tf.doc_id,
+           CAST(SUM((2*t.N - 2*df.df + 1) * 44 * t.S * tf.tf * {BM25_SCALE}
+                    // ((2*df.df + 1) * (20*t.S*tf.tf + 6*t.S + 18*dl.dl*t.N)))
+                AS BIGINT) AS score_k,
+           COUNT(*) AS n_hit
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN tot t
+    GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, score_k, n_hit,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_k DESC, n_hit DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition filter (Gopher, Rae et al. 2021 §A1.1) —
+# complements the corpus-level dedup family with the INTRA-doc criterion
+# ---------------------------------------------------------------------------
+
+REP_TOP2_MAX_PPM = 200_000   # most-frequent 2-gram may cover <= 20% of 2-grams
+REP_DUP3_MAX_PPM = 300_000   # duplicated 3-grams may cover <= 30% of 3-grams
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics: the fraction of
+    n-grams that are repeats (1 - distinct/total) and the share of the
+    single most frequent 2-gram — the intra-document symptom of boiler-
+    plate/keyword-stuffed pages that corpus-LEVEL dedup cannot see.
+    Token-count fractions (the paper uses character-weighted ones — same
+    plan, heavier constants) in integer ppm so the cross-engine compare
+    is exact.
+
+    Scale shape: one narrow n-gram explode (2- and 3-grams tagged in the
+    same pass), one (doc_id, n, gram) count shuffle (map-side
+    combinable), one per-doc rollup — no corpus-wide state, the same
+    one-pass shape as line_dedup without the cross-doc join."""
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """concat(
+                  CASE WHEN size(tk) >= 2 THEN transform(
+                    sequence(0, size(tk) - 2),
+                    i -> struct(2 AS n, concat(tk[i], ' ', tk[i+1]) AS g))
+                  ELSE array() END,
+                  CASE WHEN size(tk) >= 3 THEN transform(
+                    sequence(0, size(tk) - 3),
+                    i -> struct(3 AS n, concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]) AS g))
+                  ELSE array() END)"""
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("distinct_"),
+        F.max("c").alias("top"),
+    )
+    wide = per_n.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col(c))).alias(f"{c.rstrip('_')}{n}")
+            for n in (2, 3)
+            for c in ("total", "distinct_", "top")
+        ]
+    )
+    # docs too short for any 2-gram produce no per_n rows — keep them
+    # (zero metrics, passing), matching the oracle's LEFT JOIN from d
+    out = docs.select("doc_id").join(wide, "doc_id", "left")
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.coalesce(F.col(den), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.expr(f"({num}) * 1000000 DIV {den}")).cast("long")
+    return out.select(
+        "doc_id",
+        F.coalesce("total2", F.lit(0)).cast("long").alias("n_2grams"),
+        F.coalesce("total3", F.lit(0)).cast("long").alias("n_3grams"),
+        ppm("top2", "total2").alias("top2_ppm"),
+        ppm("total2 - distinct2", "total2").alias("dup2_ppm"),
+        ppm("total3 - distinct3", "total3").alias("dup3_ppm"),
+    ).withColumn(
+        "passes_repetition",
+        (F.col("top2_ppm") <= REP_TOP2_MAX_PPM)
+        & (F.col("dup3_ppm") <= REP_DUP3_MAX_PPM),
+    )
+
+
+O_REPETITION = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g2 AS (
+    SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i+1] AS g
+    FROM d, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2
+),
+g3 AS (
+    SELECT doc_id, 3 AS n, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+    FROM d, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+),
+grams AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+per_gram AS (
+    SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+),
+per_n AS (
+    SELECT doc_id, n, SUM(c) AS total, COUNT(*) AS distinct_, MAX(c) AS top
+    FROM per_gram GROUP BY doc_id, n
+),
+wide AS (
+    SELECT d.doc_id,
+           COALESCE(MAX(CASE WHEN n = 2 THEN total END), 0) AS total2,
+           COALESCE(MAX(CASE WHEN n = 2 THEN distinct_ END), 0) AS distinct2,
+           COALESCE(MAX(CASE WHEN n = 2 THEN top END), 0) AS top2,
+           COALESCE(MAX(CASE WHEN n = 3 THEN total END), 0) AS total3,
+           COALESCE(MAX(CASE WHEN n = 3 THEN distinct_ END), 0) AS distinct3
+    FROM d LEFT JOIN per_n ON d.doc_id = per_n.doc_id
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(total2 AS BIGINT) AS n_2grams,
+       CAST(total3 AS BIGINT) AS n_3grams,
+       CAST(CASE WHEN total2 = 0 THEN 0
+                 ELSE top2 * 1000000 // total2 END AS BIGINT) AS top2_ppm,
+       CAST(CASE WHEN total2 = 0 THEN 0
+                 ELSE (total2 - distinct2) * 1000000 // total2 END AS BIGINT)
+           AS dup2_ppm,
+       CAST(CASE WHEN total3 = 0 THEN 0
+                 ELSE (total3 - distinct3) * 1000000 // total3 END AS BIGINT)
+           AS dup3_ppm,
+       (CASE WHEN total2 = 0 THEN 0
+             ELSE top2 * 1000000 // total2 END) <= {REP_TOP2_MAX_PPM}
+       AND (CASE WHEN total3 = 0 THEN 0
+                 ELSE (total3 - distinct3) * 1000000 // total3 END)
+           <= {REP_DUP3_MAX_PPM} AS passes_repetition
+FROM wide
+"""
+
+
 def register_extra(register) -> None:
     register("text_normalize", text_normalize, O_TEXT_NORMALIZE)
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
@@ -1392,6 +1648,8 @@ def register_extra(register) -> None:
     register("domain_cap_sample", domain_cap_sample, O_DOMAIN_CAP)
     register("line_dedup", line_dedup, O_LINE_DEDUP)
     register("temperature_mixture", temperature_mixture, O_TEMPERATURE_MIXTURE)
+    register("bm25_search", bm25_search, O_BM25)
+    register("repetition_filter", repetition_filter, O_REPETITION)
 
 
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,3 +224,25 @@ def test_cogroup_asof_uses_cogrouped_arrow_exec(spark):
     plan = _plan(q_asof_spend_cogroup(spark, SF_DIR))
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_bm25_broadcasts_query_and_df_sides(spark):
+    """BM25 must broadcast the tiny relations (query terms, per-term df,
+    corpus totals) against the postings — the postings build is the only
+    corpus shuffle, and nothing is a cartesian product."""
+    from mycarely_saas_dbt_spark.operators.textops import bm25_search
+
+    plan = _plan(bm25_search(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_filter_is_one_shuffle_rollup(spark):
+    """The within-doc repetition metrics are a narrow n-gram explode plus
+    doc-keyed aggregations — no joins between corpus-sized relations
+    beyond the final doc_id equi-join, no cartesian product."""
+    from mycarely_saas_dbt_spark.operators.textops import repetition_filter
+
+    plan = _plan(repetition_filter(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
