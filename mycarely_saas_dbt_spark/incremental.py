@@ -329,8 +329,63 @@ class IncrementalRunner:
                 df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
         return df
 
+    def _watermark_from_stats(self, name: str, col: str) -> dt.date | None:
+        """MAX(col) resolved from the manifest's per-file stats alone —
+        ZERO Spark jobs, no file opened. Valid only when EVERY live file
+        records stats for the column (a file without them could hide the
+        true max); returns None then, and the caller falls back to the
+        scan. The per-file max is exact (parquet footer stats are
+        min/max, not approximations), so this is the same value the scan
+        would return — at 100 TB the difference is one JSON read vs a
+        full-table aggregate per incremental run."""
+        manifest = self.current_manifest(name)
+        if manifest is None:
+            return None
+        # only trust the ISO-string ordering for date/timestamp columns
+        dtypes = dict(manifest.get("dtypes") or [])
+        if not str(dtypes.get(col, "")).startswith(("date", "timestamp")):
+            return None
+        best: str | None = None
+        part_cols = manifest.get("partition_by") or []
+        if col in part_cols:
+            # partition column: values live in the hive dir names, exact
+            # by construction (ISO date strings order lexicographically)
+            idx = part_cols.index(col)
+            for rel in manifest["partitions"]:
+                seg = rel.split(os.sep)[idx]
+                if "=" not in seg:
+                    return None
+                val = seg.split("=", 1)[1]
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # NULLs never win a MAX
+                if best is None or val > best:
+                    best = val
+        else:
+            stats = manifest.get("stats") or {}
+            for rel, fl in manifest["partitions"].items():
+                for f in fl:
+                    fstats = (stats.get(rel) or {}).get(f)
+                    if not fstats or col not in fstats:
+                        return None
+                    hi = fstats[col][1]
+                    if not isinstance(hi, str):
+                        return None  # stats exist but not the ISO-date form
+                    if best is None or hi > best:
+                        best = hi
+        if best is None:
+            return None  # empty table: scan path returns the epoch fallback
+        try:
+            return dt.date.fromisoformat(best[:10])
+        except ValueError:
+            return None
+
     def watermark(self, name: str, col: str) -> dt.date:
-        """Eager MAX over the target (the uncorrelated scalar subquery P8)."""
+        """MAX over the target (the uncorrelated scalar subquery P8) —
+        answered from manifest stats when possible (metadata-only, the
+        lakehouse move), else an eager scan."""
+        meta = self._watermark_from_stats(name, col)
+        if meta is not None:
+            return meta
         val = self.read_target(name).agg(F.max(col)).first()[0]
         if val is None:
             return EPOCH_FALLBACK

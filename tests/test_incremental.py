@@ -1118,3 +1118,62 @@ def test_premanifest_crash_between_ingest_and_commit_fails_loudly(
     monkeypatch.setattr(inc.IncrementalRunner, "_commit_manifest", real_commit)
     runner.run(spec, SF_DIR, full_refresh=True)
     assert runner.read_target("traffic_pages_agg").count() > 0
+
+
+def test_watermark_resolves_from_manifest_stats_without_scan(
+    spark, target_root, monkeypatch
+):
+    """r6: the incremental watermark is answered from the manifest's
+    per-file stats (metadata-only — no Spark job, no file opened) and
+    agrees exactly with the scan MAX; targets without full stats fall
+    back to the scan."""
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+
+    # metadata path fires and matches the scan exactly
+    meta = runner._watermark_from_stats("traffic_pages_agg", "date")
+    scan = (
+        runner.read_target("traffic_pages_agg").agg(F.max("date")).first()[0]
+    )
+    assert meta is not None and meta == scan
+
+    # watermark() must not touch read_target when stats answer it
+    def boom(*a, **k):
+        raise AssertionError("watermark read the target despite full stats")
+
+    monkeypatch.setattr(runner, "read_target", boom)
+    assert runner.watermark("traffic_pages_agg", "date") == scan
+    monkeypatch.undo()
+
+    # non-partition column: answered from per-file stats; stripping a
+    # file's stats forces the scan fallback
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+
+    def build(sp, sfd, wm):
+        return sp.table("events").groupBy(
+            F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    spec = inc.ModelSpec("daily_counts", "day", "day", build)
+    runner.run(spec, SF_DIR)
+    meta2 = runner._watermark_from_stats("daily_counts", "day")
+    scan2 = runner.read_target("daily_counts").agg(F.max("day")).first()[0]
+    assert meta2 is not None and meta2 == scan2
+
+    man = runner.current_manifest("daily_counts")
+    rel = next(iter(man["stats"]))
+    f = next(iter(man["stats"][rel]))
+    man["stats"][rel][f].pop("day", None)
+    import json as _json
+    import os as _os
+
+    mdir = runner._manifest_dir("daily_counts")
+    ver = open(_os.path.join(mdir, "CURRENT")).read().strip()
+    with open(_os.path.join(mdir, ver), "w") as fh:
+        _json.dump(man, fh)
+    assert runner._watermark_from_stats("daily_counts", "day") is None
+    assert runner.watermark("daily_counts", "day") == scan2  # scan path
