@@ -60,10 +60,11 @@ EXTENSION_QUERIES = [
     # and the cogrouped-map Arrow as-of join
     "line_dedup",
     "asof_join_spend_cogroup",
-    # round 6: inverted-index BM25 retrieval and the Gopher within-doc
-    # repetition filter
+    # round 6: inverted-index BM25 retrieval, the Gopher within-doc
+    # repetition filter, and iterative integer-exact PageRank
     "bm25_search",
     "repetition_filter",
+    "graph_pagerank",
 ]
 
 

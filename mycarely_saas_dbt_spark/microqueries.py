@@ -2058,6 +2058,7 @@ def register_all(register) -> None:
         approx,
         datatests,
         dedup,
+        graph,
         joins,
         multimodal,
         olap,
@@ -2083,6 +2084,7 @@ def register_all(register) -> None:
     dedup.register_queries(register)
     similarity.register_queries(register)
     multimodal.register_queries(register)
+    graph.register_queries(register)
 
     from mycarely_saas_dbt_spark import runnerqueries
 

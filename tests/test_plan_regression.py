@@ -246,3 +246,35 @@ def test_repetition_filter_is_one_shuffle_rollup(spark):
     plan = _plan(repetition_filter(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_iterations_broadcast_ranks_over_persisted_edges(spark):
+    """Each PageRank step must join the (metadata-scale) rank relation as
+    a broadcast against the persisted edge relation — no SortMergeJoin,
+    no cartesian — and the rollup keys on dst (map-side combinable)."""
+    from mycarely_saas_dbt_spark.operators.graph import _edges
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+    from pyspark.sql import functions as F
+
+    register_sources(spark, SF_DIR)
+    edges = _edges(spark)
+    rdf = F.broadcast(
+        spark.createDataFrame([(0, 1_000_000)], "node int, r bigint")
+    )
+    step = (
+        edges.join(rdf, edges["src"] == rdf["node"])
+        .select("dst", F.expr("(r * w) DIV w").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    plan = _plan(step)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_graph_degree_stats_no_cartesian(spark):
+    from mycarely_saas_dbt_spark.operators.graph import graph_degree_stats
+
+    plan = _plan(graph_degree_stats(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
