@@ -49,6 +49,11 @@ AUDIT = [
     "asof_join_spend_cogroup",
     "substring_containment",
     "training_mix_pipeline",
+    # round 6 additions
+    "bm25_search",
+    "repetition_filter",
+    "graph_degree_stats",
+    "ann_pq_adc_recall",
 ]
 
 
