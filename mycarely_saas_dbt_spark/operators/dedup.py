@@ -591,6 +591,9 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 CC_MAX_ITER = 20
 
 
+CC_DRIVER_MAX = 4_000_000  # edges; ~64 MB of id pairs — the bounded-collect budget
+
+
 def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list (u, v) — each round every vertex takes the min of
@@ -609,11 +612,46 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     # materialize the edge list once — the iteration re-reads it every
     # round, and upstream (e.g. an LSH candidate join) must not re-run
     edges = edges.localCheckpoint()
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # Driver-side union-find fast path: the near-dup PAIR list after LSH
+    # blocking is orders of magnitude smaller than the corpus (only
+    # near-dup members appear), so up to CC_DRIVER_MAX edges it is
+    # metadata-scale — collect once, union-find exactly, relabel each
+    # component to its min vertex (identical labels to the min-label
+    # iteration). This replaces ~2-3 Spark jobs PER ROUND (checkpoint +
+    # changed-count, ~1.5 s/job floor on this box — measured 10-18 s of
+    # pure iteration overhead inside training_mix) with one collect.
+    # Beyond the bound, the distributed min-label loop below handles
+    # graphs whose edge list itself is corpus-scale.
+    import os
+
+    n_edges = edges.count()
+    if n_edges <= CC_DRIVER_MAX and os.environ.get("MYCARELY_CC_DRIVER", "1") != "0":
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["u"], row["v"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(v, find(v)) for v in parent]
+        return edges.sparkSession.createDataFrame(
+            sorted(labels), "u bigint, label bigint"
+        )
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    if max_iter < 1:
-        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         nbr = (
