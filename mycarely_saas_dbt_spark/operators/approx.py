@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
@@ -248,7 +248,225 @@ GROUP BY p.u, p.exact_n
 """
 
 
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch — the HASH-EXACT
+# member of the sketch family (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD'07). HLL entries grade by accuracy contract because register
+# merge order isn't portable; KMV's state is the SET of the K smallest
+# 32-bit hash values — fully deterministic, so estimates hash-match the
+# DuckDB oracle bit-for-bit, and merging is provably lossless:
+# bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)).
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+
+
+def _h32(key: str):
+    """Portable 32-bit md5 value (the repo-standard md5 trick)."""
+    return F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _kmv_est(n_seen: str, kth: str):
+    """(K-1) * 2^32 DIV h_K when more than K distinct hashes were seen,
+    else the exact count — all-integer, identical in both engines."""
+    return F.when(
+        F.col(n_seen) < F.lit(KMV_K), F.col(n_seen).cast("long")
+    ).otherwise(F.expr(f"({KMV_K} - 1) * 4294967296 DIV {kth}"))
+
+
+def q_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimate from a KMV bottom-K sketch, next to
+    the exact distinct count — both integers, hash-exact cross-engine
+    (unlike the HLL twin `approx_distinct_daily`, which needs an accuracy
+    contract).
+
+    Scale shape: one (day, h) DISTINCT shuffle (map-side combinable),
+    then a per-day bottom-K — formulated as a rank window over the
+    distinct hashes here; at 100 TB the same bottom-K is a two-phase
+    min-K aggregate (per-partition partial top-K arrays merged
+    associatively), K integers of state per group either way. The
+    estimate is one integer expression per group."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    ev = (
+        spark.table("events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+    )
+    hashes = ev.select("day", _h32("u").alias("h")).distinct()
+    w = Window.partitionBy("day").orderBy(F.col("h").asc())
+    sk = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("kth"),
+        )
+    )
+    exact = ev.groupBy("day").agg(F.countDistinct("u").alias("exact_users"))
+    return (
+        sk.join(exact, "day")
+        .select(
+            "day",
+            "exact_users",
+            _kmv_est("n_h", "kth").alias("kmv_est"),
+        )
+    )
+
+
+_H32_SQL = "(('0x' || substr(md5(CAST({k} AS STRING)), 1, 8))::BIGINT)"
+
+O_KMV_DAILY = f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(user_id AS STRING) AS u
+    FROM events WHERE user_id IS NOT NULL
+),
+hashes AS (SELECT DISTINCT day, {_H32_SQL.format(k='u')} AS h FROM ev),
+rk AS (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h ASC) AS rk
+    FROM hashes
+),
+sk AS (
+    SELECT day, COUNT(*) AS n_h,
+           MAX(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+    FROM rk GROUP BY day
+),
+exact AS (SELECT day, COUNT(DISTINCT u) AS exact_users FROM ev GROUP BY day)
+SELECT s.day, e.exact_users,
+       CAST(CASE WHEN s.n_h < {KMV_K} THEN s.n_h
+                 ELSE ({KMV_K} - 1) * 4294967296 // s.kth END AS BIGINT)
+           AS kmv_est
+FROM sk s JOIN exact e ON s.day = e.day
+"""
+
+
+def q_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability proof (the lossless-union theorem): the weekly
+    estimate computed from MERGED daily bottom-K sketches must equal the
+    single-pass weekly estimate — bottomK(∪ days) = bottomK(∪ daily
+    bottomKs), because any hash in the true weekly bottom-K is in its
+    day's bottom-K. Both paths computed, both emitted, plus the equality
+    flag (always true on a correct sketch) — the same algebra-proof shape
+    as `hll_sketch_rollup`/`cms_heavy_hitters`, but hash-exact.
+
+    Weeks are integer 7-day buckets from a fixed epoch (portable — no
+    cross-engine week-start convention)."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    ev = (
+        spark.table("events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+    )
+    week = F.floor(F.datediff("day", F.lit("2024-01-01").cast("date")) / 7)
+    hashes = ev.select(
+        "day", week.alias("week"), _h32("u").alias("h")
+    ).distinct()
+
+    # daily bottom-K sketches, then merge within the week and re-bottom-K
+    wd = Window.partitionBy("day").orderBy(F.col("h").asc())
+    daily_bk = hashes.withColumn("rk", F.row_number().over(wd)).filter(
+        F.col("rk") <= KMV_K
+    )
+    merged = daily_bk.select("week", "h").distinct()
+    wm = Window.partitionBy("week").orderBy(F.col("h").asc())
+    sk_merged = (
+        merged.withColumn("rk", F.row_number().over(wm))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("kth"),
+        )
+        .select("week", _kmv_est("n_h", "kth").alias("est_merged"))
+    )
+
+    # single-pass weekly sketch
+    weekly = hashes.select("week", "h").distinct()
+    sk_single = (
+        weekly.withColumn("rk", F.row_number().over(wm))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("kth"),
+        )
+        .select("week", _kmv_est("n_h", "kth").alias("est_single"))
+    )
+    return (
+        sk_single.join(sk_merged, "week")
+        .select(
+            "week", "est_single", "est_merged",
+            (F.col("est_single") == F.col("est_merged")).alias("merge_exact"),
+        )
+    )
+
+
+O_KMV_MERGE = f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(user_id AS STRING) AS u
+    FROM events WHERE user_id IS NOT NULL
+),
+hashes AS (
+    SELECT DISTINCT day, (day - DATE '2024-01-01') // 7 AS week,
+           {_H32_SQL.format(k='u')} AS h
+    FROM ev
+),
+daily_bk AS (
+    SELECT week, h FROM (
+        SELECT week, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h ASC) AS rk
+        FROM hashes
+    ) WHERE rk <= {KMV_K}
+),
+merged AS (SELECT DISTINCT week, h FROM daily_bk),
+sk_merged AS (
+    SELECT week, COUNT(*) AS n_h,
+           MAX(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+    FROM (
+        SELECT week, h,
+               ROW_NUMBER() OVER (PARTITION BY week ORDER BY h ASC) AS rk
+        FROM merged
+    ) GROUP BY week
+),
+weekly AS (SELECT DISTINCT week, h FROM hashes),
+sk_single AS (
+    SELECT week, COUNT(*) AS n_h,
+           MAX(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+    FROM (
+        SELECT week, h,
+               ROW_NUMBER() OVER (PARTITION BY week ORDER BY h ASC) AS rk
+        FROM weekly
+    ) GROUP BY week
+),
+est AS (
+    SELECT s.week,
+           CAST(CASE WHEN s.n_h < {KMV_K} THEN s.n_h
+                     ELSE ({KMV_K} - 1) * 4294967296 // s.kth END AS BIGINT)
+               AS est_single,
+           CAST(CASE WHEN m.n_h < {KMV_K} THEN m.n_h
+                     ELSE ({KMV_K} - 1) * 4294967296 // m.kth END AS BIGINT)
+               AS est_merged
+    FROM sk_single s JOIN sk_merged m ON s.week = m.week
+)
+SELECT week, est_single, est_merged,
+       est_single = est_merged AS merge_exact
+FROM est
+"""
+
+
 PAIRS = [
+    ("kmv_distinct_daily", q_kmv_distinct_daily, O_KMV_DAILY),
+    ("kmv_merge_rollup", q_kmv_merge_rollup, O_KMV_MERGE),
     ("approx_distinct_daily", q_approx_distinct_daily, O_APPROX_DISTINCT_DAILY),
     ("hll_sketch_rollup", q_hll_sketch_rollup, O_HLL_SKETCH_ROLLUP),
     ("approx_percentile_tol", q_approx_percentile_tol, O_APPROX_PERCENTILE_TOL),
