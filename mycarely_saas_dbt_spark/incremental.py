@@ -208,6 +208,7 @@ class IncrementalRunner:
         *,
         version: int | None = None,
         prune: dict | None = None,
+        manifest: dict | None = None,
     ) -> list[str]:
         """The exact file list a read resolves — the manifest-stats
         data-skipping chokepoint (VERDICT r5 item 4). ``prune`` maps
@@ -219,11 +220,12 @@ class IncrementalRunner:
         add-file-stats read path). Files or columns without recorded stats
         are conservatively kept."""
         path = self.target_path(name)
-        manifest = (
-            self._manifest_at(name, version)
-            if version is not None
-            else self.current_manifest(name)
-        )
+        if manifest is None:
+            manifest = (
+                self._manifest_at(name, version)
+                if version is not None
+                else self.current_manifest(name)
+            )
         if manifest is None:
             raise RuntimeError(
                 f"{name}: no manifest — resolved_files needs a committed target"
@@ -234,6 +236,19 @@ class IncrementalRunner:
             for c, (lo, hi) in (prune or {}).items()
         }
 
+        def after(a, b) -> bool:
+            """a strictly after b. ISO strings are compared on their COMMON
+            prefix (coarser granularity): a DATE bound against TIMESTAMP
+            stats must not prune a file whose rows fall inside the bound's
+            day ('2024-01-05T00:00:11' > '2024-01-05' lexically, but the
+            file overlaps the day) — truncating both sides to the shorter
+            length is conservative-correct: it can only keep extra files,
+            never wrongly skip."""
+            if isinstance(a, str) and isinstance(b, str):
+                n = min(len(a), len(b))
+                return a[:n] > b[:n]
+            return a > b
+
         def keep(rel: str, f: str) -> bool:
             fstats = (stats.get(rel) or {}).get(f)
             if fstats is None:
@@ -242,8 +257,8 @@ class IncrementalRunner:
                 if c not in fstats:
                     continue
                 fmin, fmax = fstats[c]
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
+                if (hi is not None and after(fmin, hi)) or (
+                    lo is not None and after(lo, fmax)
                 ):
                     return False
             return True
@@ -284,7 +299,12 @@ class IncrementalRunner:
             # hive partition-column inference working on explicit file
             # lists; uncommitted/orphan files in the same dirs are simply
             # never listed.
-            files = self.resolved_files(name, version=version, prune=prune)
+            # resolve from the SAME loaded manifest — re-reading CURRENT
+            # here could race a concurrent commit and mix versions (v_N
+            # dtypes applied to v_N+1 files)
+            files = self.resolved_files(
+                name, version=version, prune=prune, manifest=manifest
+            )
             missing = [f for f in files if not os.path.isfile(f)]
             if missing:
                 raise RuntimeError(
@@ -391,6 +411,30 @@ class IncrementalRunner:
             return EPOCH_FALLBACK
         return val if isinstance(val, dt.date) else val.date()
 
+    def _recover_orphan_versions(self, name: str) -> None:
+        """Delete version files never published by a CURRENT swap — the
+        remains of a writer that crashed between the O_EXCL version-file
+        claim and the pointer swap. Without this, the crashed version
+        number would be permanently uncommittable (every retry derives the
+        same next version and hits FileExistsError). Safe at WRITER START
+        under the single-writer-per-model deployment this runner targets
+        (no other writer can be mid-commit when we begin); a multi-writer
+        deployment replaces this with leases / conditional PUTs, as
+        `_commit_manifest` documents. Readers are unaffected either way —
+        they only ever follow CURRENT."""
+        cur = self.current_manifest(name)
+        floor = cur["version"] if cur else 0
+        for v in self.list_versions(name):
+            if v > floor:
+                log.warning(
+                    "%s: removing orphan version file v%06d.json "
+                    "(claimed but never published — crashed writer)",
+                    name, v,
+                )
+                os.remove(
+                    os.path.join(self._manifest_dir(name), f"v{v:06d}.json")
+                )
+
     def run(
         self,
         spec: ModelSpec,
@@ -399,6 +443,7 @@ class IncrementalRunner:
         full_refresh: bool = False,
     ) -> dict:
         """Run one model; returns stats for observability."""
+        self._recover_orphan_versions(spec.name)
         if spec.pre_counts is not None:
             for k, v in spec.pre_counts(self.spark, sf_dir).items():
                 log.info("%s: %s = %s", spec.name, k, v)  # D3
@@ -983,6 +1028,7 @@ class IncrementalRunner:
                 f"got {spec.partition_by}"
             )
         pcol = spec.partition_by[0]
+        self._recover_orphan_versions(spec.name)
         if not (self.target_exists(spec.name) and self._layout_is_partitioned(spec)):
             raise RuntimeError(
                 f"{spec.name}: backfill needs an existing partitioned target"
@@ -1061,6 +1107,7 @@ class IncrementalRunner:
         method is OPTIMIZE / rewrite_data_files.
         """
         path = self.target_path(name)
+        self._recover_orphan_versions(name)
         base = self.current_manifest(name)
         if base is not None:
             part_cols = list(base["partition_by"])

@@ -356,8 +356,9 @@ def q_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag (always true on a correct sketch) — the same algebra-proof shape
     as `hll_sketch_rollup`/`cms_heavy_hitters`, but hash-exact.
 
-    Weeks are integer 7-day buckets from a fixed epoch (portable — no
-    cross-engine week-start convention)."""
+    Weeks are integer 7-day buckets from a fixed epoch via truncating
+    integer division (portable — no cross-engine week-start convention,
+    and Spark DIV / DuckDB // both truncate toward zero, unlike floor)."""
     from mycarely_saas_dbt_spark.sources.registry import register_sources
 
     register_sources(spark, sf_dir)
@@ -369,7 +370,9 @@ def q_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("u"),
         )
     )
-    week = F.floor(F.datediff("day", F.lit("2024-01-01").cast("date")) / 7)
+    # integer DIV truncates toward zero in BOTH engines (DuckDB // is
+    # truncation too — floor() here would diverge for pre-epoch dates)
+    week = F.expr("CAST(datediff(day, DATE '2024-01-01') AS BIGINT) DIV 7")
     hashes = ev.select(
         "day", week.alias("week"), _h32("u").alias("h")
     ).distinct()

@@ -87,6 +87,8 @@ def pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     nn = len(node_rows)
+    if nn == 0:  # no 2-event user / no parseable node: oracle emits 0 rows
+        return spark.createDataFrame([], "node int, rank_ppb bigint")
     base = (15 * PR_SCALE) // (100 * nn)
     ranks = {n: PR_SCALE // nn for n in node_rows}
     for _ in range(PR_ITERS):
@@ -151,10 +153,13 @@ SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM {prev}
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degree summary of the click graph (the health check run
     before any iterative algorithm): weighted in/out degree and distinct
-    neighbor counts — two map-combinable rollups over the same persisted
-    edge relation PageRank uses."""
+    neighbor counts — two map-combinable rollups over ONE persisted edge
+    relation (without the persist, the lag-window pass and (src, dst)
+    count would execute once per side of the full join)."""
+    from mycarely_saas_dbt_spark.util import bounded_persist
+
     register_sources(spark, sf_dir)
-    edges = _edges(spark)
+    edges = bounded_persist(_edges(spark), "graph:deg_edges")
     o = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").cast("long").alias("out_w"),
         F.count(F.lit(1)).cast("long").alias("out_deg"),

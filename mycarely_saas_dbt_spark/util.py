@@ -57,11 +57,15 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     only fires when the input has fewer splits than half the cores, so we
     never add a shuffle to a well-partitioned source.
 
-    Applied per-site where an interleaved A/B at sf0.1 showed a win (the
-    r5 blanket application made three pure-Catalyst tokenize paths
-    SLOWER — the added exchange cost more than the parallelism bought;
-    scripts/ab_fanout.py is the measurement harness). MYCARELY_FANOUT=0
-    disables it globally for that A/B.
+    Currently applied at NO call site: the r6 paired interleaved A/B
+    (scripts/ab_fanout.py) measured the protective repartition as a net
+    loss or wash everywhere at sf0.1 — the r5 blanket application made
+    three pure-Catalyst tokenize paths SLOWER (the added exchange cost
+    more than the parallelism bought). The function, its unit test, and
+    the MYCARELY_FANOUT=0 kill switch remain as the
+    measurement record: a future site must re-adopt it explicitly AND
+    show a paired A/B win (the harness only measures sites that call
+    it).
     """
     import os
 

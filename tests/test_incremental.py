@@ -1177,3 +1177,90 @@ def test_watermark_resolves_from_manifest_stats_without_scan(
         _json.dump(man, fh)
     assert runner._watermark_from_stats("daily_counts", "day") is None
     assert runner.watermark("daily_counts", "day") == scan2  # scan path
+
+
+def test_crash_after_version_claim_recovers_on_rerun(spark, target_root, monkeypatch):
+    """r6 review fix: a writer that dies AFTER the O_EXCL version-file
+    claim but BEFORE the CURRENT swap must not make the table permanently
+    uncommittable — the next writer run removes the orphan version file
+    (never published, readers only follow CURRENT) and commits normally."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    spec1 = __import__("dataclasses").replace(
+        inc.TRAFFIC_PAGES_SPEC, build=_tp_batch1_spec().build
+    )
+    runner.run(spec1, SF_DIR)  # v1
+    v1 = runner.current_manifest("traffic_pages_agg")["version"]
+
+    # simulate the crash window: version file exists, CURRENT not swapped
+    real_replace = _os.replace
+
+    def crash_replace(srcp, dstp):
+        if dstp.endswith("CURRENT"):
+            raise OSError("simulated crash before pointer swap")
+        return real_replace(srcp, dstp)
+
+    monkeypatch.setattr(inc.os, "replace", crash_replace)
+    with _pytest.raises(OSError, match="simulated crash"):
+        runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    monkeypatch.undo()
+
+    # the orphan v2 file exists but CURRENT still points at v1
+    assert runner.current_manifest("traffic_pages_agg")["version"] == v1
+    assert v1 + 1 in runner.list_versions("traffic_pages_agg")
+
+    # re-run: orphan recovered, commit succeeds (this raised
+    # "concurrent commit detected" forever before the fix)
+    stats = runner.run(inc.TRAFFIC_PAGES_SPEC, SF_DIR)
+    assert stats["mode"].startswith("incremental")
+    assert runner.current_manifest("traffic_pages_agg")["version"] == v1 + 1
+    assert runner.read_target("traffic_pages_agg").count() > 0
+
+
+def test_prune_date_bound_against_timestamp_stats_keeps_overlapping_file(
+    spark, target_root
+):
+    """r6 review fix: a DATE bound against TIMESTAMP file stats compares
+    on the common ISO prefix — a file whose rows all fall inside the
+    bound's day must NOT be pruned ('2024-01-05T00:00:11' > '2024-01-05'
+    lexically, but the file overlaps the day)."""
+    import datetime as _dt
+
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+
+    def build(sp, sfd, wm):
+        return (
+            sp.table("events")
+            .select("event_id", "ts")
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+        )
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    runner.run(inc.ModelSpec("ev_ts", "event_id", "ts", build), SF_DIR)
+
+    first_day = (
+        runner.read_target("ev_ts").agg(F.min(F.col("ts").cast("date"))).first()[0]
+    )
+    probe = (first_day, first_day)  # date bounds vs timestamp stats
+    pruned = runner.resolved_files("ev_ts", prune={"ts": probe})
+    assert pruned, "date-granularity bound must keep the overlapping file"
+    got = (
+        runner.read_target("ev_ts", prune={"ts": probe})
+        .filter(F.col("ts").cast("date") == F.lit(first_day))
+        .count()
+    )
+    want = (
+        runner.read_target("ev_ts")
+        .filter(F.col("ts").cast("date") == F.lit(first_day))
+        .count()
+    )
+    assert got == want and got > 0
