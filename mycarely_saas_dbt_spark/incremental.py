@@ -1346,6 +1346,15 @@ TRAFFIC_DAILY_SPEC = ModelSpec(
 )
 
 
+# D5 dependency edges: the reference leaves TD->LA implicit in schema
+# naming; we declare it. TP and TD are independent roots.
+DAG_DEPS: dict[str, list[str]] = {
+    "traffic_pages_agg": [],
+    "traffic_daily_agg": [],
+    "lead_activities_agg": ["traffic_daily_agg"],
+}
+
+
 def run_dag(
     spark: SparkSession,
     sf_dir: str,
@@ -1353,18 +1362,67 @@ def run_dag(
     *,
     models: list[str] | None = None,
     full_refresh: bool = False,
+    threads: int = 1,
 ) -> list[dict]:
-    """Topo-ordered run: TP, TD, then LA (D5 — the reference leaves the
-    TD->LA edge implicit in schema naming; we order it explicitly)."""
+    """Dependency-ordered run of the three reference models — dbt's
+    ``threads`` execution model: with ``threads > 1``, models whose
+    declared dependencies (DAG_DEPS) have completed run CONCURRENTLY
+    (TP ∥ TD here, LA once TD lands). Spark schedules the concurrent
+    jobs FIFO inside one application — on a real cluster this is how a
+    dbt project saturates executors that one model's shuffle stages
+    would leave idle. A failed model fails fast and skips its
+    descendants (dbt semantics); results return in spec order."""
     runner = IncrementalRunner(spark, target_root)
-    specs = [
-        TRAFFIC_PAGES_SPEC,
-        TRAFFIC_DAILY_SPEC,
-        make_la_spec(runner),
-    ]
-    wanted = set(models) if models else None
-    results = []
-    for spec in specs:
-        if wanted is None or spec.name in wanted:
-            results.append(runner.run(spec, sf_dir, full_refresh=full_refresh))
-    return results
+    specs = {
+        s.name: s
+        for s in (TRAFFIC_PAGES_SPEC, TRAFFIC_DAILY_SPEC, make_la_spec(runner))
+    }
+    wanted = list(specs) if models is None else [m for m in specs if m in set(models)]
+    results: dict[str, dict] = {}
+    if threads <= 1:
+        for name in wanted:  # insertion order is already topological
+            results[name] = runner.run(specs[name], sf_dir, full_refresh=full_refresh)
+        return [results[n] for n in wanted]
+
+    import concurrent.futures as cf
+
+    done: set[str] = set()
+    failed: set[str] = set()
+    pending = list(wanted)
+    with cf.ThreadPoolExecutor(max_workers=threads) as pool:
+        futures: dict = {}
+        while pending or futures:
+            ready = [
+                n for n in pending
+                if all(d in done or d not in wanted for d in DAG_DEPS.get(n, []))
+                and not any(d in failed for d in DAG_DEPS.get(n, []))
+            ]
+            skipped = [
+                n for n in pending
+                if any(d in failed for d in DAG_DEPS.get(n, []))
+            ]
+            for n in skipped:
+                pending.remove(n)
+                results[n] = {"model": n, "mode": "skipped", "reason": "upstream failed"}
+            for n in ready:
+                pending.remove(n)
+                futures[pool.submit(
+                    runner.run, specs[n], sf_dir, full_refresh=full_refresh
+                )] = n
+            if not futures:
+                break
+            for fut in cf.as_completed(list(futures)):
+                n = futures.pop(fut)
+                try:
+                    results[n] = fut.result()
+                    done.add(n)
+                except Exception as exc:
+                    failed.add(n)
+                    results[n] = {"model": n, "mode": "error", "error": str(exc)[:300]}
+                break  # re-evaluate readiness after each completion
+    if failed:
+        raise RuntimeError(
+            f"run_dag: models failed: {sorted(failed)} "
+            f"({[results[n] for n in sorted(failed)]})"
+        )
+    return [results[n] for n in wanted if n in results]

@@ -2086,6 +2086,7 @@ def register_all(register) -> None:
     multimodal.register_queries(register)
     graph.register_queries(register)
 
-    from mycarely_saas_dbt_spark import runnerqueries
+    from mycarely_saas_dbt_spark import runnerqueries, testing
 
     runnerqueries.register_queries(register)
+    testing.register_queries(register)

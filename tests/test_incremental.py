@@ -1264,3 +1264,40 @@ def test_prune_date_bound_against_timestamp_stats_keeps_overlapping_file(
         .count()
     )
     assert got == want and got > 0
+
+
+def test_run_dag_threaded_matches_sequential(spark, target_root, tmp_path):
+    """r6 (dbt `threads` execution model): a 2-thread DAG run — TP ∥ TD
+    concurrently, LA after TD — must produce exactly the sequential
+    results (same targets, same row counts, LA strictly after its
+    dependency)."""
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    seq_root = str(tmp_path / "seq")
+    inc.run_dag(spark, SF_DIR, seq_root, threads=1)
+    par_root = str(tmp_path / "par")
+    results = inc.run_dag(spark, SF_DIR, par_root, threads=2)
+    assert {r["model"] for r in results} == {
+        "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg"
+    }
+    seq = inc.IncrementalRunner(spark, seq_root)
+    par = inc.IncrementalRunner(spark, par_root)
+    for m in ("traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg"):
+        assert par.read_target(m).count() == seq.read_target(m).count()
+
+
+def test_run_dag_failed_dependency_skips_descendants(spark, tmp_path, monkeypatch):
+    """A TD failure must skip LA (dbt semantics) and surface the error."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    def boom(sp, sfd, wm):
+        raise RuntimeError("TD build exploded")
+
+    broken_td = dataclasses.replace(inc.TRAFFIC_DAILY_SPEC, build=boom)
+    monkeypatch.setattr(inc, "TRAFFIC_DAILY_SPEC", broken_td)
+    with _pytest.raises(RuntimeError, match="models failed.*traffic_daily"):
+        inc.run_dag(spark, SF_DIR, str(tmp_path / "t"), threads=2)
