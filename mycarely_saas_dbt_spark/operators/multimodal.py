@@ -212,7 +212,139 @@ FROM f
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (r6): the container gained no PIL, but WAV needs none —
+# the stdlib `wave` module is a genuine container parser. Payloads are
+# synthesized DETERMINISTICALLY from doc_id (PCM16 mono, sample i =
+# ((i * (doc_id + 7) + 13) % 65536) - 32768), so the DuckDB oracle can
+# predict the decode's output ARITHMETICALLY without parsing a byte:
+# the entry is a real decode path (bytes -> container parse -> PCM
+# features) with a full value oracle, not a rows-only stub.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+WAV_BASE_FRAMES = 100
+WAV_MOD_FRAMES = 400
+
+
+def synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """Arrow-batched WAV synthesis: each doc gets a PCM16 mono WAV whose
+    frame count and samples derive from doc_id — the ingest stage a
+    binaryFile scan would play in production (one narrow pass; payloads
+    never leave executors)."""
+
+    def run(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                n = WAV_BASE_FRAMES + int(doc_id) % WAV_MOD_FRAMES
+                i = np.arange(n, dtype=np.int64)
+                samples = ((i * (int(doc_id) + 7) + 13) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(samples.tobytes())
+                ids.append(int(doc_id))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id bigint, payload binary")
+
+
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode over binary payloads: `wave` parses the RIFF/WAVE
+    container (params + frames), numpy computes integer PCM features —
+    frame count, duration, peak and summed |amplitude|. Every output is
+    an integer the oracle derives independently from doc_id, so a decode
+    regression (wrong endianness, off-by-one frame, header misparse)
+    flips the hash.
+
+    Scale shape: synth and decode are separate Arrow-batched narrow
+    passes over the corpus (ingest | decode — the real pipeline boundary
+    where payloads would arrive from a binaryFile scan); no shuffle at
+    all until a consumer aggregates."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    payloads = synth_wav_payloads(spark.table("documents"))
+
+    def run(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "framerate": [], "n_channels": [],
+                "samp_width": [], "n_frames": [], "duration_ms": [],
+                "peak_abs": [], "sum_abs": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    rate, nch, sw, nf = (
+                        w.getframerate(), w.getnchannels(),
+                        w.getsampwidth(), w.getnframes(),
+                    )
+                    pcm = np.frombuffer(w.readframes(nf), dtype="<i2").astype(
+                        np.int64
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["framerate"].append(rate)
+                out["n_channels"].append(nch)
+                out["samp_width"].append(sw)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(nf * 1000 // rate)
+                out["peak_abs"].append(int(np.abs(pcm).max()))
+                out["sum_abs"].append(int(np.abs(pcm).sum()))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        run,
+        "doc_id bigint, framerate bigint, n_channels bigint, samp_width bigint, "
+        "n_frames bigint, duration_ms bigint, peak_abs bigint, sum_abs bigint",
+    )
+
+
+O_MM_AUDIO = f"""
+WITH d AS (
+    SELECT doc_id,
+           {WAV_BASE_FRAMES} + doc_id % {WAV_MOD_FRAMES} AS n_frames
+    FROM documents
+),
+pcm AS (
+    SELECT d.doc_id, d.n_frames,
+           ABS((i * (d.doc_id + 7) + 13) % 65536 - 32768) AS a
+    FROM d, UNNEST(range(0, d.n_frames)) AS u(i)
+)
+SELECT doc_id,
+       CAST({WAV_RATE} AS BIGINT) AS framerate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(2 AS BIGINT) AS samp_width,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(MAX(n_frames) * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms,
+       CAST(MAX(a) AS BIGINT) AS peak_abs,
+       CAST(SUM(a) AS BIGINT) AS sum_abs
+FROM pcm
+GROUP BY doc_id
+"""
+
+
 def register_queries(register) -> None:
     register("mm_binary_meta", mm_binary_meta, O_MM_META)
     register("mm_fake_features", mm_fake_features, None)  # rows-only
     register("mm_frame_sample", mm_frame_sample, O_MM_FRAME_SAMPLE)
+    register("mm_audio_decode", mm_audio_decode, O_MM_AUDIO)
