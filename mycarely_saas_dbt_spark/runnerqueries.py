@@ -579,6 +579,37 @@ GROUP BY v.user_id
 """
 
 
+def streaming_interval_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join with sentinel-driven flush
+    of BOTH sides' outer state; per-user (matched, unmatched-view,
+    unmatched-click) counts must equal the batch FULL JOIN."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        interval_full_join_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_ssfoj_")
+    out = interval_full_join_stream(spark, sf_dir, root)
+    result = materialize(out)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+O_STREAMING_INTERVAL_FULL_JOIN = """
+SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+       CAST(SUM(CASE WHEN v.event_id IS NOT NULL AND c.event_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_unmatched,
+       CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click_unmatched
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTES
+GROUP BY COALESCE(v.user_id, c.user_id)
+"""
+
+
 def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful operators (dedup -> tumbling-window count) drained
     with availableNow; per-day distinct (user, event_type) pairs must match
@@ -864,6 +895,11 @@ def register_queries(register) -> None:
         "streaming_interval_left_join",
         streaming_interval_left_join,
         O_STREAMING_INTERVAL_LEFT_JOIN,
+    )
+    register(
+        "streaming_interval_full_join",
+        streaming_interval_full_join,
+        O_STREAMING_INTERVAL_FULL_JOIN,
     )
     register(
         "streaming_incremental_merge",

@@ -988,6 +988,118 @@ def interval_left_join_stream(
 
 
 
+def interval_full_join_stream(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join matrix (inner ✓, left-outer ✓): BOTH sides' unmatched rows are
+    held in state until the opposite watermark proves no partner can
+    arrive, then emitted once with NULLs. Same sentinel-flush fixture as
+    `interval_left_join_stream` (two far-future batches advance both
+    watermarks past every real event; a batch runs under the watermark
+    computed at the END of the previous one). Per-user (n_pairs,
+    n_view_unmatched, n_click_unmatched) hash-match the batch FULL JOIN
+    oracle — the exact both-sides-emitted-once check."""
+    src_dir = os.path.join(workdir, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    hi = ev.agg(F.max("ts")).first()[0]
+
+    def sentinel(uid: int, etype: str, days: int) -> DataFrame:
+        return ev.limit(1).select(
+            *[
+                F.lit(uid).cast("long").alias(c)
+                if c == "user_id"
+                else F.lit(etype).alias(c)
+                if c == "event_type"
+                else (F.lit(hi) + F.expr(f"INTERVAL {days} DAYS")).alias(c)
+                if c == "ts"
+                else F.col(c)
+                for c in ev.columns
+            ]
+        )
+
+    batches = [
+        ev,
+        sentinel(-1, "view", 400).unionByName(sentinel(-2, "click", 400)),
+        sentinel(-3, "view", 800).unionByName(sentinel(-4, "click", 800)),
+    ]
+    for i, df in enumerate(batches, start=1):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_MINUTES} MINUTES")
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
+    )
+
+    target = os.path.join(workdir, "out")
+    q = start_exactly_once(
+        joined,
+        target,
+        semantics="batch_dir",
+        checkpoint=os.path.join(workdir, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("view_id").isNotNull() & F.col("click_id").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_view_unmatched"),
+            F.sum(F.when(F.col("view_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_click_unmatched"),
+        )
+    )
+
+
 def tws_available() -> bool:
     """True when transformWithStateInPandas can actually run here: its
     JVM<->Python worker protocol requires the `protobuf` package."""
