@@ -2066,7 +2066,7 @@ def register_all(register) -> None:
         similarity,
         textops,
     )
-    from mycarely_saas_dbt_spark.sources import bucketing, formats, zorder
+    from mycarely_saas_dbt_spark.sources import bucketing, formats, pydatasource, zorder
 
     olap.register_queries(register)
     joins.register_queries(register)
@@ -2076,6 +2076,7 @@ def register_all(register) -> None:
     formats.register_queries(register)
     bucketing.register_queries(register)
     zorder.register_queries(register)
+    pydatasource.register_queries(register)
     from mycarely_saas_dbt_spark.functions import udtfs
 
     udtfs.register_queries(register)

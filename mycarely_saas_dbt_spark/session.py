@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas_udf path (extensions only; parity needs none).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4.1 Python Data Source filter pushdown (off by default):
+        # lets sources/pydatasource.py accept row-range predicates so
+        # pruned rows are never generated
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

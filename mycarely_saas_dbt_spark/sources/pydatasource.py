@@ -1,0 +1,188 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API).
+
+The modern extension surface for sources Spark has no connector for —
+implemented here as a deterministic synthetic billing-ledger GENERATOR
+so the cross-engine oracle can predict every row arithmetically (the
+same trick as the WAV decode entry): row i has
+
+    account_id   = i % 97
+    amount_cents = (i * i) % 10_000
+    day          = DATE '2024-01-01' + (i % 90)
+
+Real API coverage, not a toy shim:
+
+* ``partitions()`` splits the row space into ranges — Spark schedules
+  one task per ``InputPartition``, so the source is read in parallel
+  exactly like a file-based scan's splits.
+* ``pushFilters()`` (Spark 4.1) accepts range/equality predicates on
+  ``row_id`` and narrows the generated ranges BEFORE partition
+  planning — rows outside the bounds are never produced at all (the
+  generator's equivalent of predicate pushdown into a parquet scan);
+  unsupported filters are returned to Spark to evaluate on top.
+
+Scale notes: a generator source has no files to prune, so pushed
+row-range bounds ARE its partition pruning; each partition yields rows
+lazily (tuples, Arrow-batched by the worker), driver state is the
+option dict only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+LEDGER_SCHEMA = "row_id bigint, account_id bigint, amount_cents bigint, day date"
+DEFAULT_ROWS = 10_000
+DEFAULT_PARTS = 8
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class LedgerReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+        self.n_parts = int(options.get("n_parts", DEFAULT_PARTS))
+        self.lo, self.hi = 0, self.n_rows  # [lo, hi) after pushdown
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                              LessThan, LessThanOrEqual)) and f.attribute == ("row_id",):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:
+                    self.hi = min(self.hi, v + 1)
+                # accepted: do NOT yield it back — rows outside the bound
+                # are never generated (checked by test_pyds_pushdown)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, min(self.n_parts, hi - lo or 1))
+        step = max(1, -(-(hi - lo) // n))
+        return [_Range(s, min(s + step, hi)) for s in range(lo, hi, step)] or [
+            _Range(0, 0)
+        ]
+
+    def read(self, part: _Range):
+        import datetime as dt
+
+        epoch = dt.date(2024, 1, 1)
+        for i in range(part.start, part.end):
+            yield (
+                i,
+                i % 97,
+                (i * i) % 10_000,
+                epoch + dt.timedelta(days=i % 90),
+            )
+
+
+class LedgerDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "mycarely_ledger"
+
+    def schema(self):
+        return LEDGER_SCHEMA
+
+    def reader(self, schema):
+        return LedgerReader(self.options)
+
+
+def register_ledger_source(spark) -> None:
+    spark.dataSource.register(LedgerDataSource)
+
+
+def q_pyds_ledger_rollup(spark, sf_dir: str):
+    """Read the custom Python data source in parallel partitions and roll
+    up per account — the oracle re-derives the generator arithmetically
+    (UNNEST(range(n))), so a partition-boundary bug (dropped/duplicated
+    range edge) flips the hash."""
+    from pyspark.sql import functions as F
+
+    register_ledger_source(spark)
+    df = (
+        spark.read.format("mycarely_ledger")
+        .option("n_rows", DEFAULT_ROWS)
+        .option("n_parts", DEFAULT_PARTS)
+        .load()
+    )
+    return (
+        df.groupBy("account_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount_cents").cast("long").alias("total_cents"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+O_PYDS_ROLLUP = f"""
+WITH g AS (
+    SELECT i AS row_id, i % 97 AS account_id,
+           (i * i) % 10000 AS amount_cents,
+           DATE '2024-01-01' + CAST(i % 90 AS INT) AS day
+    FROM UNNEST(range(0, {DEFAULT_ROWS})) AS u(i)
+)
+SELECT account_id, COUNT(*) AS n_rows,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       MAX(day) AS last_day
+FROM g GROUP BY account_id
+"""
+
+
+def q_pyds_pushdown_slice(spark, sf_dir: str):
+    """The same source under a row_id range predicate — the filter is
+    ACCEPTED by pushFilters (rows outside [2000, 3000) are never
+    generated; test_pyds_pushdown pins the narrowed partition planning),
+    and the result must still match the oracle's post-filter arithmetic."""
+    from pyspark.sql import functions as F
+
+    register_ledger_source(spark)
+    df = (
+        spark.read.format("mycarely_ledger")
+        .option("n_rows", DEFAULT_ROWS)
+        .load()
+        .filter((F.col("row_id") >= 2000) & (F.col("row_id") < 3000))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount_cents").cast("long").alias("total_cents"),
+        F.min("row_id").alias("first_row"),
+        F.max("row_id").alias("last_row"),
+    )
+
+
+O_PYDS_PUSHDOWN = """
+WITH g AS (
+    SELECT i AS row_id, (i * i) % 10000 AS amount_cents
+    FROM UNNEST(range(2000, 3000)) AS u(i)
+)
+SELECT COUNT(*) AS n_rows, CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       MIN(row_id) AS first_row, MAX(row_id) AS last_row
+FROM g
+"""
+
+
+def register_queries(register) -> None:
+    register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
+    register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
