@@ -129,7 +129,85 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4's open-format semi-structured type, parse once /
+# navigate typed): the modern replacement for string-JSON hot paths —
+# parse_json shreds to a binary variant, variant_get navigates paths
+# with a TYPE (NULL on missing path; try_variant_get NULL on cast
+# failure instead of erroring). Oracle: DuckDB's JSON operators over
+# the identical synthesized document.
+# ---------------------------------------------------------------------------
+
+
+def q_variant_shred_rollup(spark, sf_dir: str):
+    """Build a nested JSON document per event (wrapping the existing
+    props payload), parse it ONCE to VARIANT, and roll up typed-path
+    extractions per event type — plus the two NULL-semantics probes a
+    pipeline relies on: a missing path must extract as NULL (n_missing
+    stays 0 when counted) and try_variant_get with an impossible cast
+    must yield NULL, not an error (n_badcast stays 0).
+
+    Scale note: the variant parse is a narrow per-row op and the typed
+    extraction happens WITHOUT re-parsing per path (the shredded binary
+    is navigated directly) — the reason variant beats get_json_object
+    chains that re-parse the string per extraction."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("user_id").isNotNull())
+    js = F.concat(
+        F.lit('{"p": '), F.col("props"),
+        F.lit(', "type": "'), F.col("event_type"),
+        F.lit('", "flag": '),
+        F.when(F.col("user_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}"),
+    )
+    v = F.parse_json(js)
+    shred = ev.select(
+        F.variant_get(v, "$.type", "string").alias("etype"),
+        F.variant_get(v, "$.p.k", "bigint").alias("k"),
+        F.variant_get(v, "$.flag", "boolean").alias("flag"),
+        F.variant_get(v, "$.nope", "bigint").alias("missing"),
+        F.try_variant_get(v, "$.type", "bigint").alias("badcast"),
+    )
+    return shred.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.col("flag").cast("long")).alias("n_flag"),
+        F.count("missing").alias("n_missing"),
+        F.count("badcast").alias("n_badcast"),
+    )
+
+
+O_VARIANT_SHRED = """
+WITH ev AS (
+    SELECT '{"p": ' || props || ', "type": "' || event_type || '", "flag": '
+           || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END || '}'
+               AS js
+    FROM events WHERE user_id IS NOT NULL
+),
+shred AS (
+    SELECT js->>'$.type' AS etype,
+           CAST(js->>'$.p.k' AS BIGINT) AS k,
+           CAST(js->>'$.flag' AS BOOLEAN) AS flag,
+           CAST(js->>'$.nope' AS BIGINT) AS missing,
+           TRY_CAST(js->>'$.type' AS BIGINT) AS badcast
+    FROM ev
+)
+SELECT etype, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+       COUNT(missing) AS n_missing,
+       COUNT(badcast) AS n_badcast
+FROM shred
+GROUP BY etype
+"""
+
+
 def register_queries(register) -> None:
     register("hof_collection_suite", q_hof_collection_suite, O_HOF_SUITE)
+    register("variant_shred_rollup", q_variant_shred_rollup, O_VARIANT_SHRED)
     for name, fn, oracle in PAIRS:
         register(name, fn, oracle)

@@ -84,16 +84,24 @@ class LedgerReader(DataSourceReader):
         ]
 
     def read(self, part: _Range):
-        import datetime as dt
+        # Arrow RecordBatch output (the API's vectorized variant): one
+        # numpy pass per partition instead of a Python tuple per row —
+        # the same ~100x batch-vs-row economics as pandas UDFs, and the
+        # only sane shape for a source feeding a 1000-executor scan.
+        import numpy as np
+        import pyarrow as pa
 
-        epoch = dt.date(2024, 1, 1)
-        for i in range(part.start, part.end):
-            yield (
-                i,
-                i % 97,
-                (i * i) % 10_000,
-                epoch + dt.timedelta(days=i % 90),
-            )
+        i = np.arange(part.start, part.end, dtype=np.int64)
+        days = (i % 90).astype("timedelta64[D]") + np.datetime64("2024-01-01")
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(i),
+                pa.array(i % 97),
+                pa.array((i * i) % 10_000),
+                pa.array(days.astype("datetime64[D]")),
+            ],
+            names=["row_id", "account_id", "amount_cents", "day"],
+        )
 
 
 class LedgerDataSource(DataSource):
