@@ -70,9 +70,14 @@ def test_minhash_lsh_has_no_cross_product(spark):
     """LSH candidate generation is a bucketed equi-join on (band,
     band_key) — an all-pairs CartesianProduct would be the quadratic
     blow-up the whole design avoids."""
-    from mycarely_saas_dbt_spark.operators.dedup import dedup_minhash_lsh
+    from mycarely_saas_dbt_spark.operators.dedup import _build_minhash_pairs
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
 
-    plan = _plan(dedup_minhash_lsh(spark, SF_DIR))
+    # gate the BUILD plan: the registered query returns the memoized
+    # checkpoint (a block scan — trivially join-free), so the structural
+    # assertion must look at the lineage that produces it
+    register_sources(spark, SF_DIR)
+    plan = _plan(_build_minhash_pairs(spark))
     assert "CartesianProduct" not in plan, plan
 
 
