@@ -36,6 +36,13 @@ from mycarely_saas_dbt_spark.sources.registry import register_sources
 
 PR_SCALE = 1_000_000_000   # rank fixed-point: parts-per-billion
 PR_ITERS = 3
+# Driver-residency bound for the rank vector (mirrors CC_DRIVER_MAX in
+# dedup.py): below it the plan-flattening driver-dict path runs (each
+# iteration = one flat job, the measured 30s→6s win at sf0.1); above it
+# — or with MYCARELY_PR_DRIVER=0 — the co-partitioned DataFrame
+# iteration below keeps the rank vector distributed. ~2e6 nodes ≈ 32 MB
+# of (int, long) pairs, the same bounded-collect budget as CC.
+PR_DRIVER_MAX = 2_000_000
 _K_PATTERN = '"k": (\\d+)'
 
 
@@ -71,42 +78,77 @@ def pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph:edges",
     )
     # Per-iteration rank LOCALIZATION (the PQ/k-means plan-flattening
-    # pattern): the rank vector is |V| metadata-scale rows here, so each
-    # Lloyd-style step is one flat job over the persisted edge relation
-    # with the previous ranks as a broadcast LocalRelation — a lazily
-    # chained formulation re-executed the whole lineage per iteration
-    # (measured 30s vs ~6s at sf0.1). At web scale, |V| outgrows the
-    # driver: keep ranks a DataFrame co-partitioned with edges on src
-    # (same join, zero extra shuffle) — the plan per iteration is
-    # identical, only the state residency changes.
-    node_rows = sorted(
-        r["node"]
-        for r in edges.select(F.col("src").alias("node"))
+    # pattern): below PR_DRIVER_MAX nodes the rank vector is
+    # metadata-scale, so each step is one flat job over the persisted
+    # edge relation with the previous ranks as a broadcast LocalRelation
+    # — a lazily chained formulation re-executed the whole lineage per
+    # iteration (measured 30s vs ~6s at sf0.1). Above the bound (or with
+    # MYCARELY_PR_DRIVER=0) the co-partitioned DataFrame path keeps the
+    # rank vector distributed — same per-iteration join shape, only the
+    # state residency changes; pytest pins both paths label-identical.
+    import os
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .collect()
+        .localCheckpoint()
     )
-    nn = len(node_rows)
+    nn = nodes.count()
     if nn == 0:  # no 2-event user / no parseable node: oracle emits 0 rows
         return spark.createDataFrame([], "node int, rank_ppb bigint")
     base = (15 * PR_SCALE) // (100 * nn)
-    ranks = {n: PR_SCALE // nn for n in node_rows}
-    for _ in range(PR_ITERS):
-        rdf = F.broadcast(
-            spark.createDataFrame(
-                [(n, r) for n, r in ranks.items()], "node int, r bigint"
+    if nn <= PR_DRIVER_MAX and os.environ.get("MYCARELY_PR_DRIVER", "1") != "0":
+        node_rows = sorted(r["node"] for r in nodes.collect())
+        ranks = {n: PR_SCALE // nn for n in node_rows}
+        for _ in range(PR_ITERS):
+            rdf = F.broadcast(
+                spark.createDataFrame(
+                    [(n, r) for n, r in ranks.items()], "node int, r bigint"
+                )
             )
+            contrib = (
+                edges.join(rdf, edges["src"] == rdf["node"])
+                .select("dst", F.expr("(r * w) DIV out_w").cast("long").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            sums = {row["dst"]: row["s"] for row in contrib.collect()}
+            ranks = {n: base + (85 * sums.get(n, 0)) // 100 for n in node_rows}
+        return spark.createDataFrame(
+            sorted(ranks.items()), "node int, rank_ppb bigint"
         )
-        contrib = (
-            edges.join(rdf, edges["src"] == rdf["node"])
-            .select("dst", F.expr("(r * w) DIV out_w").cast("long").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        sums = {row["dst"]: row["s"] for row in contrib.collect()}
-        ranks = {n: base + (85 * sums.get(n, 0)) // 100 for n in node_rows}
-    return spark.createDataFrame(
-        sorted(ranks.items()), "node int, rank_ppb bigint"
+    # Distributed path: ranks live as a DataFrame partitioned on the join
+    # key. localCheckpoint per iteration truncates lineage (and preserves
+    # the physical partitioning in the LogicalRDD), so each iteration is
+    # one ranks-side shuffle joined to the persisted edges — never a
+    # driver collect of |V| state.
+    ranks_df = nodes.repartition("node").withColumn(
+        "r", F.lit(PR_SCALE // nn).cast("long")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        ranks_df = _pr_step(edges, ranks_df, nodes, base).localCheckpoint()
+    return ranks_df.select("node", F.col("r").alias("rank_ppb"))
+
+
+def _pr_step(
+    edges: DataFrame, ranks: DataFrame, nodes: DataFrame, base: int
+) -> DataFrame:
+    """One distributed PageRank iteration: edges ⋈ ranks on src →
+    per-dst contribution sum → left join back onto the node set. Same
+    integer fixed-point arithmetic as the driver path (non-negative
+    operands, so BIGINT DIV ≡ Python //)."""
+    contrib = (
+        edges.join(ranks, edges["src"] == ranks["node"])
+        .select("dst", F.expr("(r * w) DIV out_w").cast("long").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    return nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+        nodes["node"],
+        (F.lit(base) + F.expr("(85 * coalesce(s, 0)) DIV 100"))
+        .cast("long")
+        .alias("r"),
     )
 
 

@@ -283,3 +283,50 @@ def test_graph_degree_stats_no_cartesian(spark):
 
     plan = _plan(graph_degree_stats(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_distributed_path_matches_driver_path(spark, monkeypatch):
+    """VERDICT r6 item 2: above PR_DRIVER_MAX (or with
+    MYCARELY_PR_DRIVER=0) the rank vector must stay a DataFrame — and
+    produce rank_ppb labels IDENTICAL to the driver-dict fast path."""
+    from mycarely_saas_dbt_spark.operators.graph import pagerank_clicks
+
+    driver = {
+        (r["node"], r["rank_ppb"])
+        for r in pagerank_clicks(spark, SF_DIR).collect()
+    }
+    monkeypatch.setenv("MYCARELY_PR_DRIVER", "0")
+    dist = {
+        (r["node"], r["rank_ppb"])
+        for r in pagerank_clicks(spark, SF_DIR).collect()
+    }
+    assert driver == dist
+    assert len(driver) > 0
+
+
+def test_pagerank_distributed_step_plan_is_equijoined(spark):
+    """The distributed iteration (_pr_step) must be equi-joins + a
+    map-combinable dst rollup — no cartesian, no nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.operators.graph import (
+        PR_SCALE,
+        _edges,
+        _pr_step,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    edges = _edges(spark)
+    edges = edges.join(
+        edges.groupBy("src").agg(F.sum("w").alias("out_w")), "src"
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE // 100).cast("long"))
+    plan = _plan(_pr_step(edges, ranks, nodes, 123))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
