@@ -42,6 +42,7 @@ import json
 import logging
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -94,6 +95,13 @@ class ModelSpec:
     # successful write — a failed build never fires them (dbt semantics).
     pre_hook: list[str] = field(default_factory=list)
     post_hook: list[str] = field(default_factory=list)
+    # Non-tabular payload committed INSIDE the manifest JSON under "meta"
+    # (the Delta commitInfo / Iceberg snapshot-summary slot). Versioned and
+    # swapped atomically with the file set it describes — e.g. the ANN
+    # index commits its trained codebooks here so readers get codes and
+    # codebooks from one consistent snapshot. Incremental merges carry the
+    # previous version's meta forward when the spec doesn't supply one.
+    manifest_meta: dict | None = None
 
 
 def _reconcile_schema(
@@ -661,54 +669,154 @@ class IncrementalRunner:
         if marker is not None and os.path.isfile(marker):
             os.remove(marker)
 
-    def _commit_manifest(self, name: str, manifest: dict) -> None:
+    _COMMIT_RETRIES = 5
+
+    def _rebase_manifest(
+        self, name: str, orig: dict, base: dict, cur: dict, touched: set[str]
+    ) -> dict:
+        """Rebase a partition-scoped commit onto a newer CURRENT (the
+        Delta/Iceberg conflict-RESOLUTION shape): conflict detection runs
+        on the PARTITION SET, not the version number. The other writers'
+        footprint is exactly the rels whose file lists changed between the
+        manifest this writer read (``base``) and the newest committed one
+        (``cur``) — untouched partitions carry identical file lists
+        forward, so the diff is precise. Disjoint footprints compose: take
+        ``cur``'s partitions, overlay this writer's ``touched`` rels from
+        its own staged manifest (``orig``). Correct because every model's
+        unique_key embeds its partition column — a merge's read-modify-
+        write is partition-local, so a concurrent change to OTHER
+        partitions cannot invalidate it. Overlapping footprints (or a
+        concurrent schema / partition-layout change) still refuse."""
+        overlap = None
+        if cur.get("partition_by") != orig.get("partition_by") or cur.get(
+            "dtypes"
+        ) != base.get("dtypes"):
+            overlap = "a concurrent schema or partition-layout change"
+        else:
+            bparts, cparts = base["partitions"], cur["partitions"]
+            others = {
+                rel
+                for rel in set(bparts) | set(cparts)
+                if bparts.get(rel) != cparts.get(rel)
+            }
+            clash = others & touched
+            if clash:
+                overlap = f"overlapping partitions {sorted(clash)[:5]}"
+        if overlap:
+            raise RuntimeError(
+                f"{name}: concurrent commit detected — CURRENT advanced to "
+                f"version {cur['version']} with {overlap}; re-run the merge "
+                "against the new table state"
+            )
+        parts = dict(cur["partitions"])
+        stats = dict(cur.get("stats") or {})
+        for rel in touched:
+            if rel in orig["partitions"]:
+                parts[rel] = orig["partitions"][rel]
+                st = (orig.get("stats") or {}).get(rel)
+                if st is not None:
+                    stats[rel] = st
+                else:
+                    stats.pop(rel, None)
+            else:
+                parts.pop(rel, None)
+                stats.pop(rel, None)
+        out = {
+            "version": cur["version"] + 1,
+            "partition_by": list(orig.get("partition_by") or []),
+            "dtypes": orig.get("dtypes"),
+            "partitions": parts,
+            "stats": stats,
+        }
+        # meta: if this writer changed it, its value wins; otherwise the
+        # newest committed meta rides forward
+        meta = (
+            orig.get("meta")
+            if orig.get("meta") != base.get("meta")
+            else cur.get("meta")
+        )
+        if meta is not None:
+            out["meta"] = meta
+        return out
+
+    def _commit_manifest(
+        self,
+        name: str,
+        manifest: dict,
+        *,
+        base: dict | None = None,
+        touched: set[str] | None = None,
+    ) -> dict:
         """Write the version file, then atomically swap the CURRENT pointer
-        — the ONLY step that changes what readers see.
+        — the ONLY step that changes what readers see. Returns the manifest
+        actually committed (== the input unless a rebase happened).
 
         Optimistic concurrency: the new version number was derived from the
         manifest the writer READ; if CURRENT has advanced to (or past) that
-        number since, another writer committed concurrently and this commit
-        would silently drop their merge — refuse instead (the Delta/Iceberg
-        conflict-detection move; the single-writer-per-model DAG never hits
-        it). The check-then-replace race window is a filesystem metadata
-        read apart; a real multi-writer deployment closes it with a
-        conditional PUT / putIfAbsent on the version file."""
-        cur = self.current_manifest(name)
-        if cur is not None and cur["version"] >= manifest["version"]:
-            raise RuntimeError(
-                f"{name}: concurrent commit detected — CURRENT is already at "
-                f"version {cur['version']} but this writer derived version "
-                f"{manifest['version']} from an older read; re-run the merge "
-                "against the new table state"
-            )
+        number since, another writer committed concurrently and committing
+        blindly would silently drop their merge. Partition-scoped writers
+        (pruned merge, backfill) pass ``base`` (the manifest they read) and
+        ``touched`` (the rels they rewrote): a racing commit with a
+        DISJOINT partition footprint rebases onto the new CURRENT and both
+        land (``_rebase_manifest`` — the Delta/Iceberg conflict-resolution
+        move). Full-table writers pass neither and refuse, as before. The
+        check-then-replace race window is a filesystem metadata read apart;
+        a real multi-writer deployment closes it with a conditional PUT /
+        putIfAbsent on the version file."""
         mdir = self._manifest_dir(name)
         os.makedirs(mdir, exist_ok=True)
-        ver = f"v{manifest['version']:06d}.json"
-        # O_EXCL claim of the version file (VERDICT r5 item 7): two racing
-        # writers that both derived the same next version serialize on
-        # file CREATION, not on the read-check above — exactly one wins,
-        # the loser gets the same concurrent-commit error. The object-
-        # store equivalent is a conditional PUT (If-None-Match).
-        try:
-            fd = os.open(
-                os.path.join(mdir, ver), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
-            raise RuntimeError(
-                f"{name}: concurrent commit detected — version file {ver} "
-                "already exists (another writer committed this version); "
-                "re-run the merge against the new table state"
-            ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        tmp = os.path.join(mdir, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            fh.write(ver)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(mdir, self._CURRENT))
+        orig = manifest
+        for attempt in range(self._COMMIT_RETRIES):
+            cur = self.current_manifest(name)
+            if cur is not None and cur["version"] >= manifest["version"]:
+                if base is None or touched is None:
+                    raise RuntimeError(
+                        f"{name}: concurrent commit detected — CURRENT is "
+                        f"already at version {cur['version']} but this writer "
+                        f"derived version {manifest['version']} from an older "
+                        "read; re-run the merge against the new table state"
+                    )
+                manifest = self._rebase_manifest(name, orig, base, cur, touched)
+            ver = f"v{manifest['version']:06d}.json"
+            # O_EXCL claim of the version file (VERDICT r5 item 7): two
+            # racing writers that both derived the same next version
+            # serialize on file CREATION, not on the read-check above —
+            # exactly one wins; the loser re-reads CURRENT and (if
+            # partition-scoped and disjoint) rebases on the next pass of
+            # this loop. The object-store equivalent is a conditional PUT
+            # (If-None-Match).
+            try:
+                fd = os.open(
+                    os.path.join(mdir, ver), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                if base is None or touched is None:
+                    raise RuntimeError(
+                        f"{name}: concurrent commit detected — version file "
+                        f"{ver} already exists (another writer committed this "
+                        "version); re-run the merge against the new table "
+                        "state"
+                    ) from None
+                # the racer may not have swapped CURRENT yet — give the
+                # pointer a beat to land before re-reading
+                time.sleep(0.01 * (attempt + 1))
+                continue
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            tmp = os.path.join(mdir, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as fh:
+                fh.write(ver)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(mdir, self._CURRENT))
+            return manifest
+        raise RuntimeError(
+            f"{name}: concurrent commit detected — {self._COMMIT_RETRIES} "
+            "rebase attempts exhausted; re-run the merge against the new "
+            "table state"
+        )
 
     def _manifest_from_layout(
         self, name: str, partition_by: list[str] | None
@@ -842,12 +950,26 @@ class IncrementalRunner:
     # retention-period knob, expressed in versions.
     RETAIN_VERSIONS = 2
 
+    # Delta's deletedFileRetentionDuration shape: vacuum NEVER reclaims a
+    # data file younger than this, whatever the manifests say. A concurrent
+    # partition-scoped writer ingests its files BEFORE its manifest commit
+    # (they're invisible to readers until the pointer swap) — an age-blind
+    # vacuum racing that window deletes the other writer's uncommitted
+    # files and its rebased commit then references nothing (caught by the
+    # r7 disjoint-writer end-to-end race test). Tests that specifically
+    # verify orphan reclamation set it to 0 on a single-writer runner —
+    # the same caveat Delta documents for sub-default retention.
+    VACUUM_GRACE_SECONDS = 600.0
+
     def _vacuum(self, name: str, manifest: dict) -> None:
         """Delete data files not referenced by any RETAINED manifest
         (superseded versions, crash orphans) and prune emptied partition
-        dirs. Runs strictly AFTER the pointer swap — a crash here leaves
-        only invisible garbage, never an inconsistent table."""
+        dirs — except files younger than VACUUM_GRACE_SECONDS (possibly
+        another writer's uncommitted ingest). Runs strictly AFTER the
+        pointer swap — a crash here leaves only invisible garbage, never
+        an inconsistent table."""
         final = self.target_path(name)
+        now = time.time()
         retained = [manifest]
         floor = manifest["version"] - self.RETAIN_VERSIONS + 1
         for v in self.list_versions(name):
@@ -866,7 +988,13 @@ class IncrementalRunner:
                     continue
                 rel = os.path.relpath(os.path.join(dp, f), final)
                 if rel not in live:
-                    os.remove(os.path.join(dp, f))
+                    p = os.path.join(dp, f)
+                    try:
+                        if now - os.path.getmtime(p) < self.VACUUM_GRACE_SECONDS:
+                            continue
+                        os.remove(p)
+                    except OSError:
+                        continue
         for dp, dns, fs in os.walk(final, topdown=False):
             if dp != final and not os.listdir(dp):
                 os.rmdir(dp)
@@ -931,7 +1059,23 @@ class IncrementalRunner:
                     "partitions": parts,
                     "stats": stats,
                 }
-                self._commit_manifest(spec.name, manifest)
+                meta = (
+                    spec.manifest_meta
+                    if spec.manifest_meta is not None
+                    else base.get("meta")
+                )
+                if meta is not None:
+                    manifest["meta"] = meta
+                manifest = self._commit_manifest(
+                    spec.name,
+                    manifest,
+                    base=live,
+                    touched=(
+                        set(touched_rels) | set(parts_new)
+                        if live is not None
+                        else None
+                    ),
+                )
                 self._clear_premanifest_marker(guard)
                 self._vacuum(spec.name, manifest)
             finally:
@@ -965,6 +1109,13 @@ class IncrementalRunner:
                 "partitions": parts,
                 "stats": stats,
             }
+            meta = (
+                spec.manifest_meta
+                if spec.manifest_meta is not None
+                else (base or {}).get("meta")
+            )
+            if meta is not None:
+                manifest["meta"] = meta
             self._commit_manifest(spec.name, manifest)
             self._clear_premanifest_marker(guard)
             self._vacuum(spec.name, manifest)
@@ -1071,7 +1222,14 @@ class IncrementalRunner:
                 "partitions": parts,
                 "stats": stats,
             }
-            self._commit_manifest(spec.name, manifest)
+            manifest = self._commit_manifest(
+                spec.name,
+                manifest,
+                base=live,
+                touched=(
+                    set(in_range) | set(parts_new) if live is not None else None
+                ),
+            )
             self._clear_premanifest_marker(guard)
             self._vacuum(spec.name, manifest)
             swapped = len(set(in_range) | set(parts_new))
