@@ -65,6 +65,10 @@ EXTENSION_QUERIES = [
     "bm25_search",
     "repetition_filter",
     "graph_pagerank",
+    # round 7: the persistent-index ANN query path (round 1 of the
+    # interleaved bench builds + commits the index; warm rounds measure
+    # the build-once/query-many shape a 100 TB deployment actually runs)
+    "ann_pq_index_recall",
 ]
 
 

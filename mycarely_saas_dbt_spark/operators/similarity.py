@@ -527,9 +527,28 @@ def _pq_subvectors(vec: str):
     )
 
 
-def _pq_train_driver(e: DataFrame) -> tuple:
-    """Train the coarse quantizer + residual PQ codebooks DRIVER-SIDE on a
-    bounded deterministic sample (numpy), returning metadata-scale arrays.
+def _pq_collect_unit(e: DataFrame, bound: int) -> tuple:
+    """Collect the ``vec_id < bound`` rows sorted by vec_id and
+    unit-normalize driver-side. Both callers pass a CONSTANT bound
+    (PQ_TRAIN_SAMPLE or N_QUERIES) — the collect is metadata-scale,
+    never a corpus fraction."""
+    import numpy as np
+
+    rows = (
+        e.filter(F.col("vec_id") < bound)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [int(r["vec_id"]) for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return ids, U
+
+
+def _pq_train_core(U) -> tuple:
+    """Train the coarse quantizer + residual PQ codebooks from a matrix of
+    unit sample vectors (numpy, driver-side).
 
     This is the FAISS training protocol (train on a sample, encode the
     full corpus distributed): quantizer quality saturates on a few
@@ -542,27 +561,13 @@ def _pq_train_driver(e: DataFrame) -> tuple:
     collect metadata-scale — the same bounded-scalar pattern as the
     incremental watermark and the codebook rebroadcast; everything
     per-corpus-row (cell assignment, residual encoding, ADC scoring,
-    re-rank) stays distributed in ``pq_adc_topk``. (A production sampler
-    would hash-sample vec_ids; the deterministic prefix keeps the demo
-    oracle-stable.)
+    re-rank) stays distributed. (A production sampler would hash-sample
+    vec_ids; the deterministic prefix keeps the demo oracle-stable.)
 
-    Returns ``(C, B, qids, dtab, qcent, probed)``: coarse centroids
-    (ncells × D, unit), per-subspace residual codebooks
-    (M × K × SUBDIM), and the per-query ADC tables computed from the same
-    sample rows (queries are ``vec_id < N_QUERIES`` ⊂ the sample):
-    ``dtab[q][m][k] = dot(q_sub_m, B[m][k])``,
-    ``qcent[q][c] = dot(q_unit, C[c])``, ``probed`` the top-PQ_NPROBE
-    cells per query (stable argsort — ties to the smaller cid)."""
+    Returns ``(C, B)``: coarse centroids (ncells × D, unit) and
+    per-subspace residual codebooks (M × K × SUBDIM)."""
     import numpy as np
 
-    rows = (
-        e.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    rows.sort(key=lambda r: r["vec_id"])
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    U = X / np.linalg.norm(X, axis=1, keepdims=True)
     n = U.shape[0]
 
     # spherical k-means, deterministic init = first N_CENTROIDS vectors;
@@ -599,12 +604,32 @@ def _pq_train_driver(e: DataFrame) -> tuple:
                 members = sub[code == c]
                 if len(members):
                     B[m][c] = members.mean(axis=0)
+    return C, B
 
-    qids = [int(r["vec_id"]) for r in rows[:N_QUERIES] if r["vec_id"] < N_QUERIES]
-    Q = U[:len(qids)]
-    dtab = np.einsum("qmd,mkd->qmk", Q.reshape(len(qids), PQ_M, PQ_SUBDIM), B)
+
+def _pq_query_tables(Q, C, B) -> tuple:
+    """Per-query ADC tables from unit query vectors:
+    ``dtab[q][m][k] = dot(q_sub_m, B[m][k])``,
+    ``qcent[q][c] = dot(q_unit, C[c])``, ``probed`` the top-PQ_NPROBE
+    cells per query (stable argsort — ties to the smaller cid)."""
+    import numpy as np
+
+    dtab = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), B)
     qcent = Q @ C.T
     probed = np.argsort(-qcent, axis=1, kind="stable")[:, :PQ_NPROBE]
+    return dtab, qcent, probed
+
+
+def _pq_train_driver(e: DataFrame) -> tuple:
+    """Transient-path training: sample + train + per-query tables in one
+    call (the queries ``vec_id < N_QUERIES`` are a prefix of the sample).
+    The persistent index path calls the pieces separately —
+    ``_pq_train_core`` at BUILD time, ``_pq_query_tables`` at QUERY time
+    against the committed codebooks."""
+    ids, U = _pq_collect_unit(e, PQ_TRAIN_SAMPLE)
+    C, B = _pq_train_core(U)
+    qids = [i for i in ids[:N_QUERIES] if i < N_QUERIES]
+    dtab, qcent, probed = _pq_query_tables(U[:len(qids)], C, B)
     return C, B, qids, dtab, qcent, probed
 
 
@@ -645,20 +670,24 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_sources(spark, sf_dir)
     e = _with_norm(spark.table("embeddings"))
     C, B, qids, dtab, qcent, probed = _pq_train_driver(e)
+    enc = _pq_encode_df(e, C, B)
+    return _pq_adc_rank(spark, enc, e, qids, dtab, qcent, probed)
 
-    # -- encode: Arrow-batched vectorized numpy (the FAISS BLAS shape) —
-    #    one narrow corpus pass, zero shuffles. The trained arrays ride
-    #    in the closure (C is ncells×D, B is M×K×SUBDIM — a few hundred
-    #    KB; a Spark broadcast variable at real scale). A first cut
-    #    expressed the argmax/argmin as Catalyst higher-order functions
-    #    over literal arrays; interpreted per-element HOF evaluation cost
-    #    ~2 ms/row — the batched matrix form is ~100× faster and is how
-    #    an encoder would actually run at 100 TB. (No fanout_scan: the r6
-    #    paired A/B measured the protective repartition as a net loss
-    #    here too — scripts/ab_fanout.py.)
+
+def _pq_encode_df(e: DataFrame, C, B) -> DataFrame:
+    """Encode the corpus against trained (C, B): Arrow-batched vectorized
+    numpy (the FAISS BLAS shape) — one narrow corpus pass, zero shuffles.
+    The trained arrays ride in the closure (C is ncells×D, B is
+    M×K×SUBDIM — a few hundred KB; a Spark broadcast variable at real
+    scale). A first cut expressed the argmax/argmin as Catalyst
+    higher-order functions over literal arrays; interpreted per-element
+    HOF evaluation cost ~2 ms/row — the batched matrix form is ~100×
+    faster and is how an encoder would actually run at 100 TB. (No
+    fanout_scan: the r6 paired A/B measured the protective repartition as
+    a net loss here too — scripts/ab_fanout.py.)"""
     import numpy as np
 
-    C_enc, B_enc = C.copy(), B.copy()
+    C_enc, B_enc = np.asarray(C, dtype=np.float64), np.asarray(B, dtype=np.float64)
     n_m, n_sub = PQ_M, PQ_SUBDIM
 
     def encode(batches):
@@ -682,11 +711,20 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    enc = e.select("vec_id", "embedding").mapInPandas(
+    return e.select("vec_id", "embedding").mapInPandas(
         encode, "vid bigint, cid int, codes array<int>"
     )
 
-    # -- per-query ADC tables (computed in training): broadcast
+
+def _pq_adc_rank(
+    spark: SparkSession, enc: DataFrame, e: DataFrame, qids, dtab, qcent, probed
+) -> DataFrame:
+    """ADC score over the probed cells only, constant shortlist, exact
+    re-rank against the raw vectors — shared by the transient
+    (``pq_adc_topk``) and persistent-index (``pq_index_topk``) paths.
+    ``enc`` is the encoded corpus (vid, cid, codes); ``e`` the raw
+    corpus with norms."""
+    # -- per-query ADC tables (tiny, computed driver-side): broadcast
     qt_rows = [
         (
             int(qid),
@@ -777,6 +815,145 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_PQ_ADC = f"""
 SELECT CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact, TRUE AS recall_ok
 """
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVFADC index through the manifest commit protocol (VERDICT r6
+# item 4): at 100 TB the index is built ONCE — codebooks trained, corpus
+# encoded, both committed — and queried many times. The build is a lakehouse
+# write: the encoded codes are the target's data files, the trained
+# codebooks ride in the SAME manifest version under "meta" (the non-tabular
+# payload slot — Delta commitInfo / Iceberg snapshot-summary shape), so a
+# reader always gets codes and codebooks from one consistent snapshot and a
+# rebuild swaps both atomically.
+# ---------------------------------------------------------------------------
+
+ANN_INDEX_NAME = "ann_pq_index"
+# session-scoped default index roots: (app id, realpath sf_dir) -> tempdir.
+# Like util.session_memo this makes repeated registered-query invocations
+# (bench rounds, driver_check) hit the committed index instead of
+# retraining; staleness is handled by the corpus fingerprint check in
+# ann_index_build, not by the cache key.
+_INDEX_ROOTS: dict = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> list:
+    """JSON-serializable identity of the embeddings input (path + mtime +
+    size) recorded in the committed index and checked on reuse — a
+    rewritten corpus invalidates the index the same way session_memo's
+    input-stat key invalidates the minhash memo."""
+    import os
+
+    from ..util import _input_stat
+
+    return [
+        list(t)
+        for t in _input_stat(
+            os.path.realpath(sf_dir), ("embeddings.parquet",)
+        )
+    ] + [os.path.realpath(sf_dir)]
+
+
+def ann_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
+    """Build-or-reuse the persistent IVFADC index; returns the committed
+    manifest. When CURRENT already carries the "ann" meta for this exact
+    corpus fingerprint the function returns after a manifest JSON read —
+    ZERO Spark jobs, zero training (the pytest passes a poisoned
+    SparkSession object to prove the early path never touches Spark)."""
+    from ..incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, root)
+    cur = runner.current_manifest(ANN_INDEX_NAME)
+    fp = _corpus_fingerprint(sf_dir)
+    ann = ((cur or {}).get("meta") or {}).get("ann")
+    if ann is not None and ann.get("corpus") == fp:
+        return cur
+
+    register_sources(spark, sf_dir)
+    e = _with_norm(spark.table("embeddings"))
+    _, U = _pq_collect_unit(e, PQ_TRAIN_SAMPLE)
+    C, B = _pq_train_core(U)
+    spec = ModelSpec(
+        name=ANN_INDEX_NAME,
+        unique_key="vid",
+        watermark_col="vid",
+        build=lambda sp, sfd, wm: _pq_encode_df(e, C, B),
+        manifest_meta={
+            "ann": {
+                "corpus": fp,
+                "ncells": N_CENTROIDS,
+                "m": PQ_M,
+                "k": PQ_K,
+                "subdim": PQ_SUBDIM,
+                "coarse": C.tolist(),
+                "codebooks": B.tolist(),
+            }
+        },
+    )
+    runner.run(spec, sf_dir, full_refresh=True)
+    return runner.current_manifest(ANN_INDEX_NAME)
+
+
+def _session_index_root(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    root = _INDEX_ROOTS.get(key)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="mycarely_ann_index_")
+        _INDEX_ROOTS[key] = root
+    return root
+
+
+def pq_index_topk(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> DataFrame:
+    """Query the COMMITTED index: read codes + codebooks from one manifest
+    snapshot, compute the per-query ADC tables driver-side (tiny numpy
+    against the stored codebooks), then the same probed-cell ADC scan +
+    constant shortlist + exact re-rank as the transient path. No
+    training, no corpus encode — the query-time corpus access is the
+    committed codes scan plus the raw-vector re-rank of a bounded
+    shortlist."""
+    import numpy as np
+
+    from ..incremental import IncrementalRunner
+
+    root = root or _session_index_root(spark, sf_dir)
+    m = ann_index_build(spark, sf_dir, root)
+    ann = m["meta"]["ann"]
+    C = np.array(ann["coarse"], dtype=np.float64)
+    B = np.array(ann["codebooks"], dtype=np.float64)
+    enc = IncrementalRunner(spark, root).read_target(ANN_INDEX_NAME)
+
+    register_sources(spark, sf_dir)
+    e = _with_norm(spark.table("embeddings"))
+    qids, Q = _pq_collect_unit(e, N_QUERIES)
+    dtab, qcent, probed = _pq_query_tables(Q, C, B)
+    return _pq_adc_rank(spark, enc, e, qids, dtab, qcent, probed)
+
+
+def ann_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k contract for the PERSISTENT-index query path — identical
+    grading to ``ann_pq_adc_recall`` so the composed
+    build-once/query-many path carries the same floor as the transient
+    path it replaces at scale."""
+    pq_topk = (
+        pq_index_topk(spark, sf_dir)
+        .drop_duplicates(["qid", "vid"])
+        .withColumn("hit", F.lit(1))
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vid")
+    total, hits = (
+        exact.join(pq_topk, ["qid", "vid"], "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(total, recall >= PQ_RECALL_FLOOR)], "n_exact bigint, recall_ok boolean"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -886,4 +1063,5 @@ def register_queries(register) -> None:
     register("ann_cosine_topk_pandas", ann_cosine_topk_pandas, O_ANN_TOPK_RANKS)
     register("ann_ivf_kmeans_recall", ann_ivf_kmeans_recall, O_IVF_KMEANS)
     register("ann_pq_adc_recall", ann_pq_adc_recall, O_PQ_ADC)
+    register("ann_pq_index_recall", ann_pq_index_recall, O_PQ_ADC)
     register("knn_label_eval", knn_label_eval, O_KNN_EVAL)
