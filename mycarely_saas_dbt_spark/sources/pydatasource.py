@@ -191,6 +191,81 @@ FROM g
 """
 
 
+def q_pyds_incremental_rollup(spark, sf_dir: str):
+    """The extension surface composing with the ENGINE, not just a SELECT
+    (VERDICT r6 item 7): the Python data source feeds a two-batch
+    incremental model — scan → aggregate → manifest-committed target,
+    watermark read back from the target's manifest stats, second batch
+    merged by unique_key. The modeler translates the date watermark into
+    the source's pushable row_id domain (bucket b covers row_id
+    [b*250, (b+1)*250)), so the incremental re-scan is narrowed INSIDE
+    ``pushFilters`` — rows before the watermark are never generated at
+    all, the generator-source equivalent of watermark-pruned file
+    skipping."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+
+    register_ledger_source(spark)
+    epoch = dt.date(2024, 1, 1)
+
+    def build(n_rows: int):
+        def b(sp, sfd, wm):
+            src = (
+                sp.read.format("mycarely_ledger")
+                .option("n_rows", n_rows)
+                .load()
+            )
+            if wm is not None:
+                src = src.filter(
+                    F.col("row_id") >= ((wm - epoch).days + 1) * 250
+                )
+            return (
+                src.withColumn(
+                    "bucket_day",
+                    F.date_add(
+                        F.lit(epoch), F.floor(F.col("row_id") / 250).cast("int")
+                    ),
+                )
+                .groupBy("bucket_day")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("amount_cents").cast("long").alias("sum_cents"),
+                )
+            )
+
+        return b
+
+    def spec(n_rows: int) -> ModelSpec:
+        return ModelSpec(
+            "pyds_ledger_rollup", "bucket_day", "bucket_day", build(n_rows)
+        )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_pyds_inc_")
+    runner = IncrementalRunner(spark, root)
+    runner.run(spec(6000), sf_dir)  # batch 1: CTAS, buckets 0-23
+    runner.run(spec(DEFAULT_ROWS), sf_dir)  # batch 2: merge buckets 24-39
+    return runner.read_target("pyds_ledger_rollup").orderBy("bucket_day")
+
+
+O_PYDS_INCREMENTAL = f"""
+WITH g AS (
+    SELECT i AS row_id, (i * i) % 10000 AS amount_cents
+    FROM UNNEST(range(0, {DEFAULT_ROWS})) AS u(i)
+)
+SELECT DATE '2024-01-01' + CAST(row_id // 250 AS INT) AS bucket_day,
+       COUNT(*) AS n_rows,
+       CAST(SUM(amount_cents) AS BIGINT) AS sum_cents
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
+    register(
+        "pyds_incremental_rollup", q_pyds_incremental_rollup, O_PYDS_INCREMENTAL
+    )
