@@ -92,24 +92,40 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # in-window P8), `f_scalar_suite` (variadic NVL, NULLIF guard, sentinel
 # compares, CASE classifiers all execute inside the hash-matched TD/LA
 # model entries).
+#
+# Round-7 rotation (VERDICT r6 item 5): eight never-artifacted entries
+# rotate IN (`bm25_search`, `repetition_filter`, `graph_pagerank`,
+# `kmv_merge_rollup`, `pyds_pushdown_slice`, `mm_audio_decode`,
+# `streaming_interval_full_join`, `seed_roundtrip` — the judge's
+# suggested list verbatim). Rotating OUT, each keeping its identical
+# DuckDB compare in tests/test_microqueries.py, each §2 row still pinned
+# in-window by a model entry running the same shape end-to-end:
+# `s01_scan_counts` (every windowed model resolves its scans through the
+# same source registry — three hash-matched models re-prove S1 per run),
+# `p05_not_ilike` (TP runs the reference's NOT ILIKE bot-filter ladder
+# in-window), `j01_left_join_const_pred` (TD runs the 2-key+constant
+# left join in-window, plan-gated broadcast), `a01_a02_count_distinct`
+# (both traffic models aggregate COUNT(*) + COUNT(DISTINCT) on the same
+# scan in-window), `a05_a06_ordinal_alias_group` (TD groups by the CASE
+# output alias in-window), `w02_argmax_per_group` (LA runs the
+# multi-tiebreak argmax window in-window; the max_by variant keeps its
+# pytest oracle), `text_corpus_stats` (an aggregate rollup of the
+# still-windowed token/quality/lang-id columns — the lighter sibling),
+# and `streaming_late_drop` (watermark late-row semantics stay windowed
+# via streaming_dedup_within_watermark + streaming_sessionize; the
+# incoming interval FULL join adds the harder outer-emission case).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
     "traffic_daily_agg",
     "lead_activities_agg",
     # SURVEY §2 operator micro-suite
-    "s01_scan_counts",
-    "p05_not_ilike",
     "p08_watermark_subquery",
     "p09_compound_and",
     "p10_derived_filter",
     "p11_notnull_gate",
-    "j01_left_join_const_pred",
     "j03_join_computed_key",
     "j05_semi_anti",
-    "a01_a02_count_distinct",
-    "a05_a06_ordinal_alias_group",
-    "w02_argmax_per_group",
     # LLM-data-pipeline surface: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -123,7 +139,6 @@ DRIVER_WINDOW = [
     "text_token_stats",
     "text_quality",
     "text_lang_id",
-    "text_corpus_stats",
     # r4: the training-mix composition (canonical-keep ∩ Gopher ∩
     # domain-cap) supersedes the simpler corpus_curation_pipeline in the
     # window — strictly richer stage coverage, same oracle rigor; the
@@ -136,7 +151,6 @@ DRIVER_WINDOW = [
     # structured streaming
     "streaming_traffic_pages",
     "streaming_sessionize",
-    "streaming_late_drop",
     # heaviest OLAP extensions
     "sessionize_events",
     "approx_distinct_daily",
@@ -157,6 +171,15 @@ DRIVER_WINDOW = [
     "domain_cap_sample",
     "text_normalize",
     "scd2_snapshot_two_batch",
+    # r7 rotation (VERDICT r6 item 5 — first-time artifact coverage)
+    "bm25_search",
+    "repetition_filter",
+    "graph_pagerank",
+    "kmv_merge_rollup",
+    "pyds_pushdown_slice",
+    "mm_audio_decode",
+    "streaming_interval_full_join",
+    "seed_roundtrip",
 ]
 
 

@@ -32,13 +32,15 @@ def test_driver_window_covers_llm_pipeline_surface():
         "ann_cosine_topk", "ann_ivf_topk",
         "embedding_neardup",
         # text analysis (r5: fingerprint demoted — winnowing's sibling —
-        # tfidf_keywords in)
+        # tfidf_keywords in; r7: corpus_stats demoted — the rollup of the
+        # three still-windowed per-doc text entries)
         "text_token_stats", "text_quality", "text_lang_id",
-        "text_corpus_stats", "training_mix_pipeline", "tfidf_keywords",
-        # incremental + streaming runtimes
+        "training_mix_pipeline", "tfidf_keywords",
+        # incremental + streaming runtimes (r7: late_drop demoted — the
+        # remaining watermarked entries pin late-row semantics)
         "incremental_two_batch_upsert", "incremental_td_two_batch",
         "incremental_la_two_batch", "streaming_traffic_pages",
-        "streaming_sessionize", "streaming_late_drop",
+        "streaming_sessionize",
         # heaviest OLAP extensions
         "sessionize_events", "approx_distinct_daily",
         # r5 first-time artifact coverage
@@ -48,6 +50,10 @@ def test_driver_window_covers_llm_pipeline_surface():
         "line_dedup", "temperature_mixture", "asof_join_spend_cogroup",
         "dedup_canonical_keep", "streaming_dedup_within_watermark",
         "domain_cap_sample", "text_normalize", "scd2_snapshot_two_batch",
+        # r7 first-time artifact coverage (VERDICT r6 item 5)
+        "bm25_search", "repetition_filter", "graph_pagerank",
+        "kmv_merge_rollup", "pyds_pushdown_slice", "mm_audio_decode",
+        "streaming_interval_full_join", "seed_roundtrip",
     }
     assert must_have <= first50
 
