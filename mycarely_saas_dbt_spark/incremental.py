@@ -369,11 +369,15 @@ class IncrementalRunner:
         manifest = self.current_manifest(name)
         if manifest is None:
             return None
-        # only trust the ISO-string ordering for date/timestamp columns
+        # trust ISO-string ordering for date/timestamp columns, numeric
+        # ordering for integral id watermarks — anything else scans
         dtypes = dict(manifest.get("dtypes") or [])
-        if not str(dtypes.get(col, "")).startswith(("date", "timestamp")):
+        dtype = str(dtypes.get(col, ""))
+        temporal = dtype.startswith(("date", "timestamp"))
+        integral = dtype in ("tinyint", "smallint", "int", "bigint", "long")
+        if not (temporal or integral):
             return None
-        best: str | None = None
+        best = None
         part_cols = manifest.get("partition_by") or []
         if col in part_cols:
             # partition column: values live in the hive dir names, exact
@@ -386,6 +390,11 @@ class IncrementalRunner:
                 val = seg.split("=", 1)[1]
                 if val == "__HIVE_DEFAULT_PARTITION__":
                     continue  # NULLs never win a MAX
+                if integral:
+                    try:
+                        val = int(val)
+                    except ValueError:
+                        return None
                 if best is None or val > best:
                     best = val
         else:
@@ -396,28 +405,38 @@ class IncrementalRunner:
                     if not fstats or col not in fstats:
                         return None
                     hi = fstats[col][1]
-                    if not isinstance(hi, str):
+                    if temporal and not isinstance(hi, str):
                         return None  # stats exist but not the ISO-date form
+                    if integral and (
+                        isinstance(hi, bool) or not isinstance(hi, int)
+                    ):
+                        return None
                     if best is None or hi > best:
                         best = hi
         if best is None:
             return None  # empty table: scan path returns the epoch fallback
+        if integral:
+            return best
         try:
             return dt.date.fromisoformat(best[:10])
         except ValueError:
             return None
 
-    def watermark(self, name: str, col: str) -> dt.date:
+    def watermark(self, name: str, col: str):
         """MAX over the target (the uncorrelated scalar subquery P8) —
         answered from manifest stats when possible (metadata-only, the
-        lakehouse move), else an eager scan."""
+        lakehouse move), else an eager scan. Date watermarks normalize to
+        ``dt.date``; non-temporal watermark columns (bigint ids — the
+        other common dbt shape) return their raw value."""
         meta = self._watermark_from_stats(name, col)
         if meta is not None:
             return meta
         val = self.read_target(name).agg(F.max(col)).first()[0]
         if val is None:
             return EPOCH_FALLBACK
-        return val if isinstance(val, dt.date) else val.date()
+        if isinstance(val, dt.date):
+            return val
+        return val.date() if hasattr(val, "date") else val
 
     def _recover_orphan_versions(self, name: str) -> None:
         """Delete version files never published by a CURRENT swap — the
@@ -509,7 +528,7 @@ class IncrementalRunner:
         return {
             "model": spec.name,
             "mode": mode,
-            "watermark": str(wm) if wm else None,
+            "watermark": str(wm) if wm is not None else None,
             "rows_written": n,
             "partitions_rewritten": parts_rewritten,
         }

@@ -822,6 +822,228 @@ FROM cfull f JOIN canon c ON f.cluster_id = c.cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental ingestion dedup against a COMMITTED signature index
+# --------------------------------------------------------------------------
+# The 100 TB ingestion shape: the corpus's minhash signatures live as a
+# manifest-committed lakehouse target (12 bigints + a shingle count per doc
+# — a ~1% sidecar of the corpus), and each arriving batch is deduped
+# AGAINST THE INDEX, never against the re-scanned corpus. Per-batch cost is
+# proportional to the batch: the batch's bands are broadcast against the
+# index's band relation (the index side never shuffles), candidate
+# verification re-shingles only the candidate old docs fetched from the
+# corpus store, and survivors' signatures merge into the index through the
+# same incremental commit protocol every other target uses.
+
+INGEST_SPLIT_FRACTION = 0.7  # batch 1 (bootstrap corpus) = first 70% of ids
+MINHASH_INDEX_NAME = "minhash_sig_index"
+
+
+def _sig_with_nsh(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhN-1, n_sh) — the signature-index row: minhashes for
+    banding plus the distinct-shingle count so Jaccard union sizes never
+    need the old doc's text again."""
+    return _hashed_shingles(docs).groupBy("doc_id").agg(
+        *_minhash_aggs(), F.count(F.lit(1)).alias("n_sh")
+    )
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    band_exprs = ", ".join(
+        "{b}, md5(concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
+    )
+
+
+def _jaccard_verify(
+    cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame,
+    nsh_a: DataFrame, nsh_b: DataFrame,
+) -> DataFrame:
+    """Exact-Jaccard filter of candidate pairs (doc_a, doc_b): intersection
+    via shingle-equality join, union via the two n_sh relations. Shingle
+    inputs are expected pre-restricted to candidate members."""
+    inter = (
+        cand.join(sh_a.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh_b.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(
+            nsh_a.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            nsh_b.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= MINHASH_JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase incremental near-dup gate. Phase 1 commits the bootstrap
+    corpus's (first 70% of doc_ids) signature index as a manifest target.
+    Phase 2 ingests the remaining 30% as an arriving batch: the batch's
+    bands probe the COMMITTED index (batch side broadcast — the index
+    never shuffles), cross candidates are verified by exact shingle
+    Jaccard (old docs' text fetched from the corpus store for candidates
+    only; old union sizes come from the index's stored n_sh), within-batch
+    candidates are verified batch-internally, and each new doc is graded
+    `dup_of_index` / `dup_within_batch` (a verified pair with a
+    smaller-id batch doc — the greedy non-chained rule) / `kept`. Kept
+    docs' signatures then MERGE into the index through the incremental
+    commit protocol. Returns (doc_id, status) for every batch doc."""
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    # bounded driver scalar (the watermark pattern): the id split point
+    split = int(
+        (docs.agg(F.max("doc_id")).first()[0] + 1) * INGEST_SPLIT_FRACTION
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_minhash_idx_")
+    runner = IncrementalRunner(spark, root)
+
+    def bootstrap(sp, sfd, wm):
+        return _sig_with_nsh(docs.filter(F.col("doc_id") < split))
+
+    runner.run(
+        ModelSpec(MINHASH_INDEX_NAME, "doc_id", "doc_id", bootstrap), sf_dir
+    )
+    idx = runner.read_target(MINHASH_INDEX_NAME)
+
+    new_docs = docs.filter(F.col("doc_id") >= split)
+    new_sh = bounded_persist(_hashed_shingles(new_docs), "ingest:new_shingles")
+    # one groupBy shuffle yields minhashes AND n_sh (same trick as the
+    # batch path)
+    new_sig = bounded_persist(
+        new_sh.groupBy("doc_id").agg(
+            *_minhash_aggs(), F.count(F.lit(1)).alias("n_sh")
+        ),
+        "ingest:new_sig",
+    )
+    new_bands = _bands_of(new_sig)
+
+    # cross candidates: index bands ⋈ broadcast batch bands
+    idx_bands = _bands_of(idx).alias("ib")
+    cand_x = (
+        idx_bands.join(
+            F.broadcast(new_bands.alias("nb")), ["band", "band_key"]
+        )
+        .select(
+            F.col("ib.doc_id").alias("doc_a"),
+            F.col("nb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_x = bounded_persist(cand_x, "ingest:cand_x")
+    # candidate old docs' shingles: fetched from the corpus store, the
+    # broadcast-semi restriction keeps the re-shingle candidate-sized
+    old_ids = cand_x.select(F.col("doc_a").alias("doc_id")).distinct()
+    old_sh = _hashed_shingles(docs.join(F.broadcast(old_ids), "doc_id"))
+    dup_of_index = _jaccard_verify(
+        cand_x, old_sh, new_sh, idx.select("doc_id", "n_sh"),
+        new_sig.select("doc_id", "n_sh"),
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+
+    # within-batch candidates + verify (batch-internal, tiny)
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    cand_n = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    dup_within = (
+        _jaccard_verify(
+            cand_n, new_sh, new_sh, new_sig.select("doc_id", "n_sh"),
+            new_sig.select("doc_id", "n_sh"),
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    status = (
+        new_docs.select("doc_id")
+        .join(dup_of_index.withColumn("x", F.lit(1)), "doc_id", "left")
+        .join(dup_within.withColumn("w", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("x").isNotNull(), "dup_of_index")
+            .when(F.col("w").isNotNull(), "dup_within_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    status = bounded_persist(status, "ingest:status")
+
+    # phase 3: survivors' signatures merge into the committed index (the
+    # build reads past the watermark by construction: all kept ids > wm)
+    kept = status.filter(F.col("status") == "kept").select("doc_id")
+
+    def append(sp, sfd, wm):
+        return new_sig.join(kept, "doc_id")
+
+    runner.run(ModelSpec(MINHASH_INDEX_NAME, "doc_id", "doc_id", append), sf_dir)
+
+    out = status.orderBy("doc_id")
+    release_persists("ingest:new_shingles")
+    release_persists("ingest:cand_x")
+    return out
+
+
+def _index_ingest_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+WITH pairs AS ({pairs}),
+split AS (
+    SELECT CAST((MAX(doc_id) + 1) * {INGEST_SPLIT_FRACTION} AS BIGINT) AS s
+    FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN EXISTS (
+                SELECT 1 FROM pairs p
+                WHERE p.doc_b = d.doc_id AND p.doc_a < (SELECT s FROM split)
+            ) THEN 'dup_of_index'
+            WHEN EXISTS (
+                SELECT 1 FROM pairs p
+                WHERE p.doc_b = d.doc_id AND p.doc_a >= (SELECT s FROM split)
+            ) THEN 'dup_within_batch'
+            ELSE 'kept' END AS status
+FROM documents d
+WHERE d.doc_id >= (SELECT s FROM split)
+"""
+
+
 PAIRS = [
     ("dedup_exact", dedup_exact, O_DEDUP_EXACT),
     ("dedup_minhash_lsh", dedup_minhash_lsh, None),  # oracle built lazily
@@ -839,3 +1061,4 @@ def register_queries(register) -> None:
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, O_NGRAM_JACCARD)
     register("dedup_cc_clusters", dedup_cc_clusters, _cc_oracle())
     register("dedup_canonical_keep", dedup_canonical_keep, _canonical_keep_oracle())
+    register("dedup_index_ingest", dedup_index_ingest, _index_ingest_oracle())
