@@ -854,23 +854,37 @@ def _corpus_fingerprint(sf_dir: str) -> list:
     ] + [os.path.realpath(sf_dir)]
 
 
-def ann_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
+def ann_index_build(
+    spark: SparkSession, sf_dir: str, root: str, bound: int | None = None
+) -> dict:
     """Build-or-reuse the persistent IVFADC index; returns the committed
     manifest. When CURRENT already carries the "ann" meta for this exact
-    corpus fingerprint the function returns after a manifest JSON read —
-    ZERO Spark jobs, zero training (the pytest passes a poisoned
-    SparkSession object to prove the early path never touches Spark)."""
+    corpus fingerprint (and id bound) the function returns after a
+    manifest JSON read — ZERO Spark jobs, zero training (the pytest
+    passes a poisoned SparkSession object to prove the early path never
+    touches Spark).
+
+    The codes target is hive-partitioned by ``cid`` (the IVF cell): a
+    query's probed-cell restriction becomes static PARTITION PRUNING at
+    the scan — only nprobe/ncells of the index's files are opened, the
+    inverted-list read pattern of a real IVF deployment.
+
+    ``bound`` restricts the indexed corpus to ``vec_id < bound`` — the
+    bootstrap phase of the build-then-append lifecycle
+    (``ann_index_append``)."""
     from ..incremental import IncrementalRunner, ModelSpec
 
     runner = IncrementalRunner(spark, root)
     cur = runner.current_manifest(ANN_INDEX_NAME)
     fp = _corpus_fingerprint(sf_dir)
     ann = ((cur or {}).get("meta") or {}).get("ann")
-    if ann is not None and ann.get("corpus") == fp:
+    if ann is not None and ann.get("corpus") == fp and ann.get("bound") == bound:
         return cur
 
     register_sources(spark, sf_dir)
     e = _with_norm(spark.table("embeddings"))
+    if bound is not None:
+        e = e.filter(F.col("vec_id") < bound)
     _, U = _pq_collect_unit(e, PQ_TRAIN_SAMPLE)
     C, B = _pq_train_core(U)
     spec = ModelSpec(
@@ -878,9 +892,11 @@ def ann_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
         unique_key="vid",
         watermark_col="vid",
         build=lambda sp, sfd, wm: _pq_encode_df(e, C, B),
+        partition_by=["cid"],
         manifest_meta={
             "ann": {
                 "corpus": fp,
+                "bound": bound,
                 "ncells": N_CENTROIDS,
                 "m": PQ_M,
                 "k": PQ_K,
@@ -891,6 +907,50 @@ def ann_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
         },
     )
     runner.run(spec, sf_dir, full_refresh=True)
+    return runner.current_manifest(ANN_INDEX_NAME)
+
+
+def ann_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
+    """FAISS ``add()`` through the commit protocol: encode the vectors
+    PAST the committed index's integer watermark with the COMMITTED
+    codebooks (no retraining — quantizer quality saturates on the
+    training sample, the add path is pure encode) and merge them into
+    the codes target. The watermark is answered from manifest stats
+    (metadata-only for integral columns), so deciding what's new costs
+    zero jobs; the encode pass touches only the new vectors. The
+    appended commit's meta clears ``bound`` and re-fingerprints the
+    corpus: the composed index is THE index for the full corpus, with
+    codebooks honestly inherited from the bootstrap training set."""
+    import numpy as np
+
+    from ..incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, root)
+    cur = runner.current_manifest(ANN_INDEX_NAME)
+    if cur is None:
+        raise RuntimeError("ann_index_append: no committed index to append to")
+    ann = cur["meta"]["ann"]
+    C = np.array(ann["coarse"], dtype=np.float64)
+    B = np.array(ann["codebooks"], dtype=np.float64)
+
+    register_sources(spark, sf_dir)
+    e = _with_norm(spark.table("embeddings"))
+
+    def append_build(sp, sfd, wm):
+        new = e if wm is None else e.filter(F.col("vec_id") > wm)
+        return _pq_encode_df(new, C, B)
+
+    spec = ModelSpec(
+        name=ANN_INDEX_NAME,
+        unique_key="vid",
+        watermark_col="vid",
+        build=append_build,
+        partition_by=["cid"],
+        manifest_meta={
+            "ann": {**ann, "corpus": _corpus_fingerprint(sf_dir), "bound": None}
+        },
+    )
+    runner.run(spec, sf_dir)
     return runner.current_manifest(ANN_INDEX_NAME)
 
 
@@ -931,7 +991,30 @@ def pq_index_topk(
     e = _with_norm(spark.table("embeddings"))
     qids, Q = _pq_collect_unit(e, N_QUERIES)
     dtab, qcent, probed = _pq_query_tables(Q, C, B)
+    # the union of probed cells is driver-known and tiny — as an explicit
+    # IN-filter on the cid PARTITION column it becomes static partition
+    # pruning on the committed layout: unprobed cells' files never open
+    # (the join's array_contains(probed, cid) predicate alone can't prune
+    # — it isn't a partition-column equality the file index understands)
+    cells = sorted({int(c) for row in probed for c in row})
+    enc = enc.filter(F.col("cid").isin(cells))
     return _pq_adc_rank(spark, enc, e, qids, dtab, qcent, probed)
+
+
+def _recall_contract(spark: SparkSession, approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Shared recall@k grading (see ann_pq_adc_recall for the dedup
+    rationale): one left-join aggregate, boolean floor check."""
+    a = approx.drop_duplicates(["qid", "vid"]).withColumn("hit", F.lit(1))
+    total, hits = (
+        exact.select("qid", "vid")
+        .join(a, ["qid", "vid"], "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(total, recall >= PQ_RECALL_FLOOR)], "n_exact bigint, recall_ok boolean"
+    )
 
 
 def ann_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,20 +1022,33 @@ def ann_pq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     grading to ``ann_pq_adc_recall`` so the composed
     build-once/query-many path carries the same floor as the transient
     path it replaces at scale."""
-    pq_topk = (
-        pq_index_topk(spark, sf_dir)
-        .drop_duplicates(["qid", "vid"])
-        .withColumn("hit", F.lit(1))
+    return _recall_contract(
+        spark,
+        pq_index_topk(spark, sf_dir),
+        ann_cosine_topk(spark, sf_dir),
     )
-    exact = ann_cosine_topk(spark, sf_dir).select("qid", "vid")
-    total, hits = (
-        exact.join(pq_topk, ["qid", "vid"], "left")
-        .agg(F.count(F.lit(1)), F.count("hit"))
-        .first()
-    )
-    recall = hits / total if total else 0.0
-    return spark.createDataFrame(
-        [(total, recall >= PQ_RECALL_FLOOR)], "n_exact bigint, recall_ok boolean"
+
+
+def ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-then-append lifecycle under the same recall contract:
+    bootstrap the index over the first 70% of vec_ids, FAISS-add the
+    rest with the committed codebooks (no retraining), then grade the
+    composed index's top-k against the full-corpus exact answer. Holding
+    the identical floor proves appended vectors are first-class index
+    citizens even though they never influenced training."""
+    import tempfile
+
+    register_sources(spark, sf_dir)
+    e = spark.table("embeddings")
+    split = int((e.agg(F.max("vec_id")).first()[0] + 1) * 0.7)
+
+    root = tempfile.mkdtemp(prefix="mycarely_ann_append_")
+    ann_index_build(spark, sf_dir, root, bound=split)
+    ann_index_append(spark, sf_dir, root)
+    return _recall_contract(
+        spark,
+        pq_index_topk(spark, sf_dir, root=root),
+        ann_cosine_topk(spark, sf_dir),
     )
 
 
@@ -1064,4 +1160,5 @@ def register_queries(register) -> None:
     register("ann_ivf_kmeans_recall", ann_ivf_kmeans_recall, O_IVF_KMEANS)
     register("ann_pq_adc_recall", ann_pq_adc_recall, O_PQ_ADC)
     register("ann_pq_index_recall", ann_pq_index_recall, O_PQ_ADC)
+    register("ann_index_append_recall", ann_index_append_recall, O_PQ_ADC)
     register("knn_label_eval", knn_label_eval, O_KNN_EVAL)

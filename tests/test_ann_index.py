@@ -102,3 +102,59 @@ def test_index_query_plan_has_no_encode_stage(spark):
         .toString()
     )
     assert "MapInPandas" not in plan
+
+
+def test_append_encodes_only_new_vectors_without_retraining(spark, monkeypatch):
+    """FAISS add(): the append run must not retrain (codebooks come from
+    the committed meta), must run in incremental mode off the integer
+    watermark, and the composed index must cover the full corpus with
+    the bootstrap rows' codes byte-identical to their pre-append values."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.operators import similarity as sim
+
+    root = tempfile.mkdtemp(prefix="ann_idx_test_")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_total = e.count()
+    split = int((n_total) * 0.7)  # vec_ids are dense 0..n-1
+
+    m1 = sim.ann_index_build(spark, SF_DIR, root, bound=split)
+    runner = IncrementalRunner(spark, root)
+    before = {
+        r["vid"]: (r["cid"], tuple(r["codes"]))
+        for r in runner.read_target(sim.ANN_INDEX_NAME).collect()
+    }
+    assert len(before) == split
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("append retrained the codebooks")
+
+    monkeypatch.setattr(sim, "_pq_train_core", boom)
+    m2 = sim.ann_index_append(spark, SF_DIR, root)
+    assert m2["version"] == m1["version"] + 1
+    assert m2["meta"]["ann"]["bound"] is None
+    assert m2["meta"]["ann"]["codebooks"] == m1["meta"]["ann"]["codebooks"]
+
+    after = {
+        r["vid"]: (r["cid"], tuple(r["codes"]))
+        for r in runner.read_target(sim.ANN_INDEX_NAME).collect()
+    }
+    assert len(after) == n_total
+    assert all(after[v] == before[v] for v in before)
+
+
+def test_index_query_prunes_unprobed_cell_partitions(spark):
+    """The cid-partitioned layout turns the probed-cell restriction into
+    static partition pruning: the codes scan carries a PartitionFilters
+    entry on cid, so unprobed cells' files never open."""
+    import re
+
+    from mycarely_saas_dbt_spark.operators.similarity import pq_index_topk
+
+    root = tempfile.mkdtemp(prefix="ann_idx_test_")
+    plan = (
+        pq_index_topk(spark, SF_DIR, root)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", plan), plan
