@@ -95,6 +95,15 @@ class ModelSpec:
     # successful write — a failed build never fires them (dbt semantics).
     pre_hook: list[str] = field(default_factory=list)
     post_hook: list[str] = field(default_factory=list)
+    # CDC hard-deletes (Delta MERGE's WHEN MATCHED ... THEN DELETE / DLT
+    # APPLY CHANGES): when set and the build's output carries this boolean
+    # column, rows where it is true DELETE their unique_key from the
+    # target instead of upserting; all other rows upsert as usual and the
+    # column itself is never written. Tombstone rows must carry the full
+    # row image (at minimum real partition-column values) so the
+    # partition-pruned merge knows which partitions the deletes touch —
+    # the same contract DLT places on APPLY CHANGES with deletes.
+    tombstone_col: str | None = None
     # Non-tabular payload committed INSIDE the manifest JSON under "meta"
     # (the Delta commitInfo / Iceberg snapshot-summary slot). Versioned and
     # swapped atomically with the file set it describes — e.g. the ANN
@@ -490,6 +499,13 @@ class IncrementalRunner:
         incremental = self.target_exists(spec.name) and not full_refresh
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None
         new = spec.build(self.spark, sf_dir, wm)
+        tomb = None
+        if spec.tombstone_col is not None and spec.tombstone_col in new.columns:
+            flag = F.coalesce(
+                F.col(spec.tombstone_col).cast("boolean"), F.lit(False)
+            )
+            tomb = new.filter(flag).drop(spec.tombstone_col)
+            new = new.filter(~flag).drop(spec.tombstone_col)
         if spec.contract is not None:
             got = [(f.name, f.dataType.simpleString()) for f in new.schema.fields]
             want = list(spec.contract.items())
@@ -513,13 +529,16 @@ class IncrementalRunner:
                 and self._layout_is_partitioned(spec)
             ):
                 # PRUNED path: merge + rewrite only touched partitions
-                n, parts_rewritten = self._partitioned_merge_write(spec, target, new)
+                n, parts_rewritten = self._partitioned_merge_write(
+                    spec, target, new, tomb
+                )
                 mode = "incremental-pruned"
             else:
                 # full rewrite (also migrates an unpartitioned layout to a
                 # partitioned one when partition_by was just turned on)
-                n = self._atomic_write(spec, self._merge(spec, target, new))
+                n = self._atomic_write(spec, self._merge(spec, target, new, tomb))
         else:
+            # fresh table: tombstones have nothing to delete
             n = self._atomic_write(spec, new)
         if spec.post_hook:
             # {{ this }} resolves to the just-committed target state
@@ -533,8 +552,16 @@ class IncrementalRunner:
             "partitions_rewritten": parts_rewritten,
         }
 
-    def _merge(self, spec: ModelSpec, target: DataFrame, new: DataFrame) -> DataFrame:
+    def _merge(
+        self,
+        spec: ModelSpec,
+        target: DataFrame,
+        new: DataFrame,
+        tomb: DataFrame | None = None,
+    ) -> DataFrame:
         """delete+insert by unique_key == anti-join old rows, append new.
+        ``tomb`` rows (CDC tombstones, see ModelSpec.tombstone_col) join
+        the delete side but are never inserted — a hard delete.
 
         incremental_predicates split the target into the slice the delete can
         touch (anti-joined) and the untouchable remainder (passed through
@@ -567,8 +594,11 @@ class IncrementalRunner:
                     for c in new.columns
                 ]
             )
+        del_keys = new.select(spec.unique_key)
+        if tomb is not None:
+            del_keys = del_keys.unionByName(tomb.select(spec.unique_key))
         merged = touchable.join(
-            new.select(spec.unique_key).distinct(),
+            del_keys.distinct(),
             on=spec.unique_key,
             how="left_anti",
         ).unionByName(new)
@@ -1028,7 +1058,11 @@ class IncrementalRunner:
                 )
 
     def _partitioned_merge_write(
-        self, spec: ModelSpec, target: DataFrame, new: DataFrame
+        self,
+        spec: ModelSpec,
+        target: DataFrame,
+        new: DataFrame,
+        tomb: DataFrame | None = None,
     ) -> tuple[int, int]:
         """Dynamic-partition-overwrite merge: stage the new batch, read the
         touched partition values off the staging layout (metadata only),
@@ -1041,17 +1075,34 @@ class IncrementalRunner:
         final = self.target_path(spec.name)
         depth = len(spec.partition_by)
         stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
-        new.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(stage)
+        # tombstones stage WITH the batch (their row images carry the
+        # partition values, so delete-only partitions still register as
+        # touched) but re-split after the round-trip so they only ever
+        # feed the delete side of the merge
+        all_rows = new.withColumn("__tomb", F.lit(False))
+        if tomb is not None:
+            all_rows = all_rows.unionByName(tomb.withColumn("__tomb", F.lit(True)))
+        all_rows.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(
+            stage
+        )
         try:
             touched_rels = self._leaf_partition_dirs(stage, depth)
             if not touched_rels:
                 return 0, 0  # empty batch: nothing past the watermark
-            staged = self.spark.read.parquet(stage).select(*new.columns)
-            touched = staged.select(*spec.partition_by).distinct().collect()
+            staged_all = self.spark.read.parquet(stage).select(
+                *new.columns, "__tomb"
+            )
+            staged = staged_all.filter(~F.col("__tomb")).drop("__tomb")
+            staged_tomb = (
+                staged_all.filter(F.col("__tomb")).drop("__tomb")
+                if tomb is not None
+                else None
+            )
+            touched = staged_all.select(*spec.partition_by).distinct().collect()
             pruned = target.filter(
                 self._partition_predicate(spec.partition_by, touched)
             )
-            merged = self._merge(spec, pruned, staged)
+            merged = self._merge(spec, pruned, staged, staged_tomb)
             tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
             merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
             try:

@@ -833,6 +833,114 @@ GROUP BY change
 """
 
 
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with hard deletes (Delta MERGE's WHEN MATCHED THEN
+    DELETE / DLT APPLY CHANGES; r7): bootstrap a partitioned target from
+    orders, then apply a deterministic op-coded change feed — inserts
+    (keys %4==3, absent from the bootstrap), updates (%10==0, price
+    +1000), deletes (%7==0) — with LATEST-WINS sequencing (one
+    row_number over the feed keyed by o_orderkey, seq desc), so a key
+    that is updated then deleted ends deleted and an inserted-then-
+    deleted key never lands. The winning rows feed ONE merge through the
+    tombstone-aware partition-pruned path: upserts insert, tombstones
+    only delete. Returns the final target state."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+    from pyspark.sql import Window
+
+    register_sources(spark, sf_dir)
+    o = spark.table("orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_cdc_")
+    runner = IncrementalRunner(spark, root)
+
+    def boot(sp, sfd, wm):
+        return o.filter(F.col("o_orderkey") % 4 != 3).select(*cols)
+
+    def spec(build):
+        return ModelSpec(
+            "cdc_target",
+            "o_orderkey",
+            "o_orderkey",
+            build,
+            partition_by=["o_orderstatus"],
+            tombstone_col="__deleted",
+        )
+
+    runner.run(spec(boot), sf_dir)
+
+    def apply_feed(sp, sfd, wm):
+        ins = (
+            o.filter(F.col("o_orderkey") % 4 == 3)
+            .select(*cols)
+            .withColumn("seq", F.lit(1))
+            .withColumn("__deleted", F.lit(False))
+        )
+        upd = (
+            o.filter(F.col("o_orderkey") % 10 == 0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+                "o_orderstatus",
+            )
+            .withColumn("seq", F.lit(2))
+            .withColumn("__deleted", F.lit(False))
+        )
+        dele = (
+            o.filter(F.col("o_orderkey") % 7 == 0)
+            .select(*cols)
+            .withColumn("seq", F.lit(3))
+            .withColumn("__deleted", F.lit(True))
+        )
+        feed = ins.unionByName(upd).unionByName(dele)
+        w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+        return (
+            feed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "seq")
+        )
+
+    runner.run(spec(apply_feed), sf_dir)
+    out = materialize(runner.read_target("cdc_target").orderBy("o_orderkey"))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_CDC_APPLY = """
+WITH boot AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 4 != 3
+),
+feed AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           1 AS seq, FALSE AS del
+    FROM orders WHERE o_orderkey % 4 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderstatus,
+           2, FALSE
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 3, TRUE
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+    SELECT * FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC
+        ) AS rn FROM feed f
+    ) WHERE rn = 1
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM boot b
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM latest
+WHERE NOT del
+ORDER BY o_orderkey
+"""
+
+
 def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r4: streaming CMS — per-micro-batch partial sketches land in
     batch_id-named dirs (replay overwrites its own dir: exactly-once
@@ -916,3 +1024,4 @@ def register_queries(register) -> None:
     register(
         "incremental_diff_report", incremental_diff_report, incremental_diff_oracle()
     )
+    register("cdc_apply_changes", cdc_apply_changes, O_CDC_APPLY)

@@ -1466,3 +1466,85 @@ def test_disjoint_partition_merges_rebase_end_to_end(
     assert out.filter(F.col("day") == F.lit(day_b)).first()["n"] > 2000
     # one row per day — the rebase didn't duplicate or drop partitions
     assert out.groupBy("day").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_tombstone_merge_hard_deletes_partition_pruned(spark, target_root):
+    """r7 CDC tombstones: rows flagged by tombstone_col delete their key
+    instead of upserting, a delete-ONLY partition still registers as
+    touched (and its rows go away), and a partition with no changes at
+    all keeps its exact committed files."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, target_root)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, p string, v bigint")
+
+    def spec(build):
+        return ModelSpec(
+            "cdc_t", "k", "k", build,
+            partition_by=["p"], tombstone_col="__del",
+        )
+
+    runner.run(
+        spec(lambda sp, sfd, wm: mk(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40), (5, "c", 50)]
+        )),
+        SF_DIR,
+    )
+    m1 = runner.current_manifest("cdc_t")
+    c_files_before = m1["partitions"]["p=c"]
+
+    def batch2(sp, sfd, wm):
+        up = mk([(1, "a", 11)]).withColumn("__del", F.lit(False))
+        dead = mk([(3, "b", 30)]).withColumn("__del", F.lit(True))
+        return up.unionByName(dead)
+
+    s = runner.run(spec(batch2), SF_DIR)
+    assert s["mode"] == "incremental-pruned"
+    assert s["partitions_rewritten"] == 2  # 'a' upserted, 'b' delete-only
+
+    out = {
+        r["k"]: r["v"]
+        for r in runner.read_target("cdc_t").collect()
+    }
+    assert out == {1: 11, 2: 20, 4: 40, 5: 50}  # 3 hard-deleted
+    m2 = runner.current_manifest("cdc_t")
+    assert m2["partitions"]["p=c"] == c_files_before  # untouched partition
+    assert m2["partitions"]["p=b"] != m1["partitions"]["p=b"]
+    # the tombstone flag never lands in the committed schema
+    assert "__del" not in runner.read_target("cdc_t").columns
+
+
+def test_tombstone_merge_unpartitioned_and_bootstrap_noop(spark, target_root):
+    """Unpartitioned targets hard-delete through the full-rewrite merge;
+    tombstones in a FIRST run (no target yet) are simply dropped."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, target_root)
+
+    def mk(rows, schema="k bigint, v bigint"):
+        return spark.createDataFrame(rows, schema)
+
+    def spec(build):
+        return ModelSpec("cdc_u", "k", "k", build, tombstone_col="__del")
+
+    # bootstrap WITH a tombstone column: flagged rows never materialize
+    runner.run(
+        spec(lambda sp, sfd, wm: mk(
+            [(1, 10, False), (2, 20, False), (9, 90, True)],
+            "k bigint, v bigint, __del boolean",
+        )),
+        SF_DIR,
+    )
+    assert {r["k"] for r in runner.read_target("cdc_u").collect()} == {1, 2}
+
+    runner.run(
+        spec(lambda sp, sfd, wm: mk(
+            [(2, 21, False), (1, 10, True)],
+            "k bigint, v bigint, __del boolean",
+        )),
+        SF_DIR,
+    )
+    out = {r["k"]: r["v"] for r in runner.read_target("cdc_u").collect()}
+    assert out == {2: 21}
