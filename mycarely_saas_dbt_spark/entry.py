@@ -114,6 +114,17 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # and `streaming_late_drop` (watermark late-row semantics stay windowed
 # via streaming_dedup_within_watermark + streaming_sessionize; the
 # incoming interval FULL join adds the harder outer-emission case).
+#
+# Round-7 additions built THIS round also take first-time slots:
+# `dedup_index_ingest` (incremental near-dup gate against the committed
+# signature index), `ann_index_append_recall` (FAISS-add lifecycle under
+# the recall floor), `cdc_apply_changes` (tombstone hard-deletes through
+# the pruned merge). Demoted for them, each keeping its pytest oracle:
+# `p09_compound_and` (every model's bot-filter ladder is a compound AND
+# chain run in-window), `j03_join_computed_key` (LA's lower(domain)
+# computed-key join runs in-window), and `p10_derived_filter` (the
+# rn=1/CASE-NOT-NULL derived-filter shape executes in-window inside
+# w02-successor LA and the scd2/zorder entries' window filters).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -121,10 +132,7 @@ DRIVER_WINDOW = [
     "lead_activities_agg",
     # SURVEY §2 operator micro-suite
     "p08_watermark_subquery",
-    "p09_compound_and",
-    "p10_derived_filter",
     "p11_notnull_gate",
-    "j03_join_computed_key",
     "j05_semi_anti",
     # LLM-data-pipeline surface: dedup family
     "dedup_exact",
@@ -180,6 +188,10 @@ DRIVER_WINDOW = [
     "mm_audio_decode",
     "streaming_interval_full_join",
     "seed_roundtrip",
+    # r7 new-build first-timers (see rotation note above)
+    "dedup_index_ingest",
+    "ann_index_append_recall",
+    "cdc_apply_changes",
 ]
 
 

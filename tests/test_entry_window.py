@@ -54,6 +54,9 @@ def test_driver_window_covers_llm_pipeline_surface():
         "bm25_search", "repetition_filter", "graph_pagerank",
         "kmv_merge_rollup", "pyds_pushdown_slice", "mm_audio_decode",
         "streaming_interval_full_join", "seed_roundtrip",
+        # r7 new-build first-timers (built this round)
+        "dedup_index_ingest", "ann_index_append_recall",
+        "cdc_apply_changes",
     }
     assert must_have <= first50
 
