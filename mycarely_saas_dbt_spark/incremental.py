@@ -226,6 +226,7 @@ class IncrementalRunner:
         version: int | None = None,
         prune: dict | None = None,
         manifest: dict | None = None,
+        rels: list[str] | None = None,
     ) -> list[str]:
         """The exact file list a read resolves — the manifest-stats
         data-skipping chokepoint (VERDICT r5 item 4). ``prune`` maps
@@ -280,9 +281,14 @@ class IncrementalRunner:
                     return False
             return True
 
+        parts = manifest["partitions"]
+        if rels is not None:
+            # explicit partition-rel restriction (the table_changes reader:
+            # only partitions whose file lists differ between snapshots)
+            parts = {r: parts[r] for r in rels if r in parts}
         return [
             os.path.join(path, rel, f) if rel else os.path.join(path, f)
-            for rel, fl in manifest["partitions"].items()
+            for rel, fl in parts.items()
             for f in fl
             if keep(rel, f)
         ]
@@ -293,6 +299,7 @@ class IncrementalRunner:
         *,
         version: int | None = None,
         prune: dict | None = None,
+        rels: list[str] | None = None,
     ) -> DataFrame:
         """Read the committed target. ``version`` time-travels to an older
         committed snapshot (within the vacuum retention horizon — see
@@ -320,7 +327,8 @@ class IncrementalRunner:
             # here could race a concurrent commit and mix versions (v_N
             # dtypes applied to v_N+1 files)
             files = self.resolved_files(
-                name, version=version, prune=prune, manifest=manifest
+                name, version=version, prune=prune, manifest=manifest,
+                rels=rels,
             )
             missing = [f for f in files if not os.path.isfile(f)]
             if missing:
@@ -446,6 +454,79 @@ class IncrementalRunner:
         if isinstance(val, dt.date):
             return val
         return val.date() if hasattr(val, "date") else val
+
+    def table_changes(
+        self,
+        name: str,
+        key: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Delta-CDF-shaped change feed between two COMMITTED snapshots:
+        full row images plus ``_change_type`` in {insert,
+        update_postimage, delete} (post-images only — the merge is
+        delete+insert, so pre-images carry no extra information). The
+        read is METADATA-BOUNDED: the partition-pruned merge rewrites
+        whole partitions and carries untouched partitions' file lists
+        forward verbatim, so the set of partitions whose lists differ
+        between the two manifests is exactly the write footprint — only
+        those partitions' files are opened on either side, however large
+        the table. Within the footprint, rows are matched on ``key`` and
+        unchanged rows (rewritten byte-identical) are dropped via a
+        null-sentineled md5 fingerprint over the non-key columns."""
+        m_from = self._manifest_at(name, from_version)
+        if m_from is None:
+            raise RuntimeError(f"{name}: no committed version {from_version}")
+        m_to = (
+            self._manifest_at(name, to_version)
+            if to_version is not None
+            else self.current_manifest(name)
+        )
+        if m_to is None:
+            raise RuntimeError(f"{name}: no committed target")
+        pf, pt = m_from["partitions"], m_to["partitions"]
+        changed = sorted(
+            rel for rel in set(pf) | set(pt) if pf.get(rel) != pt.get(rel)
+        )
+        old = self.read_target(name, version=from_version, rels=changed)
+        new = self.read_target(
+            name, version=m_to["version"], rels=changed
+        )
+        cols = [c for c in new.columns]
+        vcols = sorted(c for c in cols if c != key)
+
+        def tagged(df: DataFrame, side: str) -> DataFrame:
+            fp = F.md5(
+                F.concat_ws(
+                    "\x01",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in vcols
+                    ],
+                )
+            )
+            return df.select(
+                F.col(key).alias("__k"),
+                F.struct(*cols).alias(f"__row_{side}"),
+                fp.alias(f"__fp_{side}"),
+            )
+
+        j = tagged(old, "o").join(tagged(new, "n"), "__k", "full")
+        image = F.when(
+            F.col("__fp_n").isNotNull(), F.col("__row_n")
+        ).otherwise(F.col("__row_o"))
+        change = (
+            F.when(F.col("__fp_o").isNull(), "insert")
+            .when(F.col("__fp_n").isNull(), "delete")
+            .when(F.col("__fp_o") != F.col("__fp_n"), "update_postimage")
+        )
+        return (
+            j.select(image.alias("__img"), change.alias("_change_type"))
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *[F.col(f"__img.{c}").alias(c) for c in cols], "_change_type"
+            )
+        )
 
     def _recover_orphan_versions(self, name: str) -> None:
         """Delete version files never published by a CURRENT swap — the

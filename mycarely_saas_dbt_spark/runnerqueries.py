@@ -833,17 +833,13 @@ GROUP BY change
 """
 
 
-def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC apply with hard deletes (Delta MERGE's WHEN MATCHED THEN
-    DELETE / DLT APPLY CHANGES; r7): bootstrap a partitioned target from
-    orders, then apply a deterministic op-coded change feed — inserts
-    (keys %4==3, absent from the bootstrap), updates (%10==0, price
-    +1000), deletes (%7==0) — with LATEST-WINS sequencing (one
-    row_number over the feed keyed by o_orderkey, seq desc), so a key
-    that is updated then deleted ends deleted and an inserted-then-
-    deleted key never lands. The winning rows feed ONE merge through the
-    tombstone-aware partition-pruned path: upserts insert, tombstones
-    only delete. Returns the final target state."""
+def _cdc_run_two_batches(spark, sf_dir: str, root: str):
+    """Shared CDC fixture: bootstrap a partitioned orders target (keys
+    %4!=3), then apply a deterministic op-coded feed — inserts (%4==3),
+    updates (%10==0, price +1000), deletes (%7==0) — with LATEST-WINS
+    sequencing (row_number keyed by o_orderkey, seq desc), so
+    update-then-delete ends deleted and insert-then-delete never lands.
+    Returns the runner after both committed versions exist."""
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
     from mycarely_saas_dbt_spark.sources.registry import register_sources
     from pyspark.sql import Window
@@ -851,8 +847,6 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_sources(spark, sf_dir)
     o = spark.table("orders")
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
-
-    root = tempfile.mkdtemp(prefix="mycarely_q_cdc_")
     runner = IncrementalRunner(spark, root)
 
     def boot(sp, sfd, wm):
@@ -903,9 +897,77 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     runner.run(spec(apply_feed), sf_dir)
+    return runner
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with hard deletes (Delta MERGE's WHEN MATCHED THEN
+    DELETE / DLT APPLY CHANGES; r7): the winning feed rows run through
+    ONE merge on the tombstone-aware partition-pruned path — upserts
+    insert, tombstones only delete. Returns the final target state."""
+    root = tempfile.mkdtemp(prefix="mycarely_q_cdc_")
+    runner = _cdc_run_two_batches(spark, sf_dir, root)
     out = materialize(runner.read_target("cdc_target").orderBy("o_orderkey"))
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed READER (Delta CDF's table_changes; r7): after the
+    two committed CDC versions, read the row-level changes v1 -> v2 from
+    the SNAPSHOTS — full post-images tagged insert / update_postimage /
+    delete. The read is metadata-bounded: only partitions whose manifest
+    file lists differ between the versions are opened, and rows the merge
+    rewrote byte-identical are dropped by fingerprint, so re-emitted
+    unchanged keys never pollute the feed."""
+    root = tempfile.mkdtemp(prefix="mycarely_q_cdf_")
+    runner = _cdc_run_two_batches(spark, sf_dir, root)
+    out = materialize(
+        runner.table_changes("cdc_target", "o_orderkey", 1)
+        .select("o_orderkey", "_change_type")
+        .orderBy("o_orderkey")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_CDF_CHANGES = """
+WITH boot AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 4 != 3
+),
+feed AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           1 AS seq, FALSE AS del
+    FROM orders WHERE o_orderkey % 4 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderstatus,
+           2, FALSE
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 3, TRUE
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+    SELECT * FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC
+        ) AS rn FROM feed f
+    ) WHERE rn = 1
+)
+SELECT l.o_orderkey, 'insert' AS _change_type FROM latest l
+WHERE NOT l.del AND l.o_orderkey NOT IN (SELECT o_orderkey FROM boot)
+UNION ALL
+SELECT l.o_orderkey, 'delete' FROM latest l
+WHERE l.del AND l.o_orderkey IN (SELECT o_orderkey FROM boot)
+UNION ALL
+SELECT l.o_orderkey, 'update_postimage' FROM latest l
+JOIN boot b USING (o_orderkey)
+WHERE NOT l.del AND (l.o_custkey != b.o_custkey
+    OR l.o_totalprice != b.o_totalprice
+    OR l.o_orderstatus != b.o_orderstatus)
+ORDER BY o_orderkey
+"""
 
 
 O_CDC_APPLY = """
@@ -1025,3 +1087,4 @@ def register_queries(register) -> None:
         "incremental_diff_report", incremental_diff_report, incremental_diff_oracle()
     )
     register("cdc_apply_changes", cdc_apply_changes, O_CDC_APPLY)
+    register("cdf_table_changes", cdf_table_changes, O_CDF_CHANGES)

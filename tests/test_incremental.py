@@ -1548,3 +1548,49 @@ def test_tombstone_merge_unpartitioned_and_bootstrap_noop(spark, target_root):
     )
     out = {r["k"]: r["v"] for r in runner.read_target("cdc_u").collect()}
     assert out == {2: 21}
+
+
+def test_table_changes_reads_only_changed_partitions(spark, target_root):
+    """r7 CDF reader: table_changes(v1, v2) resolves its reads from the
+    manifest DIFF — partitions whose file lists are identical across the
+    two snapshots are never opened — and tags row-level post-images
+    insert / update_postimage / delete (tombstone)."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, target_root)
+
+    def mk(rows, schema="k bigint, p string, v bigint"):
+        return spark.createDataFrame(rows, schema)
+
+    def spec(build):
+        return ModelSpec(
+            "cdf_t", "k", "k", build,
+            partition_by=["p"], tombstone_col="__del",
+        )
+
+    runner.run(
+        spec(lambda sp, sfd, wm: mk(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (5, "c", 50)]
+        )),
+        SF_DIR,
+    )
+    runner.run(
+        spec(lambda sp, sfd, wm: mk(
+            [(1, "a", 11, False), (6, "a", 60, False), (2, "a", 20, True)],
+            "k bigint, p string, v bigint, __del boolean",
+        )),
+        SF_DIR,
+    )
+
+    cdf = runner.table_changes("cdf_t", "k", 1)
+    got = {(r["k"], r["_change_type"]) for r in cdf.collect()}
+    assert got == {
+        (1, "update_postimage"), (6, "insert"), (2, "delete"),
+    }
+    # partitions b and c were untouched by batch 2: their files must not
+    # appear among the CDF read's inputs
+    files = cdf.inputFiles()
+    assert files and all("p=a" in f for f in files), files
+    # the post-image carries real values
+    row = {r["k"]: r for r in cdf.collect()}
+    assert row[1]["v"] == 11 and row[2]["v"] == 20
