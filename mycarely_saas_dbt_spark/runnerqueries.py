@@ -1003,6 +1003,24 @@ ORDER BY o_orderkey
 """
 
 
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the op-coded change feed arrives as a STREAM (bootstrap ->
+    inserts+updates -> deletes, one micro-batch each) and each batch
+    merges through the tombstone-aware partition-pruned writer. Final
+    state must equal the batch latest-wins apply — same oracle as
+    cdc_apply_changes."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        cdc_apply_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_stream_cdc_")
+    out = materialize(
+        cdc_apply_stream(spark, sf_dir, root).orderBy("o_orderkey")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r4: streaming CMS — per-micro-batch partial sketches land in
     batch_id-named dirs (replay overwrites its own dir: exactly-once
@@ -1088,3 +1106,4 @@ def register_queries(register) -> None:
     )
     register("cdc_apply_changes", cdc_apply_changes, O_CDC_APPLY)
     register("cdf_table_changes", cdf_table_changes, O_CDF_CHANGES)
+    register("streaming_cdc_apply", streaming_cdc_apply, O_CDC_APPLY)

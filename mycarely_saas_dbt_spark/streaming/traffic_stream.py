@@ -701,6 +701,106 @@ def incremental_merge_stream(
     )
 
 
+def cdc_apply_stream(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> DataFrame:
+    """Streaming CDC apply (Delta CDF consumer / DLT APPLY CHANGES over a
+    stream; r7): an op-coded change stream — bootstrap inserts, then
+    inserts+updates, then deletes, staged as three time-ordered files
+    consumed one per micro-batch — is applied to a partitioned manifest
+    target through the TOMBSTONE-aware merge. Each micro-batch
+    latest-wins-dedupes its own rows by sequence number, maps op 'D' to
+    the tombstone flag, and hands one merge to the incremental runner:
+    upserts insert, tombstones hard-delete, only touched status
+    partitions rewrite. Idempotent under micro-batch replay (re-merging
+    the same keys converges; a replayed delete is a no-op anti-join).
+    The final state must equal the BATCH latest-wins apply — the same
+    oracle as cdc_apply_changes."""
+    from pyspark.sql import Window
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    boot = (
+        o.filter(F.col("o_orderkey") % 4 != 3)
+        .select(*cols)
+        .withColumn("seq", F.lit(0))
+        .withColumn("op", F.lit("I"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 4 == 3)
+        .select(*cols)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("I"))
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(*cols)
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    slices = [boot, ins.unionByName(upd), dele]
+    for i, sl in enumerate(slices):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    feed = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    runner = IncrementalRunner(spark, os.path.join(workdir, "tgt"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*cols, (F.col("op") == "D").alias("__deleted"))
+        )
+        runner.run(
+            ModelSpec(
+                "cdc_stream_target",
+                "o_orderkey",
+                "o_orderkey",
+                lambda sp, sfd, wm: latest,
+                partition_by=["o_orderstatus"],
+                tombstone_col="__deleted",
+            ),
+            sf_dir,
+        )
+
+    q = (
+        feed.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return runner.read_target("cdc_stream_target").select(*cols)
+
+
 # --------------------------------------------------------------------------
 # streaming count-min sketch (additive state, exactly-once via batch dirs)
 # --------------------------------------------------------------------------

@@ -128,3 +128,47 @@ def test_user_profile_transform_with_state(spark, duck, tmp_path):
         FROM events GROUP BY user_id
         """,
     )
+
+
+def test_cdc_apply_stream_is_replay_idempotent(spark, tmp_path):
+    """r7 streaming CDC: replaying the final micro-batch (the deletes)
+    against the committed target leaves it byte-identical — the
+    tombstone anti-join of absent keys is a no-op, which is what makes
+    the foreachBatch sink exactly-once without a transactional store."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import load_table
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import cdc_apply_stream
+    from tests.conftest import SF_DIR
+
+    wd = str(tmp_path / "cdc")
+    out1 = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in cdc_apply_stream(spark, SF_DIR, wd).collect()
+    }
+
+    # replay: re-merge the delete batch against the final state
+    runner = IncrementalRunner(spark, f"{wd}/tgt")
+    o = load_table(spark, SF_DIR, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    dele = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(*cols)
+        .withColumn("__deleted", F.lit(True))
+    )
+    runner.run(
+        ModelSpec(
+            "cdc_stream_target", "o_orderkey", "o_orderkey",
+            lambda sp, sfd, wm: dele,
+            partition_by=["o_orderstatus"], tombstone_col="__deleted",
+        ),
+        SF_DIR,
+    )
+    out2 = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in runner.read_target("cdc_stream_target")
+        .select(*cols)
+        .collect()
+    }
+    assert out1 == out2
