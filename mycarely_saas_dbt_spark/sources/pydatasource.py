@@ -120,6 +120,164 @@ def register_ledger_source(spark) -> None:
     spark.dataSource.register(LedgerDataSource)
 
 
+# ---------------------------------------------------------------------------
+# Manifest-tailing STREAMING source (r7): stream a manifest-committed
+# target the way the Delta streaming source tails the transaction log.
+# Offsets are manifest VERSION numbers; a micro-batch's input is the set
+# of data files ADDED between the start and end versions' manifests
+# (computed from the two manifest JSONs alone — no listing, no data
+# read on the driver). Executors read each file as Arrow record batches
+# and re-attach hive partition-column values parsed from the file's
+# partition path. Like Delta, the source requires append-only history:
+# a version that REMOVED files (a rewriting merge) raises rather than
+# silently replaying rewritten rows; offsets pointing at vacuumed
+# manifests raise a retention error.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class _ManifestFile(InputPartition):
+    def __init__(self, path: str, rel: str):
+        self.path, self.rel = path, rel
+
+
+def _manifest_json(root: str, model: str, version: int) -> dict | None:
+    import json
+    import os
+
+    mdir = os.path.join(root, model, "_manifest")
+    p = os.path.join(mdir, f"v{version:06d}.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _manifest_current_version(root: str, model: str) -> int:
+    import os
+
+    cur = os.path.join(root, model, "_manifest", "CURRENT")
+    if not os.path.isfile(cur):
+        return 0
+    with open(cur) as fh:
+        return int(fh.read().strip().removeprefix("v").removesuffix(".json"))
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options["root"]
+        self.model = options["model"]
+        cur = _manifest_json(
+            self.root, self.model, _manifest_current_version(self.root, self.model)
+        )
+        self.dtypes = (cur or {}).get("dtypes") or []
+        self.partition_by = (cur or {}).get("partition_by") or []
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": _manifest_current_version(self.root, self.model)}
+
+    def _files(self, version: int) -> set:
+        if version == 0:
+            return set()
+        m = _manifest_json(self.root, self.model, version)
+        if m is None:
+            raise RuntimeError(
+                f"{self.model}: manifest v{version} is beyond the vacuum "
+                "retention horizon — the stream fell behind"
+            )
+        return {
+            (rel, f) for rel, fl in m["partitions"].items() for f in fl
+        }
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        fs, fe = self._files(start["version"]), self._files(end["version"])
+        removed = fs - fe
+        if removed:
+            raise RuntimeError(
+                f"{self.model}: versions ({start['version']}, "
+                f"{end['version']}] rewrote or removed "
+                f"{len(removed)} committed files — the stream source "
+                "requires append-only history (the Delta streaming-source "
+                "contract)"
+            )
+        base = os.path.join(self.root, self.model)
+        return [
+            _ManifestFile(
+                os.path.join(base, rel, f) if rel else os.path.join(base, f),
+                rel,
+            )
+            for rel, f in sorted(fe - fs)
+        ]
+
+    def read(self, part: _ManifestFile):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # hive partition values parsed off the file's partition path
+        pvals = {}
+        if part.rel:
+            for col, seg in zip(self.partition_by, part.rel.split("/")):
+                pvals[col] = seg.split("=", 1)[1]
+
+        def const_array(tname: str, val: str, n: int):
+            if tname == "date":
+                return pa.array([dt.date.fromisoformat(val)] * n, pa.date32())
+            if tname in ("bigint", "long"):
+                return pa.array([int(val)] * n, pa.int64())
+            if tname in ("int", "smallint", "tinyint"):
+                return pa.array([int(val)] * n, pa.int32())
+            return pa.array([val] * n, pa.string())
+
+        tbl = pq.read_table(part.path)
+        n = tbl.num_rows
+        cols, names = [], []
+        for cname, tname in self.dtypes:
+            if cname in pvals:
+                cols.append(const_array(tname, pvals[cname], n))
+            else:
+                cols.append(tbl.column(cname).combine_chunks())
+            names.append(cname)
+        yield from pa.Table.from_arrays(cols, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ManifestStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "mycarely_manifest_stream"
+
+    def schema(self):
+        cur = _manifest_json(
+            self.options["root"],
+            self.options["model"],
+            _manifest_current_version(
+                self.options["root"], self.options["model"]
+            ),
+        )
+        if cur is None or not cur.get("dtypes"):
+            raise RuntimeError(
+                "manifest stream source needs a committed target with dtypes"
+            )
+        return ", ".join(f"`{n}` {t}" for n, t in cur["dtypes"])
+
+    def streamReader(self, schema):
+        return ManifestStreamReader(self.options)
+
+
+def register_manifest_stream_source(spark) -> None:
+    spark.dataSource.register(ManifestStreamDataSource)
+
+
 def q_pyds_ledger_rollup(spark, sf_dir: str):
     """Read the custom Python data source in parallel partitions and roll
     up per account — the oracle re-derives the generator arithmetically
@@ -263,9 +421,95 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pyds_manifest_stream(spark, sf_dir: str):
+    """Stream a manifest-committed target through the manifest-tailing
+    streaming source (r7): three incremental runs append successive day
+    partitions (new partitions only — append-only history), then a
+    readStream over the target resolves its input from the manifest
+    version diff and must reproduce the full table. The aggregate of the
+    STREAMED rows is compared against the generator-side oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+
+    epoch = "2024-01-01"
+
+    def build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                F.date_add(
+                    F.lit(epoch).cast("date"),
+                    F.floor(F.col("id") / 100).cast("int"),
+                ).alias("day"),
+                ((F.col("id") * F.col("id")) % 1000).alias("v"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("day") > F.lit(wm))
+            return rows
+
+        return b
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_pyds_stream_")
+    runner = IncrementalRunner(spark, root)
+    for n in (200, 400, 600):
+        runner.run(
+            ModelSpec(
+                "day_rollup", "k", "day", build(n), partition_by=["day"]
+            ),
+            sf_dir,
+        )
+
+    register_manifest_stream_source(spark)
+    stream = (
+        spark.readStream.format("mycarely_manifest_stream")
+        .option("root", root)
+        .option("model", "day_rollup")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("manifest_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from ..util import materialize
+
+    out = materialize(
+        spark.table("manifest_stream_out")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .orderBy("day")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_PYDS_MANIFEST_STREAM = """
+WITH g AS (
+    SELECT i AS k, DATE '2024-01-01' + CAST(i // 100 AS INT) AS day,
+           (i * i) % 1000 AS v
+    FROM UNNEST(range(0, 600)) AS u(i)
+)
+SELECT day, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+FROM g GROUP BY day ORDER BY day
+"""
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
     register(
         "pyds_incremental_rollup", q_pyds_incremental_rollup, O_PYDS_INCREMENTAL
+    )
+    register(
+        "pyds_manifest_stream", q_pyds_manifest_stream, O_PYDS_MANIFEST_STREAM
     )

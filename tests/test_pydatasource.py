@@ -128,3 +128,55 @@ def test_pyds_feeds_incremental_model_end_to_end(spark):
     out = runner.read_target("pyds_ledger_rollup")
     assert out.count() == 40
     assert out.agg(F.sum("n_rows")).first()[0] == DEFAULT_ROWS
+
+
+def test_manifest_stream_reader_tails_version_diffs(spark, tmp_path):
+    """r7 streaming source: partitions(start, end) is exactly the file
+    set ADDED between the two manifests (pure JSON diff), a rewriting
+    merge poisons the stream with the Delta append-only error, and a
+    vacuumed start offset raises a retention error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestStreamReader,
+    )
+
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, day date, v bigint")
+
+    import datetime as dt
+
+    d1, d2, d3 = (dt.date(2024, 1, i) for i in (1, 2, 3))
+    spec = lambda b: ModelSpec("t", "k", "day", b, partition_by=["day"])  # noqa: E731
+    runner.run(spec(lambda sp, sfd, wm: mk([(1, d1, 10), (2, d1, 20)])), "x")
+    runner.run(spec(lambda sp, sfd, wm: mk([(3, d2, 30)])), "x")
+
+    r = ManifestStreamReader({"root": root, "model": "t"})
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}
+    # v1 -> v2 delta: only the day=2 file
+    parts = r.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 1 and "day=2024-01-02" in parts[0].path
+    # full read v0 -> v2 reproduces the table incl. hive partition values
+    rows = [
+        tuple(b.to_pylist()[i].values())
+        for p in r.partitions({"version": 0}, {"version": 2})
+        for b in r.read(p)
+        for i in range(b.num_rows)
+    ]
+    assert sorted(rows) == [(1, d1, 10), (2, d1, 20), (3, d2, 30)]
+
+    # a REWRITING merge (existing key) breaks the append-only contract
+    runner.run(spec(lambda sp, sfd, wm: mk([(1, d1, 11), (4, d3, 40)])), "x")
+    with pytest.raises(RuntimeError, match="append-only"):
+        ManifestStreamReader({"root": root, "model": "t"}).partitions(
+            {"version": 2}, {"version": 3}
+        )
+    # a vacuumed (absent) manifest at the start offset raises retention
+    with pytest.raises(RuntimeError, match="retention"):
+        r._files(99)
