@@ -54,6 +54,12 @@ AUDIT = [
     "repetition_filter",
     "graph_degree_stats",
     "ann_pq_adc_recall",
+    # round 7 additions (index/CDC surface; the materialization-runtime
+    # entries — dedup_index_ingest, cdc_*, pyds_manifest_stream — execute
+    # committed-target reads whose shapes the audit below captures via
+    # ann_pq_index_recall / bm25_index_search)
+    "ann_pq_index_recall",
+    "bm25_index_search",
 ]
 
 
