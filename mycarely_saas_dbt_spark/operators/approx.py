@@ -467,6 +467,82 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (Misra & Gries 1982; merge rule from Agarwal
+# et al., "Mergeable Summaries", PODS'12) — the deterministic counter-based
+# summary complementing the hashing sketches (CMS/KMV/HLL) above.
+# ---------------------------------------------------------------------------
+
+MG_K = 100
+
+
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent terms over the corpus tokens via the two-pass
+    Misra–Gries shape: pass 1 maintains a K-counter MG summary PER
+    PARTITION inside one Arrow mapInPandas (each batch's exact
+    value_counts merges into the summary with the mergeable-summaries
+    rule: add, then subtract the (K+1)-th largest count from all and
+    drop non-positives), pass 2 exactly recounts ONLY the surviving
+    candidates and keeps those with n*(K+1) > N. Correct because MG
+    guarantees any item with partition frequency > n_p/(K+1) keeps a
+    positive counter, and a GLOBAL heavy hitter (freq > N/(K+1)) exceeds
+    that bound in at least one partition by pigeonhole — so the
+    candidate union is a superset of the true answer and the exact
+    second pass makes the output deterministic and partition-layout
+    independent (the property the DuckDB oracle checks: the oracle
+    never sees the sketch at all).
+
+    Scale shape: pass 1 is one narrow corpus pass emitting <= K rows per
+    partition (no shuffle); the candidate set broadcasts into pass 2's
+    semi-restricted recount — the corpus never shuffles on the raw term;
+    state is K counters per task regardless of stream size."""
+    register_sources(spark, sf_dir)
+    toks = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+
+    def mg_summary(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > MG_K:
+                cut = sorted(counters.values(), reverse=True)[MG_K]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"term": list(counters), "lb": list(counters.values())}
+        )
+
+    cands = (
+        toks.mapInPandas(mg_summary, "term string, lb long")
+        .select("term")
+        .distinct()
+    )
+    total = toks.count()  # bounded scalar (one map-combinable count)
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .filter(F.col("exact_n") * (MG_K + 1) > F.lit(total))
+        .orderBy(F.col("exact_n").desc(), F.col("term").asc())
+    )
+
+
+O_MG_HEAVY_HITTERS = f"""
+WITH t AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+FROM t GROUP BY term
+HAVING COUNT(*) * ({MG_K} + 1) > (SELECT COUNT(*) FROM t)
+ORDER BY exact_n DESC, term ASC
+"""
+
+
 PAIRS = [
     ("kmv_distinct_daily", q_kmv_distinct_daily, O_KMV_DAILY),
     ("kmv_merge_rollup", q_kmv_merge_rollup, O_KMV_MERGE),
@@ -474,6 +550,7 @@ PAIRS = [
     ("hll_sketch_rollup", q_hll_sketch_rollup, O_HLL_SKETCH_ROLLUP),
     ("approx_percentile_tol", q_approx_percentile_tol, O_APPROX_PERCENTILE_TOL),
     ("cms_heavy_hitters", q_cms_heavy_hitters, O_CMS_HEAVY_HITTERS),
+    ("mg_heavy_hitters", q_mg_heavy_hitters, O_MG_HEAVY_HITTERS),
 ]
 
 
