@@ -1003,6 +1003,61 @@ ORDER BY o_orderkey
 """
 
 
+BLOOM_LOOKUP_KEYS = [1, 7, 32]
+
+
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-the-lake point lookup through the bloom sidecar index
+    (r7): the target's files are HASH-distributed on the key
+    (repartition(8) per status partition), so every file spans nearly
+    the full key range and min/max stats can skip nothing — the per-file
+    bloom sidecars written at ingest are what prunes. Each lookup
+    resolves its file list from manifest stats + sidecar membership
+    (1 KB reads), opens only the surviving data files, and applies the
+    exact key filter. Values must match the plain WHERE ... IN oracle."""
+    from functools import reduce
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    o = spark.table("orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_bloom_")
+    runner = IncrementalRunner(spark, root)
+    runner.run(
+        ModelSpec(
+            "orders_by_key",
+            "o_orderkey",
+            "o_orderkey",
+            lambda sp, sfd, wm: o.select(*cols).repartition(8),
+            partition_by=["o_orderstatus"],
+        ),
+        sf_dir,
+    )
+    reads = [
+        runner.read_target("orders_by_key", point={"o_orderkey": k}).filter(
+            F.col("o_orderkey") == k
+        )
+        for k in BLOOM_LOOKUP_KEYS
+    ]
+    out = materialize(
+        reduce(lambda a, b: a.unionByName(b), reads)
+        .select(*cols)
+        .orderBy("o_orderkey")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_BLOOM_LOOKUP = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey IN ({", ".join(map(str, BLOOM_LOOKUP_KEYS))})
+ORDER BY o_orderkey
+"""
+
+
 def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: the op-coded change feed arrives as a STREAM (bootstrap ->
     inserts+updates -> deletes, one micro-batch each) and each batch
@@ -1107,3 +1162,4 @@ def register_queries(register) -> None:
     register("cdc_apply_changes", cdc_apply_changes, O_CDC_APPLY)
     register("cdf_table_changes", cdf_table_changes, O_CDF_CHANGES)
     register("streaming_cdc_apply", streaming_cdc_apply, O_CDC_APPLY)
+    register("bloom_point_lookup", bloom_point_lookup, O_BLOOM_LOOKUP)

@@ -1594,3 +1594,65 @@ def test_table_changes_reads_only_changed_partitions(spark, target_root):
     # the post-image carries real values
     row = {r["k"]: r for r in cdf.collect()}
     assert row[1]["v"] == 11 and row[2]["v"] == 20
+
+
+def test_bloom_sidecars_prune_point_lookups_without_false_negatives(
+    spark, target_root
+):
+    """r7 bloom index: on a hash-distributed key layout min/max stats
+    keep every file, the bloom sidecars skip most of them, present keys
+    are NEVER skipped (no false negatives by construction), and vacuum
+    reclaims a sidecar with its data file."""
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    o = spark.table("orders")
+    runner = IncrementalRunner(spark, target_root)
+    spec = ModelSpec(
+        "orders_bloom",
+        "o_orderkey",
+        "o_orderkey",
+        lambda sp, sfd, wm: o.select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ).repartition(8),
+        partition_by=["o_orderstatus"],
+    )
+    runner.run(spec, SF_DIR)
+
+    all_files = runner.resolved_files("orders_bloom")
+    assert len(all_files) >= 8
+    # every data file got a sidecar
+    assert all(
+        os.path.isfile(runner._bloom_sidecar_path(f)) for f in all_files
+    )
+
+    keys = [r["o_orderkey"] for r in o.select("o_orderkey").limit(60).collect()]
+    pruned_counts = []
+    for k in keys:
+        kept = runner.resolved_files("orders_bloom", point={"o_orderkey": k})
+        pruned_counts.append(len(kept))
+        # no false negative: the pruned read still finds the key
+        got = (
+            runner.read_target("orders_bloom", point={"o_orderkey": k})
+            .filter(F.col("o_orderkey") == k)
+            .count()
+        )
+        assert got == 1, k
+    # the bloom pass must actually skip files (min/max alone keeps all)
+    assert sum(pruned_counts) < 0.5 * len(keys) * len(all_files)
+
+    # vacuum reclaims sidecars with their files: full-refresh twice so the
+    # original generation falls out of retention
+    runner.RETAIN_VERSIONS = 1
+    runner.VACUUM_GRACE_SECONDS = 0.0
+    runner.run(spec, SF_DIR, full_refresh=True)
+    live = set(runner.resolved_files("orders_bloom"))
+    orphans = [
+        f
+        for f in all_files
+        if f not in live and os.path.isfile(runner._bloom_sidecar_path(f))
+    ]
+    assert orphans == []
