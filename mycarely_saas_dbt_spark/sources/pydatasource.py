@@ -278,6 +278,91 @@ def register_manifest_stream_source(spark) -> None:
     spark.dataSource.register(ManifestStreamDataSource)
 
 
+# ---------------------------------------------------------------------------
+# Python Data Source WRITER (r7): the write half of the extension API.
+# Executors write uniquely-named UNCOMMITTED JSONL files and return their
+# names as commit messages; the driver's commit() publishes a manifest
+# listing exactly the task files (one atomic os.replace — the same
+# pointer-swap philosophy as the incremental runner), abort() deletes the
+# orphans. A reader that resolves the manifest never sees a torn write:
+# task retries/speculation leave only unreferenced garbage.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@_dataclass
+class _SinkCommit(WriterCommitMessage):
+    filename: str
+    rows: int
+
+
+class JsonSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"task-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _SinkCommit(filename=name, rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = sorted(m.filename for m in messages if m is not None)
+        total = sum(m.rows for m in messages if m is not None)
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"files": files, "rows": total}, fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "mycarely_json_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonSinkWriter(self.options, overwrite)
+
+
+def register_json_sink(spark) -> None:
+    spark.dataSource.register(JsonSinkDataSource)
+
+
+def sink_committed_files(path: str) -> list[str]:
+    """Resolve the sink's committed file list (readers' one chokepoint)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        m = json.load(fh)
+    return [os.path.join(path, f) for f in m["files"]]
+
+
 def q_pyds_ledger_rollup(spark, sf_dir: str):
     """Read the custom Python data source in parallel partitions and roll
     up per account — the oracle re-derives the generator arithmetically
@@ -504,6 +589,50 @@ FROM g GROUP BY day ORDER BY day
 """
 
 
+def q_pyds_sink_roundtrip(spark, sf_dir: str):
+    """Write an exact-integer orders rollup through the Python-writer
+    sink (executor task files -> driver manifest commit), then read back
+    ONLY the manifest-committed files — the value roundtrip proves both
+    halves of the writer protocol against the plain SQL rollup."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .registry import register_sources
+
+    register_sources(spark, sf_dir)
+    register_json_sink(spark)
+    rollup = (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="mycarely_q_sink_")
+    path = f"{base}/out"
+    rollup.write.format("mycarely_json_sink").option("path", path).mode(
+        "append"
+    ).save()
+    back = spark.read.schema(
+        "o_orderstatus string, n_orders bigint, sum_cust bigint"
+    ).json(sink_committed_files(path))
+    from ..util import materialize
+
+    out = materialize(back.orderBy("o_orderstatus"))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+O_PYDS_SINK = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
@@ -513,3 +642,4 @@ def register_queries(register) -> None:
     register(
         "pyds_manifest_stream", q_pyds_manifest_stream, O_PYDS_MANIFEST_STREAM
     )
+    register("pyds_sink_roundtrip", q_pyds_sink_roundtrip, O_PYDS_SINK)

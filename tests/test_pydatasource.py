@@ -180,3 +180,39 @@ def test_manifest_stream_reader_tails_version_diffs(spark, tmp_path):
     # a vacuumed (absent) manifest at the start offset raises retention
     with pytest.raises(RuntimeError, match="retention"):
         r._files(99)
+
+
+def test_json_sink_commit_publishes_only_task_files(spark, tmp_path):
+    """r7 writer protocol: readers resolving the sink's manifest see
+    exactly the committed task files — a stray uncommitted file in the
+    directory (a failed/speculative task's leftovers) is invisible."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_json_sink,
+        sink_committed_files,
+    )
+
+    register_json_sink(spark)
+    path = str(tmp_path / "out")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.write.format("mycarely_json_sink").option("path", path).mode(
+        "append"
+    ).save()
+
+    # plant an orphan (a dead task's file) AFTER the commit
+    with open(os.path.join(path, "task-deadbeef.jsonl"), "w") as fh:
+        fh.write(json.dumps({"k": 999999, "v": -1}) + "\n")
+
+    files = sink_committed_files(path)
+    assert all("deadbeef" not in f for f in files)
+    back = spark.read.schema("k bigint, v bigint").json(files)
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == 9900
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        assert json.load(fh)["rows"] == 100
