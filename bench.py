@@ -69,6 +69,11 @@ EXTENSION_QUERIES = [
     # interleaved bench builds + commits the index; warm rounds measure
     # the build-once/query-many shape a 100 TB deployment actually runs)
     "ann_pq_index_recall",
+    # r7 late additions: the committed-postings BM25 query path (same
+    # build-once pattern) and degree-ordered triangle counting (the
+    # heaviest new graph op)
+    "bm25_index_search",
+    "graph_triangles",
 ]
 
 
