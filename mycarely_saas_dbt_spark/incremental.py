@@ -1627,6 +1627,7 @@ def run_snapshot(
     unique_key: str,
     check_cols: list[str],
     run_date: dt.date,
+    invalidate_hard_deletes: bool = False,
 ) -> None:
     """dbt ``snapshot`` materialization (check strategy, SCD Type 2) — the
     reference repo ships an empty ``snapshots/`` dir; this is the engine
@@ -1636,9 +1637,13 @@ def run_snapshot(
     (``dbt_valid_from = run_date``, ``dbt_valid_to = NULL``). Later runs,
     per ``unique_key``: if the ``check_cols`` content hash changed, the
     open version is closed (``dbt_valid_to = run_date``) and a new open
-    version inserted; brand-new keys insert an open version; unchanged and
-    vanished keys are untouched (no hard-delete invalidation, dbt's
-    default).
+    version inserted; brand-new keys insert an open version; unchanged
+    keys are untouched. Vanished keys (present as an open version,
+    absent from the source) are untouched by default (dbt's default) —
+    with ``invalidate_hard_deletes=True`` (the dbt snapshot config of
+    the same name) their open version is CLOSED at ``run_date``, so a
+    source-side hard delete ends the entity's validity interval instead
+    of leaving a forever-open ghost.
 
     Scale: the change detection is two hash-equi-joins on the unique key
     (semi/anti forms — the closed/insert sets are usually a small fraction
@@ -1667,10 +1672,16 @@ def run_snapshot(
         new_keys = src.select(unique_key).join(
             active.select(unique_key), unique_key, "left_anti"
         )
-        closed = active.join(changed_keys, unique_key, "semi").withColumn(
+        close_keys = changed_keys
+        if invalidate_hard_deletes:
+            vanished = active.select(unique_key).join(
+                src.select(unique_key), unique_key, "left_anti"
+            )
+            close_keys = changed_keys.unionByName(vanished)
+        closed = active.join(close_keys, unique_key, "semi").withColumn(
             "dbt_valid_to", F.lit(run_date)
         )
-        untouched = active.join(changed_keys, unique_key, "left_anti")
+        untouched = active.join(close_keys, unique_key, "left_anti")
         inserts = (
             src.join(changed_keys.unionByName(new_keys), unique_key, "semi")
             .withColumn("dbt_valid_from", F.lit(run_date))

@@ -488,6 +488,76 @@ WHERE custkey IN (SELECT custkey FROM changed)
 """
 
 
+def scd2_hard_delete_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt snapshot with ``invalidate_hard_deletes=True`` (r7): run 2's
+    source DROPS every custkey % 5 == 0 — their open versions must close
+    at the run-2 date (a source hard delete ends the validity interval),
+    while post-cutoff changers still close-and-reopen and untouched keys
+    keep one open version. Oracle reproduces the full version table."""
+    from mycarely_saas_dbt_spark.incremental import run_snapshot
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_q_snap_hd_")
+    target = f"{root}/customer_profile_snapshot"
+    run_snapshot(
+        spark, target, _order_profile(spark, SNAP_CUTOFF),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS, run_date=SNAP_RUN1,
+    )
+    run_snapshot(
+        spark, target,
+        _order_profile(spark, None).filter(F.col("custkey") % 5 != 0),
+        unique_key="custkey", check_cols=_SNAP_CHECK_COLS, run_date=SNAP_RUN2,
+        invalidate_hard_deletes=True,
+    )
+    result = materialize(spark.read.parquet(target))
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def scd2_hard_delete_oracle() -> str:
+    from mycarely_saas_dbt_spark.functions.dialect import surrogate_key_sql
+
+    h = surrogate_key_sql(_SNAP_CHECK_COLS)
+    profile = """
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+        FROM orders {where} GROUP BY o_custkey
+    """
+    s1 = profile.format(
+        where=f"WHERE CAST(o_orderdate AS DATE) <= DATE '{SNAP_CUTOFF}'"
+    )
+    s2 = profile.format(where="") + " HAVING o_custkey % 5 != 0"
+    return f"""
+WITH h1 AS (SELECT *, {h} AS dbt_scd_hash FROM ({s1})),
+h2 AS (SELECT *, {h} AS dbt_scd_hash FROM ({s2})),
+changed AS (
+    SELECT h2.custkey FROM h2 JOIN h1 USING (custkey)
+    WHERE h2.dbt_scd_hash != h1.dbt_scd_hash
+),
+new_keys AS (
+    SELECT custkey FROM h2
+    WHERE custkey NOT IN (SELECT custkey FROM h1)
+),
+vanished AS (
+    SELECT custkey FROM h1
+    WHERE custkey NOT IN (SELECT custkey FROM h2)
+)
+SELECT custkey, n_orders, last_order_date, dbt_scd_hash,
+       DATE '{SNAP_RUN1}' AS dbt_valid_from,
+       CASE WHEN custkey IN (SELECT custkey FROM changed)
+              OR custkey IN (SELECT custkey FROM vanished)
+            THEN DATE '{SNAP_RUN2}' ELSE CAST(NULL AS DATE) END AS dbt_valid_to
+FROM h1
+UNION ALL
+SELECT custkey, n_orders, last_order_date, dbt_scd_hash,
+       DATE '{SNAP_RUN2}' AS dbt_valid_from, CAST(NULL AS DATE) AS dbt_valid_to
+FROM h2
+WHERE custkey IN (SELECT custkey FROM changed)
+   OR custkey IN (SELECT custkey FROM new_keys)
+"""
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup drained with availableNow: every
     (user_id, event_type) pair survives exactly once, so the per-user
@@ -1119,6 +1189,11 @@ def register_queries(register) -> None:
     register("streaming_late_drop", streaming_late_drop, O_STREAMING_LATE_DROP)
     register("streaming_dedup", streaming_dedup, O_STREAMING_DEDUP)
     register("scd2_snapshot_two_batch", scd2_snapshot_two_batch, scd2_snapshot_oracle())
+    register(
+        "scd2_hard_delete_two_batch",
+        scd2_hard_delete_two_batch,
+        scd2_hard_delete_oracle(),
+    )
     register(
         "incremental_schema_evolution", incremental_schema_evolution, O_SCHEMA_EVOLUTION
     )
