@@ -291,8 +291,13 @@ class IncrementalRunner:
             # explicit partition-rel restriction (the table_changes reader:
             # only partitions whose file lists differ between snapshots)
             parts = {r: parts[r] for r in rels if r in parts}
+        # manifest entries are normally file names relative to their
+        # partition dir; ABSOLUTE entries (shallow clones — the Delta
+        # shallow-clone move) resolve as themselves: os.path.join drops
+        # the left side when the right is absolute, so one expression
+        # covers both
         out = [
-            os.path.join(path, rel, f) if rel else os.path.join(path, f)
+            (rel, f, os.path.join(path, rel, f) if rel else os.path.join(path, f))
             for rel, fl in parts.items()
             for f in fl
             if keep(rel, f)
@@ -302,14 +307,14 @@ class IncrementalRunner:
             # keys, the per-file bloom can (1 KB sidecar read per file,
             # zero data files opened)
             out = [
-                fp
-                for fp in out
+                (rel, f, fp)
+                for rel, f, fp in out
                 if all(
                     self._bloom_might_contain(fp, c, v)
                     for c, v in point.items()
                 )
             ]
-        return out
+        return [fp for _, _, fp in out]
 
     def read_target(
         self,
@@ -362,7 +367,7 @@ class IncrementalRunner:
                     raise RuntimeError(f"{name}: empty target with no schema")
                 ddl = ", ".join(f"`{n}` {t}" for n, t in dtypes)
                 return self.spark.createDataFrame([], schema=ddl)
-            df = self.spark.read.option("basePath", path).parquet(*files)
+            df = self._read_files(path, manifest, files)
             if dtypes and {n for n, _ in dtypes} == set(df.columns):
                 df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
             return df
@@ -392,6 +397,51 @@ class IncrementalRunner:
                 # type inference drift (no-op when types already match)
                 df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
         return df
+
+    @staticmethod
+    def _entry_map(root: str, manifest: dict) -> dict[str, tuple[str, str]]:
+        """Resolved absolute path -> (partition rel, manifest entry) for
+        every live file — the reverse of ``resolved_files``'s join."""
+        out: dict[str, tuple[str, str]] = {}
+        for rel, fl in manifest["partitions"].items():
+            for f in fl:
+                p = os.path.join(root, rel, f) if rel else os.path.join(root, f)
+                out[p] = (rel, f)
+        return out
+
+    def _read_files(self, root: str, manifest: dict, files: list[str]) -> DataFrame:
+        """Open an explicit resolved file list, GROUPING by base root so
+        hive partition-column inference keeps working when a manifest
+        mixes native files (under this target's dir) with foreign
+        absolute entries (shallow clones): each group is read with the
+        basePath its hive partition dirs are actually relative to."""
+        rel_of = {p: rel for p, (rel, _) in self._entry_map(root, manifest).items()}
+        groups: dict[str, list[str]] = {}
+        for fp in files:
+            rel = rel_of.get(fp, "")
+            suffix = os.sep + os.path.basename(fp)
+            if rel:
+                suffix = os.sep + rel + suffix
+            base = fp[: -len(suffix)] if fp.endswith(suffix) else os.path.dirname(fp)
+            groups.setdefault(base, []).append(fp)
+        dfs = [
+            self.spark.read.option("basePath", base).parquet(*fps)
+            for base, fps in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    @staticmethod
+    def _fs_path(uri: str) -> str:
+        """``_metadata.file_path`` comes back URI-style (file:///...);
+        normalize to a plain filesystem path for manifest-entry lookup."""
+        if "://" in uri or uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(uri).path)
+        return uri
 
     def _watermark_from_stats(self, name: str, col: str) -> dt.date | None:
         """MAX(col) resolved from the manifest's per-file stats alone —
@@ -1386,6 +1436,273 @@ class IncrementalRunner:
             shutil.rmtree(tmp, ignore_errors=True)
         return n
 
+
+    # ------------------------------------------------------------------
+    # Row-level DML (Delta-style DELETE / UPDATE), RESTORE, shallow CLONE
+    # ------------------------------------------------------------------
+
+    def _dml_rewrite(
+        self,
+        spec: ModelSpec,
+        condition: str,
+        transform,
+        *,
+        prune: dict | None = None,
+        op: str,
+    ) -> dict:
+        """Copy-on-write engine behind ``delete_where``/``update_where`` —
+        Delta's two-job DELETE/UPDATE shape, sized for 100 TB:
+
+        job 1 finds the files that actually CONTAIN matching rows (a
+        predicate-pushed scan over the manifest-stats-pruned candidate
+        set, collapsed to per-file match counts — the result is
+        #files rows, metadata scale, never the data);
+
+        job 2 reads ONLY those files, applies the transform, and writes
+        replacements. Every untouched file carries forward in the
+        manifest BY NAME — a DELETE hitting 3 files of a million-file
+        table rewrites 3 files and one JSON. The commit is
+        partition-scoped (``base``/``touched``), so disjoint concurrent
+        writers rebase rather than refuse, and time travel keeps the
+        pre-DML snapshot readable until retention passes it."""
+        name = spec.name
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(
+                f"{name}: row-level {op} needs a manifest-committed target"
+            )
+        root = self.target_path(name)
+        cand = self.resolved_files(name, prune=prune, manifest=live)
+        dtypes = live.get("dtypes")
+        result = {
+            "op": op,
+            "files_scanned": len(cand),
+            "files_rewritten": 0,
+            "rows_matched": 0,
+            "version": live["version"],
+        }
+        if not cand:
+            return result
+        cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        raw = self._read_files(root, live, cand).select(
+            "*", F.col("_metadata.file_path").alias("__fp")
+        )
+        if dtypes and {n for n, _ in dtypes} == set(raw.columns) - {"__fp"}:
+            raw = raw.select(
+                *[F.col(n).cast(t).alias(n) for n, t in dtypes], "__fp"
+            )
+        hits = raw.filter(cond).groupBy("__fp").count().collect()
+        if not hits:
+            return result
+        touched = {self._fs_path(r["__fp"]) for r in hits}
+        result["rows_matched"] = sum(r["count"] for r in hits)
+        emap = self._entry_map(root, live)
+        unknown = touched - set(emap)
+        if unknown:
+            raise RuntimeError(
+                f"{name}: scan returned files outside the manifest "
+                f"({sorted(unknown)[:3]})"
+            )
+        tdf = self._read_files(root, live, sorted(touched))
+        if dtypes and {n for n, _ in dtypes} == set(tdf.columns):
+            tdf = tdf.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+        out_df = transform(tdf, cond)
+        if dtypes:
+            # the rewrite must not drift the table schema: SET exprs cast
+            # back to the declared column types
+            out_df = out_df.select(
+                *[F.col(n).cast(t).alias(n) for n, t in dtypes]
+            )
+        part_by = list(live.get("partition_by") or [])
+        depth = len(part_by)
+        tmp = f"{root}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = out_df.write.mode("overwrite")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(tmp)
+        try:
+            parts_new, stats_new = self._ingest_files(
+                tmp, name, depth, bloom_col=spec.unique_key
+            )
+            removed: dict[str, set] = {}
+            for p in touched:
+                rel, e = emap[p]
+                removed.setdefault(rel, set()).add(e)
+            parts = {rel: list(fl) for rel, fl in live["partitions"].items()}
+            stats = {
+                rel: dict(d) for rel, d in (live.get("stats") or {}).items()
+            }
+            for rel, ents in removed.items():
+                parts[rel] = [e for e in parts[rel] if e not in ents]
+                for e in ents:
+                    stats.get(rel, {}).pop(e, None)
+                if not parts[rel]:
+                    parts.pop(rel)
+                    stats.pop(rel, None)
+            for rel, names in parts_new.items():
+                parts[rel] = parts.get(rel, []) + names
+                stats.setdefault(rel, {}).update(stats_new.get(rel, {}))
+            manifest = {
+                "version": live["version"] + 1,
+                "partition_by": part_by,
+                "dtypes": dtypes,
+                "partitions": parts,
+                "stats": stats,
+            }
+            if live.get("meta") is not None:
+                manifest["meta"] = live["meta"]
+            manifest = self._commit_manifest(
+                name,
+                manifest,
+                base=live,
+                touched=set(removed) | set(parts_new),
+            )
+            self._vacuum(name, manifest)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        result["files_rewritten"] = len(touched)
+        result["version"] = manifest["version"]
+        return result
+
+    def delete_where(
+        self, spec: ModelSpec, condition: str, *, prune: dict | None = None
+    ) -> dict:
+        """Row-level ``DELETE FROM target WHERE condition`` (Delta's
+        copy-on-write DELETE). SQL three-valued logic: rows where the
+        condition is NULL are KEPT. ``prune`` optionally narrows the
+        candidate files via manifest min/max stats before any file is
+        opened."""
+        return self._dml_rewrite(
+            spec,
+            condition,
+            lambda df, cond: df.filter(~cond),
+            prune=prune,
+            op="delete",
+        )
+
+    def update_where(
+        self,
+        spec: ModelSpec,
+        condition: str,
+        set_exprs: dict[str, str],
+        *,
+        prune: dict | None = None,
+    ) -> dict:
+        """Row-level ``UPDATE target SET col = expr, ... WHERE condition``
+        (Delta's copy-on-write UPDATE). SET expressions see the OLD row
+        (standard UPDATE semantics — all right-hand sides evaluate before
+        any assignment). Updating a partition column is allowed: rewritten
+        rows land in their new partition dirs and the manifest moves the
+        entries accordingly."""
+        dtypes = (self.current_manifest(spec.name) or {}).get("dtypes")
+        if dtypes:
+            missing = set(set_exprs) - {n for n, _ in dtypes}
+            if missing:
+                raise RuntimeError(
+                    f"{spec.name}: UPDATE SET references unknown columns "
+                    f"{sorted(missing)}"
+                )
+
+        def transform(df: DataFrame, cond) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(cond, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return self._dml_rewrite(
+            spec, condition, transform, prune=prune, op="update"
+        )
+
+    def restore(self, name: str, version: int) -> dict:
+        """``RESTORE TABLE ... TO VERSION`` (Delta): commit a NEW version
+        whose file set IS the old snapshot's — metadata-only, no data
+        file read or copied, constant-time at any table size. History is
+        preserved: the rolled-back versions stay time-travelable until
+        the retention floor passes them. Only works within the vacuum
+        retention horizon (the restored snapshot's files must still
+        exist) — the same bound Delta places on RESTORE."""
+        cur = self.current_manifest(name)
+        if cur is None:
+            raise RuntimeError(f"{name}: restore needs a committed target")
+        old = self._manifest_at(name, version)  # raises past the horizon
+        files = self.resolved_files(name, manifest=old)
+        gone = [f for f in files if not os.path.isfile(f)]
+        if gone:
+            raise RuntimeError(
+                f"{name}: version {version} is beyond the vacuum retention "
+                f"horizon ({len(gone)} of its files were reclaimed)"
+            )
+        new = {k: v for k, v in old.items() if k != "version"}
+        new["version"] = cur["version"] + 1
+        new = self._commit_manifest(name, new)
+        self._vacuum(name, new)
+        return {"restored_to": version, "version": new["version"]}
+
+    def clone_shallow(
+        self, src: str, dst: str, *, version: int | None = None
+    ) -> dict:
+        """Shallow ``CLONE`` (Delta CLONE ... SHALLOW): the clone is ONE
+        manifest commit referencing the source snapshot's data files by
+        ABSOLUTE path — zero bytes copied, constant-time at any table
+        size. Writes to the clone are copy-on-write into the clone's own
+        dir: touched partitions swap to native files, untouched ones keep
+        pointing at the source, and the source table never changes. The
+        clone's vacuum walks only its own dir, so it can never reclaim
+        source files — but vacuuming the SOURCE can reclaim files a clone
+        still references (the caveat Delta documents for shallow
+        clones)."""
+        m = (
+            self._manifest_at(src, version)  # raises past the horizon
+            if version is not None
+            else self.current_manifest(src)
+        )
+        if m is None:
+            raise RuntimeError(
+                f"{src}: shallow clone needs a manifest-committed source"
+            )
+        if self.current_manifest(dst) is not None:
+            raise RuntimeError(f"{dst}: clone target already exists")
+        src_root = self.target_path(src)
+        src_stats = m.get("stats") or {}
+        parts: dict[str, list[str]] = {}
+        stats: dict[str, dict[str, dict]] = {}
+        for rel, fl in m["partitions"].items():
+            ents = []
+            for f in fl:
+                e = (
+                    f
+                    if os.path.isabs(f)
+                    else os.path.join(src_root, rel, f)
+                    if rel
+                    else os.path.join(src_root, f)
+                )
+                ents.append(e)
+                st = (src_stats.get(rel) or {}).get(f)
+                if st is not None:
+                    stats.setdefault(rel, {})[e] = st
+            parts[rel] = ents
+        manifest = {
+            "version": 1,
+            "partition_by": list(m.get("partition_by") or []),
+            "dtypes": m.get("dtypes"),
+            "partitions": parts,
+            "stats": stats,
+        }
+        if m.get("meta") is not None:
+            manifest["meta"] = m["meta"]
+        os.makedirs(self.target_path(dst), exist_ok=True)
+        self._commit_manifest(dst, manifest)
+        return {
+            "clone": dst,
+            "source_version": m["version"],
+            "files": sum(len(v) for v in parts.values()),
+        }
 
     def run_observed(self, spec: ModelSpec, sf_dir: str, **kw) -> tuple[dict, dict]:
         """Run a model with Spark's Observation API attached: row counts

@@ -1175,6 +1175,94 @@ SELECT row, bucket, COUNT(*) AS c FROM buckets GROUP BY row, bucket
 """
 
 
+_DML_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"]
+
+
+def _dml_boot_spec(name: str):
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    def boot(sp, sfd, wm):
+        register_sources(sp, sfd)
+        return (
+            sp.table("orders").select(*_DML_COLS).repartition(4, "o_orderkey")
+        )
+
+    return ModelSpec(
+        name, "o_orderkey", "o_orderkey", boot, partition_by=["o_orderstatus"]
+    )
+
+
+def dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level copy-on-write DML (Delta DELETE/UPDATE; r7): bootstrap a
+    status-partitioned orders target, DELETE one key slice, UPDATE another
+    (SET sees the OLD row), return the final committed state. The engine
+    rewrites ONLY files containing matching rows — untouched files carry
+    forward in the manifest by name (asserted in tests/test_dml.py); the
+    oracle replays the relational semantics."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_dml_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = _dml_boot_spec("dml_orders")
+        runner.run(spec, sf_dir)
+        runner.delete_where(spec, "o_orderkey % 7 = 0")
+        runner.update_where(
+            spec,
+            "o_totalprice > 200000",
+            {"o_totalprice": "o_totalprice + 1.0", "o_custkey": "0 - o_custkey"},
+        )
+        return materialize(
+            runner.read_target("dml_orders").orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_DML_DELETE_UPDATE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 0 - o_custkey ELSE o_custkey END
+           AS o_custkey,
+       CASE WHEN o_totalprice > 200000 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderstatus
+FROM orders
+WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
+
+
+def dml_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + shallow CLONE (r7): bootstrap, DELETE a slice (v2),
+    RESTORE to v1 (metadata-only — the committed file set IS v1's, by
+    name), then shallow-CLONE the restored table (zero bytes copied,
+    absolute-path manifest entries) and return the CLONE's read — which
+    must equal the original bootstrap projection."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_restore_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = _dml_boot_spec("dml_src")
+        runner.run(spec, sf_dir)
+        runner.delete_where(spec, "o_orderkey % 3 = 0")
+        runner.restore("dml_src", 1)
+        runner.clone_shallow("dml_src", "dml_clone")
+        return materialize(
+            runner.read_target("dml_clone").orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_DML_RESTORE_CLONE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
@@ -1238,3 +1326,5 @@ def register_queries(register) -> None:
     register("cdf_table_changes", cdf_table_changes, O_CDF_CHANGES)
     register("streaming_cdc_apply", streaming_cdc_apply, O_CDC_APPLY)
     register("bloom_point_lookup", bloom_point_lookup, O_BLOOM_LOOKUP)
+    register("dml_delete_update", dml_delete_update, O_DML_DELETE_UPDATE)
+    register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
