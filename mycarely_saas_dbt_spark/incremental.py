@@ -38,13 +38,15 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import datetime as dt
+import functools
+import hashlib
 import json
 import logging
 import os
 import shutil
 import time
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +58,294 @@ EPOCH_FALLBACK = dt.date(1900, 1, 1)
 
 # build(spark, sf_dir, watermark) -> DataFrame
 BuildFn = Callable[[SparkSession, str, dt.date | None], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# Manifest CHECKPOINT segments (the Delta parquet-checkpoint / Iceberg
+# manifest-file move). A manifest version is logically the table's FULL
+# state — partition rel -> file list (+ per-file stats). Inline JSON is
+# perfect while the table has hundreds of files, but at 100 TB a table has
+# ~10^6 add-file entries: a full-state JSON per commit is an O(table) write
+# for an O(batch) change, and every metadata read parses the whole thing.
+# Above MANIFEST_INLINE_MAX entries the commit externalizes each partition
+# rel's (files, stats) into a CONTENT-ADDRESSED parquet segment under
+# `_manifest/segments/` and the version JSON stores only
+# {rel: {"f": seg-<md5>.parquet, "n": n_files, "s": has_stats}}:
+#   * a commit touching k of N partitions writes k new segments + one
+#     small JSON — untouched rels' refs ride forward verbatim (the
+#     Iceberg manifest-reuse property);
+#   * content addressing makes reuse automatic even for code paths that
+#     hydrate and copy (identical content re-serializes to an existing
+#     segment file name — nothing is rewritten);
+#   * readers hydrate LAZILY per rel (SegmentedMap), so a partition-pruned
+#     read opens only surviving rels' segments, and two manifests'
+#     versions of a rel compare by REF EQUALITY without loading either
+#     (same hash function => same ref iff same content).
+# ---------------------------------------------------------------------------
+
+_SEGMENT_DIR = "segments"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+@functools.lru_cache(maxsize=512)
+def _read_segment(path: str) -> tuple[tuple, tuple]:
+    """(file names, per-file stats-JSON-or-None) for one segment. Segments
+    are content-addressed and immutable, so caching by path is sound."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    return tuple(t.column("file").to_pylist()), tuple(
+        t.column("stats").to_pylist()
+    )
+
+
+class SegmentedMap(Mapping):
+    """Lazy per-rel view over a checkpointed manifest's `partitions` or
+    `stats` map: keys are known from the version JSON, values hydrate from
+    their segment file on first access. Immutable — writers build new
+    plain dicts or `.overlay(...)` views, never mutate in place."""
+
+    __slots__ = ("_inline", "_refs", "_segdir", "_field")
+
+    def __init__(self, inline: dict, refs: dict, segdir: str, field_: str):
+        self._inline = inline
+        self._refs = refs
+        self._segdir = segdir
+        self._field = field_
+
+    def __iter__(self):
+        yield from self._inline
+        yield from self._refs
+
+    def __len__(self):
+        return len(self._inline) + len(self._refs)
+
+    def __contains__(self, rel):
+        return rel in self._inline or rel in self._refs
+
+    def __getitem__(self, rel):
+        if rel in self._inline:
+            return self._inline[rel]
+        ref = self._refs[rel]
+        files, stats = _read_segment(os.path.join(self._segdir, ref["f"]))
+        if self._field == "files":
+            return list(files)
+        return {f: json.loads(s) for f, s in zip(files, stats) if s is not None}
+
+    def __eq__(self, other):
+        # Mapping doesn't supply __eq__ and dict==SegmentedMap would be
+        # identity-False; hydrate-and-compare keeps test assertions and
+        # defensive comparisons honest (hot paths compare refs instead)
+        if isinstance(other, Mapping):
+            return dict(self) == dict(other)
+        return NotImplemented
+
+    def segref(self, rel) -> str | None:
+        """The segment file backing ``rel``, or None when the value is an
+        in-memory override. Ref equality IS content equality (md5-named)."""
+        r = self._refs.get(rel)
+        return None if r is None else r["f"]
+
+    def size_hint(self, rel) -> int:
+        """File count for ``rel`` without hydrating its segment."""
+        if rel in self._inline:
+            return len(self._inline[rel])
+        return self._refs[rel]["n"]
+
+    def overlay(self, updates: dict, removes=()) -> "SegmentedMap":
+        removes = set(removes) | set(updates)
+        inline = {r: v for r, v in self._inline.items() if r not in removes}
+        inline.update(updates)
+        refs = {r: v for r, v in self._refs.items() if r not in removes}
+        return SegmentedMap(inline, refs, self._segdir, self._field)
+
+
+def _overlay(mapping, updates: dict, removes=()):
+    """updates/removes applied WITHOUT hydrating untouched rels when the
+    base is segment-backed (keeps a partition-scoped commit O(touched))."""
+    if isinstance(mapping, SegmentedMap):
+        return mapping.overlay(updates, removes)
+    d = dict(mapping)
+    for r in removes:
+        d.pop(r, None)
+    d.update(updates)
+    return d
+
+
+def _rels_differing(a, b) -> set:
+    """Rels whose value differs between two manifests' maps. Segment-backed
+    rels compare by ref (content-addressed: equal ref <=> equal content,
+    different refs <=> different content) — no hydration."""
+    out = set()
+    for rel in set(a) | set(b):
+        if rel not in a or rel not in b:
+            out.add(rel)
+            continue
+        ra = a.segref(rel) if isinstance(a, SegmentedMap) else None
+        rb = b.segref(rel) if isinstance(b, SegmentedMap) else None
+        if ra is not None and rb is not None:
+            if ra != rb:
+                out.add(rel)
+        elif a[rel] != b[rel]:
+            out.add(rel)
+    return out
+
+
+def load_manifest_file(path: str) -> dict:
+    """Parse a committed manifest version. Inline manifests return as-is;
+    checkpointed ones get lazy SegmentedMap views for partitions/stats."""
+    with open(path) as fh:
+        j = json.load(fh)
+    segs = j.pop("segments", None)
+    if not segs:
+        return j
+    segdir = os.path.join(os.path.dirname(path), _SEGMENT_DIR)
+    j["partitions"] = SegmentedMap(
+        j.get("partitions") or {}, segs, segdir, "files"
+    )
+    j["stats"] = SegmentedMap(
+        j.get("stats") or {},
+        {rel: r for rel, r in segs.items() if r.get("s")},
+        segdir,
+        "stats",
+    )
+    return j
+
+
+def _stat_after(a, b) -> bool:
+    """a strictly after b under manifest-stats comparison rules. ISO strings
+    compare on their COMMON prefix (coarser granularity): a DATE bound
+    against TIMESTAMP stats must not prune a file whose rows fall inside
+    the bound's day — truncating both sides to the shorter length is
+    conservative-correct (keeps extra, never wrongly skips)."""
+    if isinstance(a, str) and isinstance(b, str):
+        n = min(len(a), len(b))
+        return a[:n] > b[:n]
+    return a > b
+
+
+def _rel_pruned(rel: str, bounds: dict) -> bool:
+    """True when the hive partition VALUES encoded in ``rel``'s path prove
+    the whole partition cannot intersect the prune bounds — decided from
+    the rel string alone, before the rel's file list (segment) is ever
+    loaded. Unparseable or null partition values keep conservatively."""
+    if not rel:
+        return False
+    from urllib.parse import unquote
+
+    vals = {}
+    for comp in rel.split(os.sep):
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            vals[k] = unquote(v)
+    for col, (lo, hi) in bounds.items():
+        v = vals.get(col)
+        if v is None or v == _HIVE_NULL:
+            continue
+        probe = hi if hi is not None else lo
+        if isinstance(probe, bool) or not isinstance(probe, (int, float)):
+            pass  # string/ISO bounds compare against the raw path value
+        else:
+            try:
+                v = float(v) if isinstance(probe, float) else int(v)
+            except ValueError:
+                continue
+        try:
+            if (hi is not None and _stat_after(v, hi)) or (
+                lo is not None and _stat_after(lo, v)
+            ):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def _manifest_inline_max() -> int:
+    """Total add-file entries a version JSON may inline before the commit
+    checkpoints to segments. Env-overridable so tests exercise the
+    segmented path at toy scale; 512 keeps every version JSON a few KB."""
+    return int(os.environ.get("MYCARELY_MANIFEST_INLINE_MAX", "512"))
+
+
+def _total_entries(parts) -> int:
+    if isinstance(parts, SegmentedMap):
+        return sum(parts.size_hint(rel) for rel in parts)
+    return sum(len(fl) for fl in parts.values())
+
+
+def _write_segment(segdir: str, files: list, stats_list: list) -> dict:
+    """Write one rel's (files, stats) as a content-addressed parquet
+    segment; no-op when identical content already exists (the md5 name IS
+    the dedupe). Returns the manifest ref {"f": name, "n": count,
+    "s": has_stats}. Concurrent writers racing the same content both
+    converge on the same file via tmp+rename — last rename wins over
+    identical bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    payload = json.dumps([files, stats_list], separators=(",", ":")).encode()
+    name = f"seg-{hashlib.md5(payload).hexdigest()}.parquet"
+    path = os.path.join(segdir, name)
+    if not os.path.isfile(path):
+        t = pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "stats": pa.array(stats_list, pa.string()),
+            }
+        )
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return {
+        "f": name,
+        "n": len(files),
+        "s": any(s is not None for s in stats_list),
+    }
+
+
+def _serialize_manifest(mdir: str, manifest: dict) -> dict:
+    """JSON-able form of a manifest for the version-file write. Small
+    tables inline exactly as before (backward-compatible format); above
+    `_manifest_inline_max()` total entries — or once a table is already
+    segment-backed — each rel externalizes to a content-addressed segment
+    and only refs land in the JSON. Rels the writer never touched keep
+    their existing ref VERBATIM (SegmentedMap.segref), so a commit
+    touching k of N partitions writes k segments + one small JSON: the
+    O(batch)-not-O(table) commit cost that makes the protocol survive a
+    10^6-file table. Invariant relied on: writers overlay `partitions`
+    and `stats` with the SAME update/remove keys, so a rel is ref-backed
+    in both or in neither."""
+    parts = manifest["partitions"]
+    stats = manifest.get("stats") or {}
+    segmented = isinstance(parts, SegmentedMap) and bool(parts._refs)
+    if not segmented and _total_entries(parts) <= _manifest_inline_max():
+        out = {k: v for k, v in manifest.items() if k != "stats"}
+        out["partitions"] = {r: list(parts[r]) for r in parts}
+        out["stats"] = {r: dict(stats[r]) for r in stats}
+        return out
+    segdir = os.path.join(mdir, _SEGMENT_DIR)
+    os.makedirs(segdir, exist_ok=True)
+    segs: dict[str, dict] = {}
+    for rel in parts:
+        ref = parts.segref(rel) if isinstance(parts, SegmentedMap) else None
+        if ref is not None:
+            segs[rel] = dict(parts._refs[rel])
+            continue
+        files = list(parts[rel])
+        st = stats[rel] if rel in stats else {}
+        stats_list = [
+            json.dumps(st[f], sort_keys=True, separators=(",", ":"))
+            if f in st
+            else None
+            for f in files
+        ]
+        segs[rel] = _write_segment(segdir, files, stats_list)
+    out = {
+        k: v for k, v in manifest.items() if k not in ("partitions", "stats")
+    }
+    out["partitions"] = {}
+    out["segments"] = segs
+    return out
 
 
 @dataclass
@@ -207,8 +497,7 @@ class IncrementalRunner:
         p = os.path.join(self._manifest_dir(name), f"v{version:06d}.json")
         if not os.path.isfile(p):
             raise RuntimeError(f"{name}: no committed version {version}")
-        with open(p) as fh:
-            return json.load(fh)
+        return load_manifest_file(p)
 
     @staticmethod
     def _coerce_bound(v):
@@ -250,6 +539,10 @@ class IncrementalRunner:
                 f"{name}: no manifest — resolved_files needs a committed target"
             )
         stats = manifest.get("stats") or {}
+        if point:
+            # a point predicate is also a degenerate range for the
+            # min/max stats and partition-value passes below
+            prune = {**(prune or {}), **{c: (v, v) for c, v in point.items()}}
         bounds = {
             c: (self._coerce_bound(lo), self._coerce_bound(hi))
             for c, (lo, hi) in (prune or {}).items()
@@ -268,8 +561,8 @@ class IncrementalRunner:
                 return a[:n] > b[:n]
             return a > b
 
-        def keep(rel: str, f: str) -> bool:
-            fstats = (stats.get(rel) or {}).get(f)
+        def keep(rel_stats: dict, f: str) -> bool:
+            fstats = rel_stats.get(f)
             if fstats is None:
                 return True
             for c, (lo, hi) in bounds.items():
@@ -282,26 +575,31 @@ class IncrementalRunner:
                     return False
             return True
 
-        if point:
-            # a point predicate is also a degenerate range for the
-            # min/max stats pass below
-            prune = {**(prune or {}), **{c: (v, v) for c, v in point.items()}}
         parts = manifest["partitions"]
-        if rels is not None:
-            # explicit partition-rel restriction (the table_changes reader:
-            # only partitions whose file lists differ between snapshots)
-            parts = {r: parts[r] for r in rels if r in parts}
-        # manifest entries are normally file names relative to their
-        # partition dir; ABSOLUTE entries (shallow clones — the Delta
-        # shallow-clone move) resolve as themselves: os.path.join drops
-        # the left side when the right is absolute, so one expression
-        # covers both
-        out = [
-            (rel, f, os.path.join(path, rel, f) if rel else os.path.join(path, f))
-            for rel, fl in parts.items()
-            for f in fl
-            if keep(rel, f)
-        ]
+        # explicit partition-rel restriction (the table_changes reader:
+        # only partitions whose file lists differ between snapshots)
+        rel_keys = rels if rels is not None else parts
+        out = []
+        for rel in rel_keys:
+            if rel not in parts:
+                continue
+            if bounds and _rel_pruned(rel, bounds):
+                # the hive dir values alone prove the whole partition is
+                # outside the bounds — its file list (segment) is never
+                # even LOADED, so a partition-pruned read of a 10^6-file
+                # checkpointed table touches only surviving rels' segments
+                continue
+            rel_stats = stats.get(rel) or {}  # hydrates at most once per rel
+            # manifest entries are normally file names relative to their
+            # partition dir; ABSOLUTE entries (shallow clones — the Delta
+            # shallow-clone move) resolve as themselves: os.path.join drops
+            # the left side when the right is absolute, so one expression
+            # covers both
+            out.extend(
+                (rel, f, os.path.join(path, rel, f) if rel else os.path.join(path, f))
+                for f in parts[rel]
+                if keep(rel_stats, f)
+            )
         if point:
             # bloom sidecar pass: min/max can't skip hash-distributed
             # keys, the per-file bloom can (1 KB sidecar read per file,
@@ -414,8 +712,23 @@ class IncrementalRunner:
         hive partition-column inference keeps working when a manifest
         mixes native files (under this target's dir) with foreign
         absolute entries (shallow clones): each group is read with the
-        basePath its hive partition dirs are actually relative to."""
-        rel_of = {p: rel for p, (rel, _) in self._entry_map(root, manifest).items()}
+        basePath its hive partition dirs are actually relative to.
+        Native entries derive their rel from the path alone — the full
+        manifest reverse map (which would hydrate every checkpointed
+        segment) is built only when foreign entries are actually
+        present."""
+        rel_of: dict[str, str] = {}
+        foreign = []
+        for fp in files:
+            if fp.startswith(root + os.sep):
+                rel = os.path.dirname(os.path.relpath(fp, root))
+                rel_of[fp] = "" if rel == "." else rel
+            else:
+                foreign.append(fp)
+        if foreign:
+            emap = self._entry_map(root, manifest)
+            for fp in foreign:
+                rel_of[fp] = emap.get(fp, ("", ""))[0]
         groups: dict[str, list[str]] = {}
         for fp in files:
             rel = rel_of.get(fp, "")
@@ -553,9 +866,8 @@ class IncrementalRunner:
         )
         if m_to is None:
             raise RuntimeError(f"{name}: no committed target")
-        pf, pt = m_from["partitions"], m_to["partitions"]
         changed = sorted(
-            rel for rel in set(pf) | set(pt) if pf.get(rel) != pt.get(rel)
+            _rels_differing(m_from["partitions"], m_to["partitions"])
         )
         old = self.read_target(name, version=from_version, rels=changed)
         new = self.read_target(
@@ -840,8 +1152,7 @@ class IncrementalRunner:
             return None
         with open(cur) as fh:
             ver = fh.read().strip()
-        with open(os.path.join(self._manifest_dir(name), ver)) as fh:
-            return json.load(fh)
+        return load_manifest_file(os.path.join(self._manifest_dir(name), ver))
 
     def _premanifest_marker(self, name: str, live: dict | None) -> str | None:
         """Crash-safety for PRE-manifest targets (ADVICE r5): when no
@@ -892,12 +1203,9 @@ class IncrementalRunner:
         ) != base.get("dtypes"):
             overlap = "a concurrent schema or partition-layout change"
         else:
-            bparts, cparts = base["partitions"], cur["partitions"]
-            others = {
-                rel
-                for rel in set(bparts) | set(cparts)
-                if bparts.get(rel) != cparts.get(rel)
-            }
+            # segment-backed rels diff by content-addressed ref — the
+            # whole conflict check hydrates nothing
+            others = _rels_differing(base["partitions"], cur["partitions"])
             clash = others & touched
             if clash:
                 overlap = f"overlapping partitions {sorted(clash)[:5]}"
@@ -907,19 +1215,15 @@ class IncrementalRunner:
                 f"version {cur['version']} with {overlap}; re-run the merge "
                 "against the new table state"
             )
-        parts = dict(cur["partitions"])
-        stats = dict(cur.get("stats") or {})
-        for rel in touched:
-            if rel in orig["partitions"]:
-                parts[rel] = orig["partitions"][rel]
-                st = (orig.get("stats") or {}).get(rel)
-                if st is not None:
-                    stats[rel] = st
-                else:
-                    stats.pop(rel, None)
-            else:
-                parts.pop(rel, None)
-                stats.pop(rel, None)
+        up_p = {
+            rel: orig["partitions"][rel]
+            for rel in touched
+            if rel in orig["partitions"]
+        }
+        ostats = orig.get("stats") or {}
+        up_s = {rel: ostats[rel] for rel in up_p if rel in ostats}
+        parts = _overlay(cur["partitions"], up_p, removes=touched)
+        stats = _overlay(cur.get("stats") or {}, up_s, removes=touched)
         out = {
             "version": cur["version"] + 1,
             "partition_by": list(orig.get("partition_by") or []),
@@ -1001,7 +1305,10 @@ class IncrementalRunner:
                 time.sleep(0.01 * (attempt + 1))
                 continue
             with os.fdopen(fd, "w") as fh:
-                json.dump(manifest, fh)
+                # segments (if any) are written BEFORE the version JSON and
+                # the JSON before the pointer swap — a crash at any point
+                # leaves only unreferenced garbage, never a dangling ref
+                json.dump(_serialize_manifest(mdir, manifest), fh)
                 fh.flush()
                 os.fsync(fh.fileno())
             tmp = os.path.join(mdir, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
@@ -1290,11 +1597,32 @@ class IncrementalRunner:
         # their data files are gone, so list_versions advertising them only
         # promises reads that must fail — unlink so the version list
         # reflects actually-readable snapshots
+        mdir = self._manifest_dir(name)
         for v in self.list_versions(name):
             if v < floor:
-                os.remove(
-                    os.path.join(self._manifest_dir(name), f"v{v:06d}.json")
-                )
+                os.remove(os.path.join(mdir, f"v{v:06d}.json"))
+        # checkpoint-segment GC: a segment is live while ANY remaining
+        # version JSON references it (refs are read straight off the raw
+        # JSON — no parquet opened). The mtime grace shields a concurrent
+        # writer's segments written between its segment flush and its
+        # version-file claim, exactly like the data-file grace above.
+        segdir = os.path.join(mdir, _SEGMENT_DIR)
+        if os.path.isdir(segdir):
+            live_segs = set()
+            for v in self.list_versions(name):
+                with open(os.path.join(mdir, f"v{v:06d}.json")) as fh:
+                    for ref in (json.load(fh).get("segments") or {}).values():
+                        live_segs.add(ref["f"])
+            for f in os.listdir(segdir):
+                if f in live_segs:
+                    continue
+                p = os.path.join(segdir, f)
+                try:
+                    if now - os.path.getmtime(p) < self.VACUUM_GRACE_SECONDS:
+                        continue
+                    os.remove(p)
+                except OSError:
+                    continue
 
     def _partitioned_merge_write(
         self,
@@ -1352,17 +1680,18 @@ class IncrementalRunner:
                 base = live or self._manifest_from_layout(
                     spec.name, spec.partition_by
                 )
-                parts = dict(base["partitions"])
-                stats = dict(base.get("stats") or {})
-                for rel in touched_rels:
-                    parts.pop(rel, None)
-                    stats.pop(rel, None)
                 guard = self._premanifest_marker(spec.name, live)
                 parts_new, stats_new = self._ingest_files(
                     tmp, spec.name, depth, bloom_col=spec.unique_key
                 )
-                parts.update(parts_new)
-                stats.update(stats_new)
+                # O(touched) overlay: untouched rels' segment refs ride
+                # forward verbatim on a checkpointed table
+                parts = _overlay(
+                    base["partitions"], parts_new, removes=touched_rels
+                )
+                stats = _overlay(
+                    base.get("stats") or {}, stats_new, removes=touched_rels
+                )
                 manifest = {
                     "version": base["version"] + 1,
                     "partition_by": list(spec.partition_by),
@@ -1496,13 +1825,7 @@ class IncrementalRunner:
             return result
         touched = {self._fs_path(r["__fp"]) for r in hits}
         result["rows_matched"] = sum(r["count"] for r in hits)
-        emap = self._entry_map(root, live)
-        unknown = touched - set(emap)
-        if unknown:
-            raise RuntimeError(
-                f"{name}: scan returned files outside the manifest "
-                f"({sorted(unknown)[:3]})"
-            )
+        emap = self._entry_lookup(name, root, live, touched)
         tdf = self._read_files(root, live, sorted(touched))
         if dtypes and {n for n, _ in dtypes} == set(tdf.columns):
             tdf = tdf.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
@@ -1513,6 +1836,60 @@ class IncrementalRunner:
             out_df = out_df.select(
                 *[F.col(n).cast(t).alias(n) for n, t in dtypes]
             )
+        manifest = self._commit_file_rewrite(spec, live, emap, touched, out_df)
+        result["files_rewritten"] = len(touched)
+        result["version"] = manifest["version"]
+        return result
+
+    def _entry_lookup(
+        self, name: str, root: str, live: dict, touched: set[str]
+    ) -> dict[str, tuple[str, str]]:
+        """Map absolute file paths back to (partition rel, manifest entry).
+        Native entries derive from the path alone — no manifest hydration;
+        foreign absolute entries (shallow clones) fall back to the full
+        reverse map. Raises on paths the manifest doesn't own."""
+        emap: dict[str, tuple[str, str]] = {}
+        foreign = []
+        for p in touched:
+            if p.startswith(root + os.sep):
+                rel = os.path.dirname(os.path.relpath(p, root))
+                emap[p] = ("" if rel == "." else rel, os.path.basename(p))
+            else:
+                foreign.append(p)
+        if foreign:
+            full = self._entry_map(root, live)
+            for p in foreign:
+                if p in full:
+                    emap[p] = full[p]
+        unknown = {
+            p
+            for p, (rel, e) in emap.items()
+            if rel not in live["partitions"] or e not in set(live["partitions"][rel])
+        } | (set(foreign) - set(emap))
+        if unknown:
+            raise RuntimeError(
+                f"{name}: scan returned files outside the manifest "
+                f"({sorted(unknown)[:3]})"
+            )
+        return emap
+
+    def _commit_file_rewrite(
+        self,
+        spec: ModelSpec,
+        live: dict,
+        emap: dict[str, tuple[str, str]],
+        touched: set[str],
+        out_df: DataFrame,
+    ) -> dict:
+        """Shared copy-on-write tail for DELETE/UPDATE/MERGE: write
+        ``out_df`` (the replacement rows for ``touched`` files, plus any
+        brand-new rows), ingest the files, delist exactly the touched
+        entries, overlay the manifest O(touched), commit partition-scoped,
+        vacuum. Untouched files — even in touched partitions — carry
+        forward BY NAME."""
+        name = spec.name
+        root = self.target_path(name)
+        dtypes = live.get("dtypes")
         part_by = list(live.get("partition_by") or [])
         depth = len(part_by)
         tmp = f"{root}.tmp-{uuid.uuid4().hex[:8]}"
@@ -1528,20 +1905,31 @@ class IncrementalRunner:
             for p in touched:
                 rel, e = emap[p]
                 removed.setdefault(rel, set()).add(e)
-            parts = {rel: list(fl) for rel, fl in live["partitions"].items()}
-            stats = {
-                rel: dict(d) for rel, d in (live.get("stats") or {}).items()
-            }
-            for rel, ents in removed.items():
-                parts[rel] = [e for e in parts[rel] if e not in ents]
-                for e in ents:
-                    stats.get(rel, {}).pop(e, None)
-                if not parts[rel]:
-                    parts.pop(rel)
-                    stats.pop(rel, None)
-            for rel, names in parts_new.items():
-                parts[rel] = parts.get(rel, []) + names
-                stats.setdefault(rel, {}).update(stats_new.get(rel, {}))
+            # hydrate ONLY the rels losing or gaining files; untouched
+            # rels' segment refs ride forward through the overlay
+            lparts = live["partitions"]
+            lstats = live.get("stats") or {}
+            up_p: dict[str, list] = {}
+            up_s: dict[str, dict] = {}
+            drops = set()
+            for rel in set(removed) | set(parts_new):
+                ents = removed.get(rel, set())
+                fl = [e for e in lparts[rel] if e not in ents] if rel in lparts else []
+                fl += parts_new.get(rel, [])
+                if not fl:
+                    drops.add(rel)
+                    continue
+                st = {
+                    e: v
+                    for e, v in (lstats[rel] if rel in lstats else {}).items()
+                    if e not in ents
+                }
+                st.update(stats_new.get(rel, {}))
+                up_p[rel] = fl
+                if st:
+                    up_s[rel] = st
+            parts = _overlay(lparts, up_p, removes=drops)
+            stats = _overlay(lstats, up_s, removes=drops | (set(up_p) - set(up_s)))
             manifest = {
                 "version": live["version"] + 1,
                 "partition_by": part_by,
@@ -1560,9 +1948,7 @@ class IncrementalRunner:
             self._vacuum(name, manifest)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        result["files_rewritten"] = len(touched)
-        result["version"] = manifest["version"]
-        return result
+        return manifest
 
     def delete_where(
         self, spec: ModelSpec, condition: str, *, prune: dict | None = None
@@ -1618,6 +2004,250 @@ class IncrementalRunner:
         return self._dml_rewrite(
             spec, condition, transform, prune=prune, op="update"
         )
+
+    def merge_into(
+        self,
+        spec: ModelSpec,
+        source: DataFrame,
+        *,
+        on: str,
+        matched: list[tuple] = (),
+        not_matched: list[tuple] = (),
+        not_matched_by_source: list[tuple] = (),
+        prune: dict | None = None,
+    ) -> dict:
+        """Full multi-clause ``MERGE INTO`` (Delta/Iceberg MERGE), Delta's
+        two-job copy-on-write shape. Clauses are ordered lists — the FIRST
+        clause whose condition holds wins (the SQL:2003 / Delta rule):
+
+          matched:               ("update", cond|None, {col: sql_expr})
+                                 ("delete", cond|None)
+          not_matched:           ("insert", cond|None, {col: sql_expr}|None)
+                                    None values => INSERT * (by name)
+          not_matched_by_source: ("update", cond|None, {col: sql_expr})
+                                 ("delete", cond|None)
+
+        Conditions and exprs are SQL over aliases ``t`` (target) and ``s``
+        (source); not_matched clauses see only ``s``, not_matched_by_source
+        only ``t``.
+
+        Scale shape (100 TB): job 1 inner-joins the source on ``on``
+        against the stats-pruned candidate files to find files that
+        CONTAIN matches (metadata-scale result; broadcast when the source
+        is small); job 2 reads ONLY those files, full-outer-joins the
+        source, resolves clauses per row, and rewrites just those files
+        plus inserted rows — every untouched file rides forward by name.
+        not_matched_by_source clauses must inspect every candidate target
+        row, so they widen job 2 to the pruned candidate set — pass
+        ``prune`` to bound them (the same demand Delta places on
+        WHEN NOT MATCHED BY SOURCE). Duplicate source matches for one
+        target row raise (the Delta cardinality violation) rather than
+        nondeterministically applying one."""
+        from pyspark.sql import Observation
+        from pyspark.sql.window import Window
+
+        name = spec.name
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: MERGE needs a manifest-committed target")
+        root = self.target_path(name)
+        dtypes = live.get("dtypes")
+        tcols = [n for n, _ in dtypes] if dtypes else None
+        cand = self.resolved_files(name, prune=prune, manifest=live)
+        result = {
+            "op": "merge",
+            "files_scanned": len(cand),
+            "files_rewritten": 0,
+            "version": live["version"],
+        }
+
+        def _cond(c):
+            if c is None:
+                return F.lit(True)
+            return F.coalesce(F.expr(c).cast("boolean"), F.lit(False))
+
+        if cand:
+            raw = self._read_files(root, live, cand).select(
+                "*", F.col("_metadata.file_path").alias("__fp")
+            )
+            if tcols and set(tcols) == set(raw.columns) - {"__fp"}:
+                raw = raw.select(
+                    *[F.col(n).cast(t).alias(n) for n, t in dtypes], "__fp"
+                )
+            if not_matched_by_source:
+                # these clauses must SEE every candidate target row
+                touched = set(cand)
+            else:
+                # job 1: files containing at least one ON-match. Catalyst
+                # prunes the target read to the ON columns + _metadata,
+                # and broadcasts the source side when it's small.
+                hit = (
+                    raw.alias("t")
+                    .join(source.alias("s"), F.expr(on), "inner")
+                    .select("t.__fp")
+                    .distinct()
+                    .collect()
+                )
+                touched = {self._fs_path(r["__fp"]) for r in hit}
+        else:
+            touched = set()
+
+        tgt = (
+            self._read_files(root, live, sorted(touched))
+            if touched
+            else None
+        )
+        if tgt is not None and tcols and set(tcols) == set(tgt.columns):
+            tgt = tgt.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+        out_cols = tcols or (tgt.columns if tgt is not None else source.columns)
+
+        if tgt is None:
+            # no matches and no by-source clauses: pure insert path
+            j = (
+                source.alias("s")
+                .withColumn("__s", F.lit(True))
+                .withColumn("__t", F.lit(False))
+            )
+        else:
+            t_side = (
+                tgt.withColumn("__t", F.lit(True))
+                .withColumn("__tid", F.monotonically_increasing_id())
+                .alias("t")
+            )
+            s_side = source.withColumn("__s", F.lit(True)).alias("s")
+            j = t_side.join(s_side, F.expr(on), "full_outer")
+
+        is_m = F.coalesce(F.col("__t"), F.lit(False)) & F.coalesce(
+            F.col("__s"), F.lit(False)
+        )
+        is_t = F.coalesce(F.col("__t"), F.lit(False)) & ~F.coalesce(
+            F.col("__s"), F.lit(False)
+        )
+        is_s = ~F.coalesce(F.col("__t"), F.lit(False)) & F.coalesce(
+            F.col("__s"), F.lit(False)
+        )
+
+        # first-match-wins action resolution; the FIRST branch is the Delta
+        # cardinality rule — >1 source rows matching one target row make
+        # update/delete nondeterministic, so the plan itself raises. Baked
+        # into __action (which every output row selects) so Catalyst can
+        # never prune it away. Source-only rows get synthetic unique window
+        # keys, keeping the NULL-__tid rows from piling into one partition.
+        branches = []
+        if matched and tgt is not None:
+            j = j.withColumn(
+                "__wkey",
+                F.coalesce(
+                    F.col("__tid"), -F.monotonically_increasing_id() - F.lit(1)
+                ),
+            )
+            n_match = F.count(F.when(is_m, F.lit(1))).over(
+                Window.partitionBy("__wkey")
+            )
+            branches.append(
+                (
+                    is_m & (n_match > 1),
+                    F.raise_error(
+                        F.lit(
+                            f"{name}: MERGE cardinality violation — multiple "
+                            "source rows match one target row"
+                        )
+                    ).cast("string"),
+                )
+            )
+        for i, cl in enumerate(matched):
+            branches.append((is_m & _cond(cl[1]), F.lit(f"m{i}")))
+        branches.append((is_m, F.lit("keep")))
+        for i, cl in enumerate(not_matched):
+            branches.append((is_s & _cond(cl[1]), F.lit(f"i{i}")))
+        branches.append((is_s, F.lit("drop")))
+        for i, cl in enumerate(not_matched_by_source):
+            branches.append((is_t & _cond(cl[1]), F.lit(f"b{i}")))
+        branches.append((is_t, F.lit("keep")))
+        expr = None
+        for cond_c, tag in branches:
+            expr = F.when(cond_c, tag) if expr is None else expr.when(cond_c, tag)
+        j = j.withColumn("__action", expr)
+
+        def _value(col: str) -> "F.Column":
+            # matched / by-source branches reference the t alias — they are
+            # unreachable AND unresolvable on the pure-insert path (no
+            # target side joined), so emit them only when tgt exists
+            v = F.when(F.lit(False), F.lit(None))
+            if tgt is not None:
+                for i, cl in enumerate(matched):
+                    if cl[0] == "update":
+                        v = v.when(
+                            F.col("__action") == f"m{i}",
+                            F.expr(cl[2].get(col, f"t.`{col}`")),
+                        )
+            for i, cl in enumerate(not_matched):
+                vals = cl[2]
+                src_expr = (
+                    vals.get(col, "NULL")
+                    if vals is not None
+                    else (f"s.`{col}`" if col in source.columns else "NULL")
+                )
+                v = v.when(F.col("__action") == f"i{i}", F.expr(src_expr))
+            if tgt is not None:
+                for i, cl in enumerate(not_matched_by_source):
+                    if cl[0] == "update":
+                        v = v.when(
+                            F.col("__action") == f"b{i}",
+                            F.expr(cl[2].get(col, f"t.`{col}`")),
+                        )
+            return v.otherwise(
+                F.expr(f"t.`{col}`") if tgt is not None else F.lit(None)
+            ).alias(col)
+
+        def _tags(clauses, kind, prefix):
+            return [
+                f"{prefix}{i}"
+                for i, cl in enumerate(clauses)
+                if cl[0] == kind
+            ]
+
+        upd_tags = _tags(matched, "update", "m") + _tags(
+            not_matched_by_source, "update", "b"
+        )
+        del_tags = _tags(matched, "delete", "m") + _tags(
+            not_matched_by_source, "delete", "b"
+        )
+        ins_tags = [f"i{i}" for i in range(len(not_matched))]
+        drop_tags = {"drop"} | set(del_tags)
+
+        def _in(tags):
+            if not tags:
+                return F.lit(False)
+            return F.col("__action").isin(*sorted(tags))
+
+        obs = Observation(f"merge-{uuid.uuid4().hex[:6]}")
+        j = j.observe(
+            obs,
+            F.count(F.when(_in(upd_tags), 1)).alias("upd"),
+            F.count(F.when(_in(ins_tags), 1)).alias("ins"),
+            F.count(F.when(_in(del_tags), 1)).alias("del"),
+        )
+        out_df = j.filter(~_in(drop_tags)).select(
+            *[_value(c) for c in out_cols]
+        )
+        if dtypes:
+            out_df = out_df.select(
+                *[F.col(n).cast(t).alias(n) for n, t in dtypes]
+            )
+
+        emap = self._entry_lookup(name, root, live, touched)
+        manifest = self._commit_file_rewrite(spec, live, emap, touched, out_df)
+        m = obs.get
+        # "m*" counts include delete-matched rows; split by tag class
+        result.update(
+            rows_updated=int(m.get("upd", 0)),
+            rows_inserted=int(m.get("ins", 0)),
+            rows_deleted=int(m.get("del", 0)),
+            files_rewritten=len(touched),
+            version=manifest["version"],
+        )
+        return result
 
     def restore(self, name: str, version: int) -> dict:
         """``RESTORE TABLE ... TO VERSION`` (Delta): commit a NEW version
@@ -1784,19 +2414,15 @@ class IncrementalRunner:
         try:
             rebuilt = set(self._leaf_partition_dirs(tmp, 1))
             n = self.spark.read.parquet(tmp).count() if rebuilt else 0
-            parts = dict(base["partitions"])
-            stats = dict(base.get("stats") or {})
-            for rel in in_range:  # the build is authoritative for the range
-                parts.pop(rel, None)
-                stats.pop(rel, None)
             guard = self._premanifest_marker(spec.name, live)
             parts_new, stats_new = (
                 self._ingest_files(tmp, spec.name, 1, bloom_col=spec.unique_key)
                 if rebuilt
                 else ({}, {})
             )
-            parts.update(parts_new)
-            stats.update(stats_new)
+            # the build is authoritative for the range; O(touched) overlay
+            parts = _overlay(base["partitions"], parts_new, removes=in_range)
+            stats = _overlay(base.get("stats") or {}, stats_new, removes=in_range)
             manifest = {
                 "version": base["version"] + 1,
                 "partition_by": list(spec.partition_by),

@@ -1263,6 +1263,92 @@ ORDER BY o_orderkey
 """
 
 
+def merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-clause MERGE INTO (r7): bootstrap a status-partitioned
+    orders target, then one MERGE exercising first-match-wins ordering —
+    matched-DELETE (k%35=0), conditional matched-UPDATE (s.p>100000), a
+    catch-all matched-UPDATE, and a conditional INSERT (even keys only).
+    The engine rewrites only files containing ON-matches (file surgery
+    asserted in tests/test_merge_into.py); the oracle replays the clause
+    ladder as a FULL JOIN + CASE."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_merge_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = _dml_boot_spec("merge_orders")
+        runner.run(spec, sf_dir)
+        upd = (
+            spark.table("orders")
+            .filter("o_orderkey % 5 = 0")
+            .select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + 10.0).alias("p"),
+                F.col("o_custkey").alias("c"),
+            )
+        )
+        new = spark.range(50).select(
+            (F.col("id") + 90_000_000).alias("k"),
+            (F.col("id") * 1.5 + 1.0).alias("p"),
+            F.lit(7).cast("long").alias("c"),
+        )
+        runner.merge_into(
+            spec,
+            upd.unionByName(new),
+            on="t.o_orderkey = s.k",
+            matched=[
+                ("delete", "s.k % 35 = 0"),
+                ("update", "s.p > 100000", {"o_totalprice": "s.p"}),
+                ("update", None, {"o_totalprice": "s.p + 0.5", "o_custkey": "0 - s.c"}),
+            ],
+            not_matched=[
+                ("insert", "s.k % 2 = 0", {
+                    "o_orderkey": "s.k",
+                    "o_custkey": "s.c",
+                    "o_totalprice": "s.p",
+                    "o_orderdate": "DATE '2030-01-01'",
+                    "o_orderstatus": "'N'",
+                }),
+            ],
+        )
+        return materialize(
+            runner.read_target("merge_orders").orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_MERGE_MULTI_CLAUSE = """
+WITH src AS (
+    SELECT o_orderkey AS k, o_totalprice + 10.0 AS p, o_custkey AS c
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT i + 90000000, i * 1.5 + 1.0, 7 FROM UNNEST(range(0, 50)) AS u(i)
+),
+tgt AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+        FROM orders)
+SELECT
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderkey ELSE s.k END AS o_orderkey,
+  CASE WHEN t.o_orderkey IS NOT NULL AND s.k IS NOT NULL
+            AND NOT (s.k % 35 = 0) AND NOT (s.p > 100000) THEN 0 - s.c
+       WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+       ELSE s.c END AS o_custkey,
+  CASE WHEN t.o_orderkey IS NOT NULL AND s.k IS NOT NULL AND NOT (s.k % 35 = 0)
+            THEN CASE WHEN s.p > 100000 THEN s.p ELSE s.p + 0.5 END
+       WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice
+       ELSE s.p END AS o_totalprice,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate
+       ELSE DATE '2030-01-01' END AS o_orderdate,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus ELSE 'N' END AS o_orderstatus
+FROM tgt t FULL JOIN src s ON t.o_orderkey = s.k
+WHERE NOT (t.o_orderkey IS NOT NULL AND s.k IS NOT NULL AND s.k % 35 = 0)
+  AND NOT (t.o_orderkey IS NULL AND NOT (s.k % 2 = 0))
+ORDER BY o_orderkey
+"""
+
+
 def register_queries(register) -> None:
     register("incremental_two_batch_upsert", incremental_two_batch, incremental_oracle())
     register("incremental_td_two_batch", incremental_td_two_batch, incremental_td_oracle())
@@ -1328,3 +1414,4 @@ def register_queries(register) -> None:
     register("bloom_point_lookup", bloom_point_lookup, O_BLOOM_LOOKUP)
     register("dml_delete_update", dml_delete_update, O_DML_DELETE_UPDATE)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
+    register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)

@@ -143,15 +143,17 @@ class _ManifestFile(InputPartition):
 
 
 def _manifest_json(root: str, model: str, version: int) -> dict | None:
-    import json
     import os
 
     mdir = os.path.join(root, model, "_manifest")
     p = os.path.join(mdir, f"v{version:06d}.json")
     if not os.path.isfile(p):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    # the shared loader hydrates checkpointed (segment-backed) manifests
+    # lazily; inline manifests come back as plain dicts
+    from mycarely_saas_dbt_spark.incremental import load_manifest_file
+
+    return load_manifest_file(p)
 
 
 def _manifest_current_version(root: str, model: str) -> int:

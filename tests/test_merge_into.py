@@ -1,0 +1,246 @@
+"""Multi-clause MERGE INTO (Delta/Iceberg MERGE) — copy-on-write, first-
+match-wins clause ordering, cardinality violation, file-level surgery.
+
+Differential oracle: every scenario is replayed as plain relational SQL in
+DuckDB over the same inputs (FULL JOIN + CASE ladder), so clause-resolution
+bugs flip row values, and the manifest assertions prove only match-bearing
+files were rewritten."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"]
+
+
+@pytest.fixture()
+def target_root(tmp_path):
+    p = str(tmp_path / "target")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _boot_spec(name="m_orders"):
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    def boot(sp, sfd, wm):
+        register_sources(sp, sfd)
+        return sp.table("orders").select(*COLS).repartition(6, "o_orderkey")
+
+    return ModelSpec(
+        name, "o_orderkey", "o_orderkey", boot, partition_by=["o_orderstatus"]
+    )
+
+
+def _source(spark):
+    """Deterministic source: every 5th order (updated totalprice), every
+    35th (delete victims via condition), plus 50 brand-new keys."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    upd = (
+        spark.table("orders")
+        .filter("o_orderkey % 5 = 0")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 10.0).alias("p"),
+            F.col("o_custkey").alias("c"),
+        )
+    )
+    new = spark.range(50).select(
+        (F.col("id") + 90_000_000).alias("k"),
+        (F.col("id") * 1.5 + 1.0).alias("p"),
+        F.lit(7).cast("long").alias("c"),
+    )
+    return upd.unionByName(new)
+
+
+O_SOURCE = """
+SELECT o_orderkey AS k, o_totalprice + 10.0 AS p, o_custkey AS c
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT i + 90000000, i * 1.5 + 1.0, 7 FROM UNNEST(range(0, 50)) AS u(i)
+"""
+
+
+def _run_merge(spark, target_root):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec()
+    runner.run(spec, SF_DIR)
+    res = runner.merge_into(
+        spec,
+        _source(spark),
+        on="t.o_orderkey = s.k",
+        matched=[
+            ("delete", "s.k % 35 = 0"),
+            ("update", "s.p > 100000", {"o_totalprice": "s.p"}),
+            ("update", None, {"o_totalprice": "s.p + 0.5", "o_custkey": "0 - s.c"}),
+        ],
+        not_matched=[
+            ("insert", "s.k % 2 = 0", {
+                "o_orderkey": "s.k",
+                "o_custkey": "s.c",
+                "o_totalprice": "s.p",
+                "o_orderdate": "DATE '2030-01-01'",
+                "o_orderstatus": "'N'",
+            }),
+        ],
+    )
+    return runner, spec, res
+
+
+ORACLE = f"""
+WITH src AS ({O_SOURCE}),
+tgt AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus FROM orders)
+SELECT
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderkey ELSE s.k END AS o_orderkey,
+  CASE WHEN t.o_orderkey IS NOT NULL AND s.k IS NOT NULL
+            AND NOT (s.k % 35 = 0) AND NOT (s.p > 100000) THEN 0 - s.c
+       WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+       ELSE s.c END AS o_custkey,
+  CASE WHEN t.o_orderkey IS NOT NULL AND s.k IS NOT NULL AND NOT (s.k % 35 = 0)
+            THEN CASE WHEN s.p > 100000 THEN s.p ELSE s.p + 0.5 END
+       WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice
+       ELSE s.p END AS o_totalprice,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate
+       ELSE DATE '2030-01-01' END AS o_orderdate,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus ELSE 'N' END AS o_orderstatus
+FROM tgt t FULL JOIN src s ON t.o_orderkey = s.k
+WHERE NOT (t.o_orderkey IS NOT NULL AND s.k IS NOT NULL AND s.k % 35 = 0)
+  AND NOT (t.o_orderkey IS NULL AND NOT (s.k % 2 = 0))
+ORDER BY o_orderkey
+"""
+
+
+def test_merge_matches_sql_oracle(spark, duck, target_root):
+    from tests.conftest import assert_df_matches_oracle
+
+    runner, spec, res = _run_merge(spark, target_root)
+    out = runner.read_target("m_orders").orderBy("o_orderkey")
+    assert_df_matches_oracle(out, duck, ORACLE)
+    assert res["rows_inserted"] == 25  # the 50 new keys are alternating parity
+    assert res["rows_deleted"] > 0 and res["rows_updated"] > 0
+
+
+def test_merge_rewrites_only_matching_files(spark, target_root):
+    """Files with no ON-match carry forward BY NAME in the manifest: a
+    3-key source touches at most 3 hash buckets; the other files of the
+    ~18-file target ride forward verbatim."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec()
+    runner.run(spec, SF_DIR)
+    src = (
+        spark.table("orders")
+        .filter("o_orderkey % 5000 = 1")
+        .select(F.col("o_orderkey").alias("k"), F.lit(9.0).alias("p"))
+    )
+    res = runner.merge_into(
+        spec,
+        src,
+        on="t.o_orderkey = s.k",
+        matched=[("update", None, {"o_totalprice": "s.p"})],
+    )
+    assert 0 < res["files_rewritten"] <= 3
+    assert res["rows_updated"] == 3
+    m1 = runner._manifest_at("m_orders", 1)
+    m2 = runner.current_manifest("m_orders")
+    old_files = {(r, f) for r, fl in m1["partitions"].items() for f in fl}
+    new_files = {(r, f) for r, fl in m2["partitions"].items() for f in fl}
+    carried = old_files & new_files
+    added = new_files - old_files
+    assert added, "merge wrote no new files"
+    # touched entries delisted, exactly the replacements added
+    assert len(new_files) == len(old_files) - res["files_rewritten"] + len(added)
+    assert len(carried) == len(old_files) - res["files_rewritten"]
+    assert carried, "expected carried-forward files"
+    assert runner.read_target("m_orders").count() > 0
+
+
+def test_merge_not_matched_by_source(spark, duck, target_root):
+    """WHEN NOT MATCHED BY SOURCE DELETE with a condition — target rows
+    absent from the source and failing no condition survive."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from tests.conftest import assert_df_matches_oracle
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m2")
+    runner.run(spec, SF_DIR)
+    src = spark.range(10).select((F.col("id") * 100 + 1).alias("k"))
+    runner.merge_into(
+        spec,
+        src,
+        on="t.o_orderkey = s.k",
+        matched=[("update", None, {"o_totalprice": "t.o_totalprice * 2"})],
+        not_matched_by_source=[("delete", "t.o_orderkey % 11 = 0")],
+    )
+    out = runner.read_target("m2").orderBy("o_orderkey")
+    oracle = """
+WITH src AS (SELECT i * 100 + 1 AS k FROM UNNEST(range(0, 10)) AS u(i))
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey IN (SELECT k FROM src)
+            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderstatus
+FROM orders
+WHERE NOT (o_orderkey NOT IN (SELECT k FROM src) AND o_orderkey % 11 = 0)
+ORDER BY o_orderkey
+"""
+    assert_df_matches_oracle(out, duck, oracle)
+
+
+def test_merge_cardinality_violation_raises(spark, target_root):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m3")
+    runner.run(spec, SF_DIR)
+    dup = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k long, p double")
+    with pytest.raises(Exception, match="cardinality violation"):
+        runner.merge_into(
+            spec,
+            dup,
+            on="t.o_orderkey = s.k",
+            matched=[("update", None, {"o_totalprice": "s.p"})],
+        )
+
+
+def test_merge_insert_only_into_new_partition(spark, target_root):
+    """No ON matches at all: zero files rewritten, inserts land in their
+    own partition, every pre-existing file carries forward by name."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m4")
+    runner.run(spec, SF_DIR)
+    m1 = runner.current_manifest("m4")
+    src = spark.range(5).select(
+        (F.col("id") + 95_000_000).alias("k"), F.lit(1.0).alias("p")
+    )
+    res = runner.merge_into(
+        spec,
+        src,
+        on="t.o_orderkey = s.k",
+        matched=[("update", None, {"o_totalprice": "s.p"})],
+        not_matched=[("insert", None, {
+            "o_orderkey": "s.k", "o_custkey": "1", "o_totalprice": "s.p",
+            "o_orderdate": "DATE '2031-01-01'", "o_orderstatus": "'Z'",
+        })],
+    )
+    assert res["files_rewritten"] == 0
+    assert res["rows_inserted"] == 5 and res["rows_deleted"] == 0
+    m2 = runner.current_manifest("m4")
+    for rel in m1["partitions"]:
+        assert list(m1["partitions"][rel]) == list(m2["partitions"][rel])
+    assert "o_orderstatus=Z" in set(m2["partitions"])
+    assert (
+        runner.read_target("m4").filter("o_orderstatus = 'Z'").count() == 5
+    )
