@@ -1773,8 +1773,133 @@ FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023, public
+# paper): score every RAW-pool document by how target-like its hashed
+# n-gram feature distribution is, then keep the top-K. Features are
+# unigrams+bigrams hashed into DSIR_BUCKETS (the paper's hashed bag of
+# n-grams); per-bucket importance ratios use add-one smoothing. One
+# deliberate deviation for cross-engine exactness: the per-bucket
+# log-likelihood ratio log(p_b/q_b) is replaced by the FIXED-POINT ratio
+# ((p_b+1)*SCALE) DIV (q_b+1) — a bigint both engines compute identically
+# (floating-point log summation order would flip the value hash), rank-
+# equivalent per bucket and upweighting exactly the same target-heavy
+# buckets; and resampling is the deterministic top-K variant (score desc,
+# doc_id tiebreak) rather than Gumbel noise.
+#
+# Scale shape (100 TB): ONE (doc, bucket) shuffle (map-side combinable —
+# cardinality <= docs x DSIR_BUCKETS, far below the exploded gram count);
+# the bucket ratio table is DSIR_BUCKETS rows, broadcast into the scoring
+# join; top-K is Spark's TakeOrdered (per-partition heaps, no full sort).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+# 1e6 (not 1e9) keeps sum(n * ratio) comfortably inside BIGINT at corpus
+# scale: per-bucket contribution <= ~p_b * SCALE, so even a 10^12-gram
+# target stays under 2^63 summed over 1024 buckets. DuckDB raises on
+# bigint overflow while Spark wraps — headroom is a correctness contract.
+DSIR_SCALE = 1_000_000
+DSIR_TOP_K = 120
+DSIR_TARGET_LANG = "en"  # target distribution p; raw pool q = every other doc
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").withColumn("__toks", _toks())
+    grams = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        F.explode(
+            F.expr(
+                "concat(__toks, CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(0, size(__toks) - 2), i -> "
+                "concat(__toks[i], ' ', __toks[i + 1])) ELSE array() END)"
+            )
+        ).alias("gram"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS,
+    )
+    # the one wide shuffle: per-(doc, bucket) counts, map-side combined
+    db = grams.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # bucket-level p (target) and q (raw pool) in one pass — B rows
+    ratios = (
+        db.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("p"),
+            F.sum(F.when(~F.col("is_target"), F.col("n")).otherwise(0)).alias("q"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"(p + 1) * CAST({DSIR_SCALE} AS BIGINT) DIV (q + 1)").alias(
+                "ratio"
+            ),
+        )
+    )
+    scored = (
+        db.filter(~F.col("is_target"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("ratio")).alias("dsir_score"))
+    )
+    return (
+        scored.join(
+            spark.table("documents").select("doc_id", "lang", "source"),
+            "doc_id",
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(DSIR_TOP_K)
+        .select("doc_id", "lang", "source", "dsir_score")
+    )
+
+
+O_DSIR = f"""
+WITH t AS (
+    SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, is_target,
+           unnest(toks || CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END) AS gram
+    FROM t
+),
+db AS (
+    SELECT doc_id, is_target,
+           CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket,
+           COUNT(*) AS n
+    FROM grams GROUP BY 1, 2, 3
+),
+ratios AS (
+    SELECT bucket,
+           (SUM(CASE WHEN is_target THEN n ELSE 0 END) + 1)
+               * CAST({DSIR_SCALE} AS BIGINT)
+               // (SUM(CASE WHEN NOT is_target THEN n ELSE 0 END) + 1) AS ratio
+    FROM db GROUP BY bucket
+),
+scored AS (
+    SELECT db.doc_id, CAST(SUM(db.n * r.ratio) AS BIGINT) AS dsir_score
+    FROM db JOIN ratios r USING (bucket)
+    WHERE NOT db.is_target
+    GROUP BY db.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, s.dsir_score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.dsir_score DESC, d.doc_id
+LIMIT {DSIR_TOP_K}
+"""
+
+
 def register_extra(register) -> None:
     register("text_normalize", text_normalize, O_TEXT_NORMALIZE)
+    register("dsir_select", dsir_select, O_DSIR)
     register("tfidf_keywords", tfidf_keywords, O_TFIDF)
     register("training_mix_pipeline", training_mix_pipeline, _training_mix_oracle())
     register("substring_containment", substring_containment, O_CONTAINMENT)

@@ -330,3 +330,16 @@ def test_pagerank_distributed_step_plan_is_equijoined(spark):
     plan = _plan(_pr_step(edges, ranks, nodes, 123))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_scoring_broadcasts_bucket_ratios(spark):
+    """DSIR's scoring join must broadcast the DSIR_BUCKETS-row ratio table
+    (the doc-bucket side is corpus-scale — a shuffle join there would
+    re-exchange the whole feature relation), and candidate generation
+    must stay equi-joined."""
+    from mycarely_saas_dbt_spark.operators.textops import dsir_select
+
+    plan = _plan(dsir_select(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
