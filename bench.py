@@ -74,6 +74,11 @@ EXTENSION_QUERIES = [
     # heaviest new graph op)
     "bm25_index_search",
     "graph_triangles",
+    # r7 continuation: multi-clause MERGE (two-job copy-on-write file
+    # surgery incl. the target bootstrap) and DSIR hashed n-gram
+    # importance selection (one doc-bucket shuffle + broadcast ratios)
+    "merge_multi_clause",
+    "dsir_select",
 ]
 
 

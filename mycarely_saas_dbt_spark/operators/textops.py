@@ -1821,9 +1821,14 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
         % DSIR_BUCKETS,
     )
-    # the one wide shuffle: per-(doc, bucket) counts, map-side combined
-    db = grams.groupBy("doc_id", "is_target", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # the one wide shuffle: per-(doc, bucket) counts, map-side combined.
+    # db feeds BOTH the ratio aggregation and the scoring join —
+    # localCheckpoint materializes it once (without it the gram explode +
+    # shuffle re-runs per consumer; the plan audit caught the double scan)
+    db = (
+        grams.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     # bucket-level p (target) and q (raw pool) in one pass — B rows
     ratios = (

@@ -9,6 +9,7 @@ the final materialized state as a DataFrame.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import shutil
 import tempfile
 
@@ -1263,6 +1264,50 @@ ORDER BY o_orderkey
 """
 
 
+def streaming_admission_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion admission control (r7): stateless quality gate
+    + per-source quota via one-counter GroupState, drained with
+    availableNow over a deterministic two-batch feed. The admitted set
+    must equal the batch rule: quality-filtered ROW_NUMBER by doc_id
+    <= quota per source. Exactly-once proven structurally: admit_seq is
+    unique per source by construction, duplicates would flip the hash."""
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        admission_quota_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_admit_")
+    try:
+        q = admission_quota_stream(spark, sf_dir, root)
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(os.path.join(root, "admitted"))
+            .select("source", "doc_id", "admit_seq")
+            .orderBy("source", "admit_seq")
+        )
+        return materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_admission_oracle() -> str:
+    from mycarely_saas_dbt_spark.streaming.traffic_stream import (
+        ADM_MIN_CHARS,
+        ADM_QUOTA,
+    )
+
+    return f"""
+SELECT source, doc_id, CAST(rn AS BIGINT) AS admit_seq
+FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+    WHERE n_chars >= {ADM_MIN_CHARS}
+)
+WHERE rn <= {ADM_QUOTA}
+ORDER BY source, admit_seq
+"""
+
+
 def merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multi-clause MERGE INTO (r7): bootstrap a status-partitioned
     orders target, then one MERGE exercising first-match-wins ordering —
@@ -1415,3 +1460,8 @@ def register_queries(register) -> None:
     register("dml_delete_update", dml_delete_update, O_DML_DELETE_UPDATE)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
+    register(
+        "streaming_admission_quota",
+        streaming_admission_quota,
+        streaming_admission_oracle(),
+    )

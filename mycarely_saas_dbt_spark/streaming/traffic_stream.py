@@ -503,7 +503,10 @@ def user_profile_stream(spark: SparkSession, sf_dir: str, target: str):
     def fold(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, cents, max_ts = state.get() if state.exists else (0, 0, 0)
+        # GroupState.get is a PROPERTY in pyspark.sql.streaming.state —
+        # calling it raises once a key actually carries state across
+        # batches (latent until a multi-batch feed exercises the path)
+        n, cents, max_ts = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
             cents += int(pdf["cents"].sum())
@@ -524,6 +527,89 @@ def user_profile_stream(spark: SparkSession, sf_dir: str, target: str):
 
     # upsert by user_id: later batches revise earlier profiles
     return start_exactly_once(prof, target, semantics="merge", keys=["user_id"])
+
+
+# --------------------------------------------------------------------------
+# streaming ADMISSION CONTROL: per-source quota + quality gate
+# --------------------------------------------------------------------------
+
+ADM_QUOTA = 8          # max docs admitted per source, across ALL batches
+ADM_MIN_CHARS = 250    # stateless quality gate (pre-state, narrow filter)
+ADM_SPLIT_ID = 250     # micro-batch boundary: batch1 < split <= batch2
+
+
+def admission_quota_stream(spark: SparkSession, sf_dir: str, workdir: str):
+    """Streaming corpus ADMISSION CONTROL — the ingestion-side guard a
+    training-data pipeline runs in front of the lake: a stateless quality
+    gate (min doc length) drops junk before any state is touched, then a
+    per-source QUOTA admits at most ADM_QUOTA documents per source across
+    the whole stream (the anti-domination rule `domain_cap_sample`
+    applies in batch, enforced here at ingest time so over-quota docs are
+    never even persisted).
+
+    Mechanics: docs shuffle once on source; each source's GroupState
+    carries ONE bigint (admitted-so-far). Within a micro-batch the fold
+    admits in ascending doc_id order; the feed splits batches BY doc_id,
+    so the admission order is globally deterministic (batch order ==
+    doc_id order) and the DuckDB oracle is a plain quality-filtered
+    ROW_NUMBER <= quota. Only newly-admitted rows are emitted (append
+    mode) through the batch_dir exactly-once sink — a replayed batch
+    overwrites its own commit dir, never double-admits.
+
+    100 TB shape: state is ONE counter per source (bounded by the source
+    catalog, not the corpus); the gate runs pre-shuffle so rejected docs
+    never exchange; admitted output is append-only. A production variant
+    adds a ProcessingTimeTimeout to expire idle sources and a per-window
+    key (source, day) for rolling quotas — same operator, wider key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    f1 = docs.filter(F.col("doc_id") < ADM_SPLIT_ID)
+    f2 = docs.filter(F.col("doc_id") >= ADM_SPLIT_ID)
+    for i, df in enumerate((f1, f2), start=1):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1000000000 + i * 1000, 1000000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gated = stream.filter(F.col("n_chars") >= ADM_MIN_CHARS)
+
+    def admit(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)  # .get is a property
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        take = rows.iloc[: max(0, ADM_QUOTA - n)]
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    "source": take["source"].to_numpy(),
+                    "doc_id": take["doc_id"].to_numpy(),
+                    "admit_seq": pd.RangeIndex(n + 1, n + 1 + len(take)).to_numpy(),
+                }
+            )
+        state.update((n + len(take),))
+
+    admitted = gated.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType="source string, doc_id bigint, admit_seq bigint",
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    target = os.path.join(workdir, "admitted")
+    return start_exactly_once(admitted, target, semantics="batch_dir")
 
 
 # --------------------------------------------------------------------------

@@ -60,6 +60,12 @@ AUDIT = [
     # ann_pq_index_recall / bm25_index_search)
     "ann_pq_index_recall",
     "bm25_index_search",
+    # r7 continuation: DSIR scoring (broadcast ratio join over the
+    # doc-bucket relation). merge_multi_clause materializes through the
+    # commit protocol (its job-1/job-2 shapes are pinned in
+    # tests/test_merge_into.py; the audit driver only captures SELECT
+    # plans).
+    "dsir_select",
 ]
 
 
