@@ -200,9 +200,24 @@ def _window_order(names: list[str]) -> list[str]:
     return head + [n for n in names if n not in set(head)]
 
 
+def _with_runtime_confs(fn: QueryFn) -> QueryFn:
+    # Defensive session-conf independence (VERDICT r7 item 1): the driver's
+    # verify harness builds its own plain SparkSession, so every registered
+    # query applies the engine's runtime-settable conf assumptions (Arrow,
+    # Python-source filter pushdown, UTC, nanosAsLong, AQE) at entry rather
+    # than assuming session.get_spark() built the session.
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mycarely_saas_dbt_spark.session import ensure_runtime_confs
+
+        ensure_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def build_queries() -> dict[str, QueryFn]:
     _populate()
-    return {n: _QUERIES[n] for n in _window_order(list(_QUERIES))}
+    return {n: _with_runtime_confs(_QUERIES[n]) for n in _window_order(list(_QUERIES))}
 
 
 def build_oracle_sql() -> dict[str, str]:

@@ -238,13 +238,37 @@ def _rel_pruned(rel: str, bounds: dict) -> bool:
         if "=" in comp:
             k, v = comp.split("=", 1)
             vals[k] = unquote(v)
+    def _num(x):
+        try:
+            return int(x)
+        except (TypeError, ValueError):
+            try:
+                return float(x)
+            except (TypeError, ValueError):
+                return None
+
     for col, (lo, hi) in bounds.items():
         v = vals.get(col)
         if v is None or v == _HIVE_NULL:
             continue
         probe = hi if hi is not None else lo
         if isinstance(probe, bool) or not isinstance(probe, (int, float)):
-            pass  # string/ISO bounds compare against the raw path value
+            # string/ISO bounds — but a path value that ENCODES a number
+            # ('bucket=9' vs bound ('9','10')) must not be compared
+            # lexicographically ('9' > '1' prefix would wrongly prune a
+            # live partition). Parse BOTH sides numerically first; on a
+            # mixed parse (value numeric, a bound not) skip rel-level
+            # pruning for this column — the conservative file-stats pass
+            # still applies downstream.
+            nv = _num(v)
+            if nv is not None:
+                nlo = _num(lo) if lo is not None else None
+                nhi = _num(hi) if hi is not None else None
+                if (lo is not None and nlo is None) or (
+                    hi is not None and nhi is None
+                ):
+                    continue
+                v, lo, hi = nv, nlo, nhi
         else:
             try:
                 v = float(v) if isinstance(probe, float) else int(v)
@@ -286,7 +310,18 @@ def _write_segment(segdir: str, files: list, stats_list: list) -> dict:
     payload = json.dumps([files, stats_list], separators=(",", ":")).encode()
     name = f"seg-{hashlib.md5(payload).hexdigest()}.parquet"
     path = os.path.join(segdir, name)
-    if not os.path.isfile(path):
+    if os.path.isfile(path):
+        # refresh mtime on the dedupe hit: the segment-GC's mtime grace
+        # only shields RECENT files, and this writer is about to reference
+        # an old, possibly currently-unreferenced segment in its commit.
+        # Without the touch, a concurrent vacuum that live-scanned before
+        # this commit's version file lands would see an old-mtime orphan
+        # and delete it — leaving the new version with a dangling ref.
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
+    else:
         t = pa.table(
             {
                 "file": pa.array(files, pa.string()),
@@ -1861,10 +1896,18 @@ class IncrementalRunner:
             for p in foreign:
                 if p in full:
                     emap[p] = full[p]
+        # hydrate each distinct rel's file list ONCE — subscripting a
+        # SegmentedMap re-materializes the segment, so doing it per touched
+        # file would make validation O(touched_files x rel_size)
+        lparts = live["partitions"]
+        rel_sets = {
+            rel: set(lparts[rel]) if rel in lparts else None
+            for rel in {rel for rel, _ in emap.values()}
+        }
         unknown = {
             p
             for p, (rel, e) in emap.items()
-            if rel not in live["partitions"] or e not in set(live["partitions"][rel])
+            if rel_sets[rel] is None or e not in rel_sets[rel]
         } | (set(foreign) - set(emap))
         if unknown:
             raise RuntimeError(
@@ -2042,7 +2085,25 @@ class IncrementalRunner:
         ``prune`` to bound them (the same demand Delta places on
         WHEN NOT MATCHED BY SOURCE). Duplicate source matches for one
         target row raise (the Delta cardinality violation) rather than
-        nondeterministically applying one."""
+        nondeterministically applying one — except when no ``matched``
+        clause exists: an insert-only merge tolerates duplicate source
+        matches (Delta's rule; the matched target rows are untouched),
+        and a by-source-only merge keeps exactly one copy of each
+        matched target row.
+
+        Insert-only fast path: with no ``matched`` and no
+        ``not_matched_by_source`` clauses, NO target file is rewritten —
+        matched source rows are filtered with an anti-join and the
+        inserts are appended (files_rewritten == 0), exactly Delta's
+        insert-only merge optimization.
+
+        ``prune`` CONTRACT: the pruned candidate set must be a superset
+        of every target row the ON condition can match (the same
+        contract Delta derives automatically from the ON predicate).
+        A prune that hides genuinely-matching target rows makes their
+        source rows look not-matched and re-inserts them — duplicate
+        keys with no error. Use prune to bound the by-source widening
+        and to skip partitions the ON keys provably cannot reach."""
         from pyspark.sql import Observation
         from pyspark.sql.window import Window
 
@@ -2066,6 +2127,8 @@ class IncrementalRunner:
                 return F.lit(True)
             return F.coalesce(F.expr(c).cast("boolean"), F.lit(False))
 
+        insert_only = not matched and not not_matched_by_source
+        src_eff = source
         if cand:
             raw = self._read_files(root, live, cand).select(
                 "*", F.col("_metadata.file_path").alias("__fp")
@@ -2074,7 +2137,18 @@ class IncrementalRunner:
                 raw = raw.select(
                     *[F.col(n).cast(t).alias(n) for n, t in dtypes], "__fp"
                 )
-            if not_matched_by_source:
+            if insert_only:
+                # Delta's insert-only fast path: matched target rows are
+                # untouched, so no file is rewritten AT ALL — filter the
+                # source to genuinely-new rows with an anti-join (Catalyst
+                # prunes the target read to the ON columns) and append.
+                # Also the fix for the duplicate-source fan-out: the
+                # full-outer join below never sees matched rows.
+                touched = set()
+                src_eff = source.alias("s").join(
+                    raw.alias("t"), F.expr(on), "left_anti"
+                )
+            elif not_matched_by_source:
                 # these clauses must SEE every candidate target row
                 touched = set(cand)
             else:
@@ -2102,9 +2176,11 @@ class IncrementalRunner:
         out_cols = tcols or (tgt.columns if tgt is not None else source.columns)
 
         if tgt is None:
-            # no matches and no by-source clauses: pure insert path
+            # insert-only fast path / no candidate matches: src_eff is the
+            # anti-joined source (matched rows already removed), no target
+            # side to join
             j = (
-                source.alias("s")
+                src_eff.alias("s")
                 .withColumn("__s", F.lit(True))
                 .withColumn("__t", F.lit(False))
             )
@@ -2134,27 +2210,41 @@ class IncrementalRunner:
         # never prune it away. Source-only rows get synthetic unique window
         # keys, keeping the NULL-__tid rows from piling into one partition.
         branches = []
-        if matched and tgt is not None:
+        if tgt is not None:
+            # the fan-out guard must exist WHENEVER the target side is
+            # joined: duplicate source matches for one target row fan that
+            # row out in the full-outer join regardless of clause lists
             j = j.withColumn(
                 "__wkey",
                 F.coalesce(
                     F.col("__tid"), -F.monotonically_increasing_id() - F.lit(1)
                 ),
             )
-            n_match = F.count(F.when(is_m, F.lit(1))).over(
-                Window.partitionBy("__wkey")
-            )
-            branches.append(
-                (
-                    is_m & (n_match > 1),
-                    F.raise_error(
-                        F.lit(
-                            f"{name}: MERGE cardinality violation — multiple "
-                            "source rows match one target row"
-                        )
-                    ).cast("string"),
+            if matched:
+                # Delta cardinality rule: ambiguous update/delete raises
+                n_match = F.count(F.when(is_m, F.lit(1))).over(
+                    Window.partitionBy("__wkey")
                 )
-            )
+                branches.append(
+                    (
+                        is_m & (n_match > 1),
+                        F.raise_error(
+                            F.lit(
+                                f"{name}: MERGE cardinality violation — multiple "
+                                "source rows match one target row"
+                            )
+                        ).cast("string"),
+                    )
+                )
+            else:
+                # by-source-only merge: matched target rows are kept, not
+                # modified — Delta tolerates duplicate source matches here,
+                # so keep exactly ONE copy per target row (every copy
+                # carries identical t-side values)
+                rn = F.row_number().over(
+                    Window.partitionBy("__wkey").orderBy("__wkey")
+                )
+                branches.append((is_m & (rn > 1), F.lit("drop")))
         for i, cl in enumerate(matched):
             branches.append((is_m & _cond(cl[1]), F.lit(f"m{i}")))
         branches.append((is_m, F.lit("keep")))

@@ -12,6 +12,51 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Factory confs that are RUNTIME-settable SQL confs (spark.conf.set works on
+# a live session). Every registered query applies these defensively at entry
+# (entry.build_queries wraps each callable) so correctness never depends on
+# the session having been built by get_spark() — the driver's verify harness
+# builds its own plain SparkSession (VERDICT r7 item 1: pyds_pushdown_slice
+# failed with [DATA_SOURCE_PUSHDOWN_DISABLED] only under the driver session).
+# Static confs (master, driver memory, UI) are intentionally absent: they
+# cannot change post-launch and none affect query results.
+RUNTIME_CONFS: dict[str, str] = {
+    # Spark 4.1 hard-fails planning a Python data source that implements
+    # pushFilters() when this is false — it is not an optimization toggle.
+    "spark.sql.python.filterPushdown.enabled": "true",
+    # Arrow batch transfer for every pandas_udf / mapInPandas escape hatch.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Calendar-stable timestamp->date casts (parity with the DuckDB oracle,
+    # which runs in UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Tolerate parquet TIMESTAMP(NANOS) from older testdata snapshots.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: these only shape physical plans (never results) but the scale
+    # posture should not silently degrade under a foreign session either.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable conf assumptions to ANY session.
+
+    Idempotent and cheap (reads before writes, no jobs). Called at query
+    entry for every registered query and at Python-data-source registration
+    so results are independent of which factory built the session.
+    """
+    for key, want in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:
+            # a conf unknown to this Spark build (version drift) must not
+            # take the query down — the query either works without it or
+            # fails with its own clearer error
+            pass
+
+
 def get_spark(
     app_name: str = "mycarely-saas-spark",
     shuffle_partitions: int | None = None,

@@ -117,6 +117,14 @@ class LedgerDataSource(DataSource):
 
 
 def register_ledger_source(spark) -> None:
+    # Spark 4.1 refuses to PLAN any Python source implementing pushFilters()
+    # unless spark.sql.python.filterPushdown.enabled is true — a session-level
+    # runtime conf the engine's own factory sets but a foreign session (the
+    # driver's verify harness) may not. Apply the engine's runtime confs here
+    # so registering the source is sufficient to use it.
+    from mycarely_saas_dbt_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     spark.dataSource.register(LedgerDataSource)
 
 

@@ -245,3 +245,23 @@ def test_inline_to_checkpoint_transition(spark, target_root, monkeypatch):
     assert runner.read_target("t").count() == 215  # 200 - 25 replaced + 40
     # and v1 (inline) still time-travels
     assert runner.read_target("t", version=1).count() == 200
+
+
+def test_segment_dedupe_hit_refreshes_mtime(tmp_path):
+    """ADVICE r7 (medium): a content-addressed dedupe hit must refresh the
+    segment's mtime, or a commit about to reference an OLD unreferenced
+    segment races the vacuum's mtime grace and commits a dangling ref."""
+    import os
+    import time
+
+    from mycarely_saas_dbt_spark.incremental import _write_segment
+
+    segdir = str(tmp_path)
+    files = [f"part-{i}.parquet" for i in range(4)]
+    stats = [None] * 4
+    ref1 = _write_segment(segdir, files, stats)
+    path = os.path.join(segdir, ref1["f"])
+    os.utime(path, (1_000_000, 1_000_000))  # age it far past any grace
+    ref2 = _write_segment(segdir, files, stats)
+    assert ref2 == ref1
+    assert os.path.getmtime(path) > time.time() - 60

@@ -244,3 +244,75 @@ def test_merge_insert_only_into_new_partition(spark, target_root):
     assert (
         runner.read_target("m4").filter("o_orderstatus = 'Z'").count() == 5
     )
+
+
+def test_merge_insert_only_tolerates_duplicate_source_matches(
+    spark, target_root
+):
+    """ADVICE r7 (high): insert-only merge with multiple source rows
+    matching ONE target key must neither raise nor duplicate the matched
+    target row (Delta's insert-only rule) — and must rewrite ZERO files
+    (the insert-only fast path). Duplicate NON-matching source rows both
+    insert (Delta inserts every not-matched source row)."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m_insonly")
+    runner.run(spec, SF_DIR)
+    n0 = runner.read_target("m_insonly").count()
+    src = spark.createDataFrame(
+        [(1, 100.0, 5), (1, 200.0, 5), (90_000_001, 1.0, 7),
+         (90_000_002, 2.0, 7), (90_000_002, 3.0, 7)],
+        "k long, p double, c long",
+    )
+    res = runner.merge_into(
+        spec,
+        src,
+        on="t.o_orderkey = s.k",
+        not_matched=[("insert", None, {
+            "o_orderkey": "s.k",
+            "o_custkey": "s.c",
+            "o_totalprice": "s.p",
+            "o_orderdate": "DATE '2030-01-01'",
+            "o_orderstatus": "'N'",
+        })],
+    )
+    assert res["files_rewritten"] == 0, "insert-only merge must not rewrite"
+    assert res["rows_inserted"] == 3
+    out = runner.read_target("m_insonly")
+    assert out.count() == n0 + 3
+    # the matched key appears exactly once, with its ORIGINAL price
+    m = out.filter("o_orderkey = 1").collect()
+    assert len(m) == 1 and abs(m[0]["o_totalprice"] - 100.0) > 1e-9
+    assert out.filter("o_orderkey = 90000002").count() == 2
+
+
+def test_merge_by_source_only_tolerates_duplicate_source_matches(
+    spark, duck, target_root
+):
+    """ADVICE r7 (high) second shape: by-source-only merges join the full
+    candidate target, so duplicate source matches fanned matched rows out
+    as multiple 'keep' copies. Exactly one copy must survive."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from tests.conftest import assert_df_matches_oracle
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m_bysrc")
+    runner.run(spec, SF_DIR)
+    src = spark.createDataFrame([(1,), (1,), (1,)], "k long")
+    res = runner.merge_into(
+        spec,
+        src,
+        on="t.o_orderkey = s.k",
+        not_matched_by_source=[("delete", "t.o_orderkey % 7 = 3")],
+    )
+    out = runner.read_target("m_bysrc").orderBy("o_orderkey")
+    assert out.filter("o_orderkey = 1").count() == 1
+    oracle = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+FROM orders
+WHERE NOT (o_orderkey <> 1 AND o_orderkey % 7 = 3)
+ORDER BY o_orderkey
+"""
+    assert_df_matches_oracle(out, duck, oracle)
+    assert res["rows_inserted"] == 0 and res["rows_updated"] == 0

@@ -45,3 +45,19 @@ def test_data_filter_pushed_to_scan(spark):
     assert "LessThan(l_quantity,5.0)" in pushed, plan
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema, read_schema  # column pruning
+
+
+def test_rel_pruned_numeric_path_value_vs_string_bounds():
+    """ADVICE r7 (low): hive value 'bucket=9' with STRING bounds ('9','10')
+    must not be pruned lexicographically ('9' > '1' prefix). Both sides
+    parse numerically -> 9 is inside [9, 10] -> keep."""
+    from mycarely_saas_dbt_spark.incremental import _rel_pruned
+
+    assert _rel_pruned("bucket=9", {"bucket": ("9", "10")}) is False
+    # genuinely out-of-range numeric still prunes
+    assert _rel_pruned("bucket=9", {"bucket": ("10", "20")}) is True
+    # numeric path value vs non-numeric bound: skip rel pruning (keep)
+    assert _rel_pruned("bucket=9", {"bucket": ("a", "b")}) is False
+    # plain string/ISO bounds unchanged
+    assert _rel_pruned("day=2024-05-01", {"day": ("2024-01-01", "2024-02-01")}) is True
+    assert _rel_pruned("day=2024-01-15", {"day": ("2024-01-01", "2024-02-01")}) is False

@@ -216,3 +216,48 @@ def test_json_sink_commit_publishes_only_task_files(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == 9900
     with open(os.path.join(path, "_MANIFEST")) as fh:
         assert json.load(fh)["rows"] == 100
+
+
+def test_pushdown_query_survives_foreign_session_confs(spark):
+    """VERDICT r7 item 1: the driver's verify harness builds its own plain
+    SparkSession without the engine factory's confs, and Spark 4.1 then
+    hard-fails planning LedgerReader ([DATA_SOURCE_PUSHDOWN_DISABLED]).
+    Simulate that session by stripping the runtime confs the factory sets,
+    then require the REGISTERED entry (via build_queries, which applies
+    ensure_runtime_confs at entry) to still produce the oracle answer."""
+    from mycarely_saas_dbt_spark.entry import build_queries
+    from mycarely_saas_dbt_spark.session import RUNTIME_CONFS
+
+    saved = {k: spark.conf.get(k, None) for k in RUNTIME_CONFS}
+    try:
+        # a bare session leaves filterPushdown at its default (false) and
+        # has no Arrow/timezone overrides — emulate the worst case
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        row = build_queries()["pyds_pushdown_slice"](spark, SF_DIR).first()
+        assert row["n_rows"] == 1000
+        assert row["first_row"] == 2000 and row["last_row"] == 2999
+        # entry must have healed the session, not worked around it
+        assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_ensure_runtime_confs_idempotent_and_unknown_key_safe(spark):
+    from mycarely_saas_dbt_spark import session as sess
+
+    sess.ensure_runtime_confs(spark)
+    before = {k: spark.conf.get(k) for k in sess.RUNTIME_CONFS}
+    sess.ensure_runtime_confs(spark)
+    assert {k: spark.conf.get(k) for k in sess.RUNTIME_CONFS} == before
+    # an unknown conf key (version drift) must not raise
+    patched = dict(sess.RUNTIME_CONFS)
+    patched["spark.sql.nonexistent.conf.for.test"] = "true"
+    orig = sess.RUNTIME_CONFS
+    sess.RUNTIME_CONFS = patched
+    try:
+        sess.ensure_runtime_confs(spark)
+    finally:
+        sess.RUNTIME_CONFS = orig
