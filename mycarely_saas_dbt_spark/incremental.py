@@ -944,6 +944,32 @@ class IncrementalRunner:
             )
         )
 
+    def deleted_keys_since(
+        self, name: str, key: str, from_version: int
+    ) -> DataFrame | None:
+        """Keys DELETED from ``name`` between ``from_version`` and CURRENT
+        — the deletion-vector feed for delete-aware index reads (VERDICT
+        r7 item 2). A persistent index built at base version V composes
+        with row-level DELETE/CDC by anti-joining its read against this
+        set: the index keeps serving its committed snapshot while deleted
+        base rows vanish from results, exactly Delta's
+        deletion-vectors-applied-at-read shape (a periodic rebuild
+        re-absorbs them, like file compaction re-absorbs DVs).
+
+        Returns ``None`` when no commit happened since ``from_version``
+        (callers skip the anti-join entirely — the common fast path).
+        Metadata-bounded like ``table_changes``: only partitions whose
+        file lists differ between the two snapshots are read."""
+        cur = self.current_manifest(name)
+        if cur is None or cur["version"] <= from_version:
+            return None
+        ch = self.table_changes(name, key, from_version)
+        return (
+            ch.filter(F.col("_change_type") == "delete")
+            .select(key)
+            .distinct()
+        )
+
     def _recover_orphan_versions(self, name: str) -> None:
         """Delete version files never published by a CURRENT swap — the
         remains of a writer that crashed between the O_EXCL version-file

@@ -967,7 +967,10 @@ def _session_index_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def pq_index_topk(
-    spark: SparkSession, sf_dir: str, root: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    deleted: DataFrame | None = None,
 ) -> DataFrame:
     """Query the COMMITTED index: read codes + codebooks from one manifest
     snapshot, compute the per-query ADC tables driver-side (tiny numpy
@@ -975,7 +978,16 @@ def pq_index_topk(
     constant shortlist + exact re-rank as the transient path. No
     training, no corpus encode — the query-time corpus access is the
     committed codes scan plus the raw-vector re-rank of a bounded
-    shortlist."""
+    shortlist.
+
+    ``deleted`` (optional): vec_ids deleted from the base corpus SINCE
+    the index was built (``IncrementalRunner.deleted_keys_since`` over a
+    committed base — column ``vec_id`` or ``vid``). The codes read
+    anti-joins the broadcast set BEFORE shortlisting, so tombstoned
+    vectors neither appear in results nor occupy shortlist slots — the
+    deletion-vector-at-read shape; a rebuild re-absorbs them. Pruning is
+    unaffected: the anti-join composes on top of the probed-cell
+    partition filter (tests pin the PartitionFilters entry survives)."""
     import numpy as np
 
     from ..incremental import IncrementalRunner
@@ -986,6 +998,13 @@ def pq_index_topk(
     C = np.array(ann["coarse"], dtype=np.float64)
     B = np.array(ann["codebooks"], dtype=np.float64)
     enc = IncrementalRunner(spark, root).read_target(ANN_INDEX_NAME)
+    if deleted is not None:
+        key = "vec_id" if "vec_id" in deleted.columns else "vid"
+        enc = enc.join(
+            F.broadcast(deleted.select(F.col(key).alias("vid")).distinct()),
+            "vid",
+            "left_anti",
+        )
 
     register_sources(spark, sf_dir)
     e = _with_norm(spark.table("embeddings"))

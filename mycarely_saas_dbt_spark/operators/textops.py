@@ -1533,6 +1533,32 @@ def _bm25_bucket() -> F.Column:
     return F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS)).cast("int")
 
 
+def _bm25_postings(docs: DataFrame) -> tuple:
+    """Denormalized postings (term, doc_id, tf, dl, df, bucket) plus the
+    two corpus scalars (S, N) from any (doc_id, text) relation — shared
+    by the corpus-fingerprinted build and the committed-base build."""
+    from mycarely_saas_dbt_spark.util import bounded_persist
+
+    tf = bounded_persist(
+        docs.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "bm25index:tf",
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    S, N = dl.agg(
+        F.sum("dl").cast("long"), F.count(F.lit(1)).cast("long")
+    ).first()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .select("term", "doc_id", "tf", "dl", "df")
+        .withColumn("bucket", _bm25_bucket())
+    )
+    return postings, int(S), int(N)
+
+
 def bm25_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
     """Build-or-reuse the committed postings index; returns the manifest.
     Warm path (fingerprint match) is one manifest JSON read — zero Spark
@@ -1556,25 +1582,9 @@ def bm25_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
 
     register_sources(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    tf = (
-        docs.select("doc_id", F.explode(_toks()).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    from mycarely_saas_dbt_spark.util import bounded_persist, release_persists
+    from mycarely_saas_dbt_spark.util import release_persists
 
-    tf = bounded_persist(tf, "bm25index:tf")
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    S, N = dl.agg(
-        F.sum("dl").cast("long"), F.count(F.lit(1)).cast("long")
-    ).first()
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(dl, "doc_id")
-        .join(df_, "term")
-        .select("term", "doc_id", "tf", "dl", "df")
-        .withColumn("bucket", _bm25_bucket())
-    )
+    postings, S, N = _bm25_postings(docs)
     spec = ModelSpec(
         name=BM25_INDEX_NAME,
         unique_key="term",
@@ -1608,7 +1618,23 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = tempfile.mkdtemp(prefix="mycarely_bm25_idx_")
         _BM25_ROOTS[key] = root
     m = bm25_index_build(spark, sf_dir, root)
-    meta = m["meta"]["bm25"]
+    return _bm25_index_query(spark, IncrementalRunner(spark, root), m)
+
+
+def _bm25_index_query(spark: SparkSession, runner, manifest: dict) -> DataFrame:
+    """The committed-index query path shared by ``bm25_index_search`` and
+    the delete-aware lifecycle entry. When the index meta names a BASE
+    table (``base`` + ``base_version``), the postings read is anti-joined
+    against the keys DELETED from that base since the index was built
+    (``deleted_keys_since`` — the Delta deletion-vector-at-read shape):
+    the broadcast deleted set filters candidate postings BEFORE scoring
+    and ranking, so deleted docs can neither appear in results nor hold a
+    rank slot, while df/dl/S/N keep their committed values until the next
+    rebuild re-absorbs the deletions (exactly how Lucene/Delta treat
+    tombstoned docs between merges)."""
+    from pyspark.sql import Window
+
+    meta = manifest["meta"]["bm25"]
     S, N = meta["S"], meta["N"]
 
     q = spark.createDataFrame(
@@ -1618,11 +1644,15 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sorted(
         {r["b"] for r in q.select(_bm25_bucket().alias("b")).collect()}
     )
-    post = (
-        IncrementalRunner(spark, root)
-        .read_target(BM25_INDEX_NAME)
-        .filter(F.col("bucket").isin(buckets))
+    post = runner.read_target(BM25_INDEX_NAME).filter(
+        F.col("bucket").isin(buckets)
     )
+    if meta.get("base") is not None:
+        deleted = runner.deleted_keys_since(
+            meta["base"], "doc_id", meta["base_version"]
+        )
+        if deleted is not None:
+            post = post.join(F.broadcast(deleted), "doc_id", "left_anti")
     scored = (
         F.broadcast(q)
         .join(post, "term")
@@ -1647,6 +1677,115 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("qid", "doc_id", "score_k", "n_hit", "rank")
+    )
+
+
+BM25_BASE_NAME = "bm25_docs_base"
+BM25_DELETE_PRED = "doc_id % 13 = 2"   # deterministic delete victims
+
+# The tombstone-at-read oracle: corpus statistics (tf/dl/df/S/N) come from
+# the FULL corpus the index committed, candidates are restricted to live
+# docs BEFORE ranking — a rebuild would instead change df/S/N, so a wrong
+# implementation (filtering results post-rank, or rebuilding stats) hash-
+# mismatches.
+O_BM25_DELETE_AWARE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS S, COUNT(*) AS N FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {_BM25_VALUES}),
+scored AS (
+    SELECT q.qid, tf.doc_id,
+           CAST(SUM((2*t.N - 2*df.df + 1) * 44 * t.S * tf.tf * {BM25_SCALE}
+                    // ((2*df.df + 1) * (20*t.S*tf.tf + 6*t.S + 18*dl.dl*t.N)))
+                AS BIGINT) AS score_k,
+           COUNT(*) AS n_hit
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN tot t
+    WHERE NOT (tf.doc_id % 13 = 2)
+    GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, score_k, n_hit,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_k DESC, n_hit DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+def bm25_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index-under-deletes lifecycle (VERDICT r7 item 2), end to end:
+
+    1. commit ``documents`` as a manifest BASE target,
+    2. build the postings index FROM that committed snapshot, recording
+       (base, base_version) in the index meta,
+    3. row-level DELETE from the base (``doc_id % 13 = 2`` — the Delta
+       copy-on-write DELETE, which feeds the CDF),
+    4. search through the delete-aware read: the postings anti-join the
+       broadcast deleted-key set from ``deleted_keys_since`` so deleted
+       docs never appear in (or displace ranks of) results, while the
+       corpus statistics keep their committed values until a rebuild.
+
+    Scale notes: the deleted-set read is CDF-footprint-bounded (here the
+    toy base is unpartitioned so the footprint is the table; a production
+    base partitions by ingest date and the diff opens only rewritten
+    partitions), the set itself is deletes-since-last-rebuild — small by
+    the same argument Delta uses for deletion vectors — and broadcast, so
+    the postings never reshuffle. The oracle scores with FULL-corpus
+    df/dl/S/N and restricts candidates to live docs: exactly the
+    tombstone-at-read semantics, distinguishable from a rebuild (which
+    would change df/S/N)."""
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.util import release_persists
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_bm25_da_")
+    runner = IncrementalRunner(spark, root)
+
+    base_spec = ModelSpec(
+        BM25_BASE_NAME,
+        "doc_id",
+        "doc_id",
+        lambda sp, sfd, wm: sp.table("documents").select("doc_id", "text"),
+    )
+    runner.run(base_spec, sf_dir)
+    base_v = runner.current_manifest(BM25_BASE_NAME)["version"]
+
+    postings, S, N = _bm25_postings(runner.read_target(BM25_BASE_NAME))
+    runner.run(
+        ModelSpec(
+            BM25_INDEX_NAME,
+            "term",
+            "doc_id",
+            lambda sp, sfd, wm: postings,
+            partition_by=["bucket"],
+            manifest_meta={
+                "bm25": {
+                    "S": S,
+                    "N": N,
+                    "base": BM25_BASE_NAME,
+                    "base_version": base_v,
+                }
+            },
+        ),
+        sf_dir,
+        full_refresh=True,
+    )
+    release_persists("bm25index:tf")
+
+    runner.delete_where(base_spec, BM25_DELETE_PRED)
+    return _bm25_index_query(
+        spark, runner, runner.current_manifest(BM25_INDEX_NAME)
     )
 
 
@@ -1917,6 +2056,9 @@ def register_extra(register) -> None:
     register("temperature_mixture", temperature_mixture, O_TEMPERATURE_MIXTURE)
     register("bm25_search", bm25_search, O_BM25)
     register("bm25_index_search", bm25_index_search, O_BM25)
+    register(
+        "bm25_index_delete_aware", bm25_index_delete_aware, O_BM25_DELETE_AWARE
+    )
     register("repetition_filter", repetition_filter, O_REPETITION)
 
 
