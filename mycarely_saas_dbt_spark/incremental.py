@@ -700,9 +700,15 @@ class IncrementalRunner:
                     raise RuntimeError(f"{name}: empty target with no schema")
                 ddl = ", ".join(f"`{n}` {t}" for n, t in dtypes)
                 return self.spark.createDataFrame([], schema=ddl)
-            df = self._read_files(path, manifest, files)
+            df = self._read_files(path, manifest, files, dtypes=dtypes)
             if dtypes and {n for n, _ in dtypes} == set(df.columns):
                 df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+            # deletion vector (delete_where mode="dv"): tombstoned keys
+            # vanish at read via a broadcast anti-join — file lists and
+            # pruning are untouched
+            dv = self._dv_keys(name, manifest)
+            if dv is not None:
+                df = df.join(F.broadcast(dv), manifest["dv"]["key"], "left_anti")
             return df
         if version is not None:
             raise RuntimeError(f"{name}: target has no manifest (legacy layout)")
@@ -742,7 +748,13 @@ class IncrementalRunner:
                 out[p] = (rel, f)
         return out
 
-    def _read_files(self, root: str, manifest: dict, files: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        root: str,
+        manifest: dict,
+        files: list[str],
+        dtypes: list | None = None,
+    ) -> DataFrame:
         """Open an explicit resolved file list, GROUPING by base root so
         hive partition-column inference keeps working when a manifest
         mixes native files (under this target's dir) with foreign
@@ -751,7 +763,15 @@ class IncrementalRunner:
         Native entries derive their rel from the path alone — the full
         manifest reverse map (which would hydrate every checkpointed
         segment) is built only when foreign entries are actually
-        present."""
+        present.
+
+        ``dtypes`` (the manifest's committed schema) makes the read
+        schema EXPLICIT: files written before a schema-evolving commit
+        (MERGE append_new_columns) lack the new columns and parquet
+        NULL-fills them per file — without it, footer inference from an
+        old file would silently drop an evolved column from the whole
+        read. Partition columns in the schema keep resolving from the
+        hive paths as usual."""
         rel_of: dict[str, str] = {}
         foreign = []
         for fp in files:
@@ -772,8 +792,13 @@ class IncrementalRunner:
                 suffix = os.sep + rel + suffix
             base = fp[: -len(suffix)] if fp.endswith(suffix) else os.path.dirname(fp)
             groups.setdefault(base, []).append(fp)
+        reader = self.spark.read
+        if dtypes:
+            reader = reader.schema(
+                ", ".join(f"`{n}` {t}" for n, t in dtypes)
+            )
         dfs = [
-            self.spark.read.option("basePath", base).parquet(*fps)
+            reader.option("basePath", base).parquet(*fps)
             for base, fps in sorted(groups.items())
         ]
         out = dfs[0]
@@ -936,13 +961,35 @@ class IncrementalRunner:
             .when(F.col("__fp_n").isNull(), "delete")
             .when(F.col("__fp_o") != F.col("__fp_n"), "update_postimage")
         )
-        return (
+        out = (
             j.select(image.alias("__img"), change.alias("_change_type"))
             .filter(F.col("_change_type").isNotNull())
             .select(
                 *[F.col(f"__img.{c}").alias(c) for c in cols], "_change_type"
             )
         )
+        # deletion-vector deletes: keys added to the DV between the two
+        # versions never change any file list, so the footprint diff above
+        # can't see them. Emit them from the FROM snapshot's row images
+        # (they were live there) and exclude them from the file-diff leg
+        # so a key that was both DV'd and partition-rewritten isn't
+        # double-reported.
+        dv_from = self._dv_keys(name, m_from)
+        dv_to = self._dv_keys(name, m_to)
+        if dv_to is not None:
+            dv_key = m_to["dv"]["key"]  # the table's unique_key column
+            new_dv = dv_to
+            if dv_from is not None:
+                new_dv = new_dv.join(F.broadcast(dv_from), dv_key, "left_anti")
+            dv_rows = (
+                self.read_target(name, version=m_from["version"])
+                .join(F.broadcast(new_dv), dv_key)
+                .select(*cols, F.lit("delete").alias("_change_type"))
+            )
+            out = out.join(
+                F.broadcast(new_dv), dv_key, "left_anti"
+            ).unionByName(dv_rows)
+        return out
 
     def deleted_keys_since(
         self, name: str, key: str, from_version: int
@@ -1684,6 +1731,30 @@ class IncrementalRunner:
                     os.remove(p)
                 except OSError:
                     continue
+        # deletion-vector sidecar GC: live while ANY remaining version
+        # JSON references it (same rule as segments); the mtime grace
+        # shields a concurrent DV writer between sidecar write and commit
+        dvdir = os.path.join(final, self._DV_DIR)
+        if os.path.isdir(dvdir):
+            live_dv = set()
+            for v in self.list_versions(name):
+                with open(os.path.join(mdir, f"v{v:06d}.json")) as fh:
+                    live_dv.update(
+                        (json.load(fh).get("dv") or {}).get("files") or []
+                    )
+            for f in os.listdir(dvdir):
+                if f in live_dv:
+                    continue
+                p = os.path.join(dvdir, f)
+                try:
+                    if now - os.path.getmtime(p) < self.VACUUM_GRACE_SECONDS:
+                        continue
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        os.remove(p)
+                except OSError:
+                    continue
 
     def _partitioned_merge_write(
         self,
@@ -1700,6 +1771,9 @@ class IncrementalRunner:
         a 100 TB target. Correct because every model's unique_key embeds its
         partition column (same key => same partition), so cross-partition
         key collisions cannot exist."""
+        self._require_no_dv(
+            spec.name, self.current_manifest(spec.name), "incremental merge"
+        )
         final = self.target_path(spec.name)
         depth = len(spec.partition_by)
         stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
@@ -1861,6 +1935,7 @@ class IncrementalRunner:
             raise RuntimeError(
                 f"{name}: row-level {op} needs a manifest-committed target"
             )
+        self._require_no_dv(name, live, f"row-level {op}")
         root = self.target_path(name)
         cand = self.resolved_files(name, prune=prune, manifest=live)
         dtypes = live.get("dtypes")
@@ -1949,6 +2024,7 @@ class IncrementalRunner:
         emap: dict[str, tuple[str, str]],
         touched: set[str],
         out_df: DataFrame,
+        dtypes_out: list | None = None,
     ) -> dict:
         """Shared copy-on-write tail for DELETE/UPDATE/MERGE: write
         ``out_df`` (the replacement rows for ``touched`` files, plus any
@@ -1958,7 +2034,7 @@ class IncrementalRunner:
         forward BY NAME."""
         name = spec.name
         root = self.target_path(name)
-        dtypes = live.get("dtypes")
+        dtypes = dtypes_out if dtypes_out is not None else live.get("dtypes")
         part_by = list(live.get("partition_by") or [])
         depth = len(part_by)
         tmp = f"{root}.tmp-{uuid.uuid4().hex[:8]}"
@@ -2020,13 +2096,38 @@ class IncrementalRunner:
         return manifest
 
     def delete_where(
-        self, spec: ModelSpec, condition: str, *, prune: dict | None = None
+        self,
+        spec: ModelSpec,
+        condition: str,
+        *,
+        prune: dict | None = None,
+        mode: str = "cow",
     ) -> dict:
-        """Row-level ``DELETE FROM target WHERE condition`` (Delta's
-        copy-on-write DELETE). SQL three-valued logic: rows where the
-        condition is NULL are KEPT. ``prune`` optionally narrows the
-        candidate files via manifest min/max stats before any file is
-        opened."""
+        """Row-level ``DELETE FROM target WHERE condition``. SQL
+        three-valued logic: rows where the condition is NULL are KEPT.
+        ``prune`` optionally narrows the candidate files via manifest
+        min/max stats before any file is opened.
+
+        ``mode="cow"`` (default): Delta's copy-on-write DELETE — files
+        containing matches are rewritten without the rows.
+
+        ``mode="dv"``: DELETION-VECTOR delete (Delta DVs' economics with
+        a KEY-based vector instead of row positions): NO data file is
+        rewritten; the matched rows' unique keys land in a tiny parquet
+        sidecar referenced by the new manifest version, and every
+        ``read_target`` anti-joins the broadcast vector — deleting 100
+        rows from a 100 TB table commits one KB-scale sidecar + one JSON.
+        ``absorb_deletion_vectors`` rewrites the affected files and
+        clears the vector (Delta's compaction-absorbs-DVs move). While a
+        vector is pending, mutating writers (merge/DML/incremental merge,
+        shallow clone) REFUSE — a key-based vector would silently erase a
+        re-inserted row with the same key, so absorption is required
+        first; this is the documented divergence from Delta's
+        position-based DVs."""
+        if mode == "dv":
+            return self._delete_dv(spec, condition, prune=prune)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode: {mode!r}")
         return self._dml_rewrite(
             spec,
             condition,
@@ -2034,6 +2135,152 @@ class IncrementalRunner:
             prune=prune,
             op="delete",
         )
+
+    _DV_DIR = "_dv"
+
+    def _dv_keys(self, name: str, manifest: dict | None) -> DataFrame | None:
+        """The manifest version's deletion vector as a 1-column DataFrame
+        (named after the table's unique key), or None when the version
+        carries no vector. Sidecars are tiny by design — callers
+        broadcast the result."""
+        dv = (manifest or {}).get("dv")
+        if not dv or not dv.get("files"):
+            return None
+        root = os.path.join(self.target_path(name), self._DV_DIR)
+        paths = [os.path.join(root, f) for f in dv["files"]]
+        return self.spark.read.parquet(*paths).select(dv["key"]).distinct()
+
+    def _require_no_dv(self, name: str, manifest: dict | None, op: str) -> None:
+        dv = (manifest or {}).get("dv")
+        if dv and dv.get("files"):
+            raise RuntimeError(
+                f"{name}: {op} refused — the table has a pending deletion "
+                f"vector ({len(dv['files'])} sidecar(s)); run "
+                "absorb_deletion_vectors() first (key-based vectors cannot "
+                "distinguish a re-inserted key from a deleted one)"
+            )
+
+    def _delete_dv(
+        self, spec: ModelSpec, condition: str, *, prune: dict | None = None
+    ) -> dict:
+        name = spec.name
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: DV delete needs a manifest-committed target")
+        if not spec.unique_key:
+            raise RuntimeError(f"{name}: DV delete needs a unique_key (row identity)")
+        key = spec.unique_key
+        if live.get("dv") and live["dv"].get("key") != key:
+            raise RuntimeError(f"{name}: existing deletion vector keyed differently")
+        root = self.target_path(name)
+        cand = self.resolved_files(name, prune=prune, manifest=live)
+        result = {
+            "op": "delete-dv",
+            "files_scanned": len(cand),
+            "files_rewritten": 0,
+            "rows_matched": 0,
+            "version": live["version"],
+        }
+        if not cand:
+            return result
+        dtypes = live.get("dtypes")
+        cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        raw = self._read_files(root, live, cand, dtypes=dtypes)
+        if dtypes and {n for n, _ in dtypes} == set(raw.columns):
+            raw = raw.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+        prior = self._dv_keys(name, live)
+        if prior is not None:
+            raw = raw.join(F.broadcast(prior), key, "left_anti")
+        matched = raw.filter(cond).select(key).distinct()
+        dvdir = os.path.join(root, self._DV_DIR)
+        os.makedirs(dvdir, exist_ok=True)
+        fname = f"dv-{uuid.uuid4().hex[:12]}.parquet"
+        tmp = os.path.join(dvdir, f".{fname}.tmp")
+        matched.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        if n == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return result
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(dvdir, fname))
+        shutil.rmtree(tmp, ignore_errors=True)
+        old_dv = live.get("dv") or {"key": key, "files": []}
+        manifest = {
+            "version": live["version"] + 1,
+            "partition_by": list(live.get("partition_by") or []),
+            "dtypes": dtypes,
+            "partitions": live["partitions"],
+            "stats": live.get("stats") or {},
+            "dv": {"key": key, "files": [*old_dv["files"], fname]},
+        }
+        if live.get("meta") is not None:
+            manifest["meta"] = live["meta"]
+        manifest = self._commit_manifest(name, manifest)
+        self._vacuum(name, manifest)
+        result.update(rows_matched=int(n), version=manifest["version"])
+        return result
+
+    def absorb_deletion_vectors(self, spec: ModelSpec) -> dict:
+        """Rewrite the files that contain DV-deleted keys and commit with
+        the vector CLEARED (Delta's compaction-absorbs-DVs). Same two-job
+        copy-on-write economics as ``delete_where``: only files actually
+        containing vector keys are rewritten; everything else rides
+        forward by name."""
+        name = spec.name
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: absorb needs a manifest-committed target")
+        keys = self._dv_keys(name, live)
+        result = {
+            "op": "absorb-dv",
+            "files_scanned": 0,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "version": live["version"],
+        }
+        if keys is None:
+            return result
+        key = live["dv"]["key"]
+        root = self.target_path(name)
+        cand = self.resolved_files(name, manifest=live)
+        result["files_scanned"] = len(cand)
+        dtypes = live.get("dtypes")
+        raw = self._read_files(root, live, cand, dtypes=dtypes).select(
+            "*", F.col("_metadata.file_path").alias("__fp")
+        )
+        hits = (
+            raw.join(F.broadcast(keys), key)
+            .groupBy("__fp")
+            .count()
+            .collect()
+        )
+        touched = {self._fs_path(r["__fp"]) for r in hits}
+        result["rows_deleted"] = int(sum(r["count"] for r in hits))
+        if not touched:
+            # vector keys no longer exist in any file — commit the clear
+            manifest = {
+                k: v for k, v in live.items() if k not in ("version", "dv")
+            }
+            manifest["version"] = live["version"] + 1
+            manifest = self._commit_manifest(name, manifest)
+            self._vacuum(name, manifest)
+            result["version"] = manifest["version"]
+            return result
+        tdf = self._read_files(root, live, sorted(touched), dtypes=dtypes)
+        if dtypes and {n for n, _ in dtypes} == set(tdf.columns):
+            tdf = tdf.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
+        out_df = tdf.join(F.broadcast(keys), key, "left_anti")
+        emap = self._entry_lookup(name, root, live, touched)
+        # _commit_file_rewrite rebuilds the manifest WITHOUT the dv field —
+        # absorption and clearing are one atomic commit
+        manifest = self._commit_file_rewrite(spec, live, emap, touched, out_df)
+        result.update(
+            files_rewritten=len(touched), version=manifest["version"]
+        )
+        return result
 
     def update_where(
         self,
@@ -2137,6 +2384,7 @@ class IncrementalRunner:
         live = self.current_manifest(name)
         if live is None:
             raise RuntimeError(f"{name}: MERGE needs a manifest-committed target")
+        self._require_no_dv(name, live, "MERGE INTO")
         root = self.target_path(name)
         dtypes = live.get("dtypes")
         tcols = [n for n, _ in dtypes] if dtypes else None
@@ -2156,7 +2404,7 @@ class IncrementalRunner:
         insert_only = not matched and not not_matched_by_source
         src_eff = source
         if cand:
-            raw = self._read_files(root, live, cand).select(
+            raw = self._read_files(root, live, cand, dtypes=dtypes).select(
                 "*", F.col("_metadata.file_path").alias("__fp")
             )
             if tcols and set(tcols) == set(raw.columns) - {"__fp"}:
@@ -2193,13 +2441,51 @@ class IncrementalRunner:
             touched = set()
 
         tgt = (
-            self._read_files(root, live, sorted(touched))
+            self._read_files(root, live, sorted(touched), dtypes=dtypes)
             if touched
             else None
         )
         if tgt is not None and tcols and set(tcols) == set(tgt.columns):
             tgt = tgt.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
         out_cols = tcols or (tgt.columns if tgt is not None else source.columns)
+
+        # Schema evolution (spec.on_schema_change — the Delta automatic-
+        # schema-evolution analogue for MERGE): "new columns" are
+        # assignment-dict keys outside the target schema, plus source
+        # columns outside it when an INSERT * clause is present.
+        clause_new: list[str] = []
+        for cl in (*matched, *not_matched, *not_matched_by_source):
+            vals = cl[2] if len(cl) > 2 else None
+            if vals:
+                clause_new += [c for c in vals if c not in out_cols]
+        if any(cl[0] == "insert" and cl[2] is None for cl in not_matched):
+            clause_new += [c for c in source.columns if c not in out_cols]
+        new_cols = list(dict.fromkeys(clause_new))
+        if new_cols:
+            mode = spec.on_schema_change
+            if mode == "fail":
+                raise RuntimeError(
+                    f"{name}: MERGE source carries new columns {new_cols} "
+                    "and on_schema_change='fail'"
+                )
+            if mode == "sync_all_columns":
+                # a merge only observes the clause/source columns, so
+                # "columns the model dropped" is undecidable here — refuse
+                # loudly rather than guess (documented gap, not silence)
+                raise NotImplementedError(
+                    f"{name}: on_schema_change='sync_all_columns' is not "
+                    "supported for merge_into (column REMOVAL is "
+                    "undecidable from merge clauses); use "
+                    "'append_new_columns' or run the model full-refresh"
+                )
+            if mode == "append_new_columns":
+                # existing rows (keep / by-source) NULL-backfill; the
+                # rewrite-only-touched-files economics are unchanged —
+                # untouched files simply lack the column and the reader
+                # NULL-fills via the committed dtypes (schema merge)
+                out_cols = [*out_cols, *new_cols]
+            else:
+                new_cols = []  # ignore (dbt default): drop them
 
         if tgt is None:
             # insert-only fast path / no candidate matches: src_eff is the
@@ -2288,14 +2574,17 @@ class IncrementalRunner:
         def _value(col: str) -> "F.Column":
             # matched / by-source branches reference the t alias — they are
             # unreachable AND unresolvable on the pure-insert path (no
-            # target side joined), so emit them only when tgt exists
+            # target side joined), so emit them only when tgt exists.
+            # Evolved (new) columns have no t side at all: their carry-
+            # forward default is NULL, the Delta NULL-backfill.
+            t_default = f"t.`{col}`" if col not in new_cols else "NULL"
             v = F.when(F.lit(False), F.lit(None))
             if tgt is not None:
                 for i, cl in enumerate(matched):
                     if cl[0] == "update":
                         v = v.when(
                             F.col("__action") == f"m{i}",
-                            F.expr(cl[2].get(col, f"t.`{col}`")),
+                            F.expr(cl[2].get(col, t_default)),
                         )
             for i, cl in enumerate(not_matched):
                 vals = cl[2]
@@ -2310,10 +2599,10 @@ class IncrementalRunner:
                     if cl[0] == "update":
                         v = v.when(
                             F.col("__action") == f"b{i}",
-                            F.expr(cl[2].get(col, f"t.`{col}`")),
+                            F.expr(cl[2].get(col, t_default)),
                         )
             return v.otherwise(
-                F.expr(f"t.`{col}`") if tgt is not None else F.lit(None)
+                F.expr(t_default) if tgt is not None else F.lit(None)
             ).alias(col)
 
         def _tags(clauses, kind, prefix):
@@ -2349,11 +2638,21 @@ class IncrementalRunner:
         )
         if dtypes:
             out_df = out_df.select(
-                *[F.col(n).cast(t).alias(n) for n, t in dtypes]
+                *[F.col(n).cast(t).alias(n) for n, t in dtypes],
+                *[F.col(c) for c in new_cols],
             )
 
         emap = self._entry_lookup(name, root, live, touched)
-        manifest = self._commit_file_rewrite(spec, live, emap, touched, out_df)
+        manifest = self._commit_file_rewrite(
+            spec,
+            live,
+            emap,
+            touched,
+            out_df,
+            # evolved commit: manifest dtypes gain the new columns so
+            # readers schema-merge (untouched files NULL-fill them)
+            dtypes_out=[list(p) for p in out_df.dtypes] if new_cols else None,
+        )
         m = obs.get
         # "m*" counts include delete-matched rows; split by tag class
         result.update(
@@ -2412,6 +2711,7 @@ class IncrementalRunner:
             raise RuntimeError(
                 f"{src}: shallow clone needs a manifest-committed source"
             )
+        self._require_no_dv(src, m, "shallow clone")
         if self.current_manifest(dst) is not None:
             raise RuntimeError(f"{dst}: clone target already exists")
         src_root = self.target_path(src)

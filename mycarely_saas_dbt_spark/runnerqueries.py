@@ -1234,6 +1234,48 @@ ORDER BY o_orderkey
 """
 
 
+def dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (r8 — Delta DV economics): bootstrap a
+    status-partitioned orders target, DV-delete one key slice (ZERO data
+    files rewritten — the matched keys land in a KB-scale parquet sidecar
+    and a metadata-only manifest commit), read back through the
+    DV-applying reader, then ABSORB the vector (copy-on-write rewrite of
+    only the affected files, vector cleared in the same commit) and prove
+    the absorbed state reads identically. The oracle is the plain
+    relational DELETE semantics — one result for both phases, so a reader
+    that misses the vector OR an absorb that loses rows hash-mismatches."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_dv_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = _dml_boot_spec("dv_orders")
+        runner.run(spec, sf_dir)
+        res = runner.delete_where(spec, "o_orderkey % 10 = 7", mode="dv")
+        assert res["files_rewritten"] == 0, "DV delete must not rewrite data"
+        assert res["rows_matched"] > 0
+        before = runner.read_target("dv_orders")
+        n_dv = before.count()
+        res2 = runner.absorb_deletion_vectors(spec)
+        assert res2["rows_deleted"] == res["rows_matched"]
+        assert not (runner.current_manifest("dv_orders").get("dv") or {}).get(
+            "files"
+        ), "absorb must clear the vector"
+        after = runner.read_target("dv_orders")
+        assert after.count() == n_dv, "absorbed read must equal DV read"
+        return materialize(after.orderBy("o_orderkey"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_DV_DELETE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+FROM orders
+WHERE o_orderkey % 10 <> 7
+ORDER BY o_orderkey
+"""
+
+
 def dml_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE + shallow CLONE (r7): bootstrap, DELETE a slice (v2),
     RESTORE to v1 (metadata-only — the committed file set IS v1's, by
@@ -1458,6 +1500,7 @@ def register_queries(register) -> None:
     register("streaming_cdc_apply", streaming_cdc_apply, O_CDC_APPLY)
     register("bloom_point_lookup", bloom_point_lookup, O_BLOOM_LOOKUP)
     register("dml_delete_update", dml_delete_update, O_DML_DELETE_UPDATE)
+    register("dv_delete_read", dv_delete_read, O_DV_DELETE)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(

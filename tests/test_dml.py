@@ -274,3 +274,136 @@ def test_clone_shallow_at_version(spark, target_root):
     assert _rows(runner.read_target("clone_v1")) == v1_rows
     with pytest.raises(RuntimeError, match="already exists"):
         runner.clone_shallow(spec.name, "clone_v1")
+
+
+def _dv_boot(spark, target_root, name):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    def boot(sp, sfd, wm):
+        register_sources(sp, sfd)
+        return (
+            sp.table("orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+            )
+            .repartition(4, "o_orderkey")
+        )
+
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    spec = ModelSpec(
+        name, "o_orderkey", "o_orderkey", boot, partition_by=["o_orderstatus"]
+    )
+    runner = IncrementalRunner(spark, target_root)
+    runner.run(spec, SF_DIR)
+    return runner, spec
+
+
+def test_dv_delete_is_metadata_only_and_reader_applies_it(spark, tmp_path):
+    """mode='dv': zero files rewritten, the manifest's file lists are
+    BYTE-IDENTICAL to the previous version, and read_target hides the
+    keys. A second DV delete stacks; time travel to the pre-delete
+    version still sees every row."""
+    runner, spec = _dv_boot(spark, str(tmp_path / "t"), "dv1")
+    m1 = runner.current_manifest("dv1")
+    n0 = runner.read_target("dv1").count()
+
+    res = runner.delete_where(spec, "o_orderkey % 11 = 3", mode="dv")
+    assert res["files_rewritten"] == 0 and res["rows_matched"] > 0
+    m2 = runner.current_manifest("dv1")
+    assert {r: list(fl) for r, fl in m1["partitions"].items()} == {
+        r: list(fl) for r, fl in m2["partitions"].items()
+    }
+    out = runner.read_target("dv1")
+    assert out.filter("o_orderkey % 11 = 3").count() == 0
+    assert out.count() == n0 - res["rows_matched"]
+    # time travel: pre-DV snapshot unaffected
+    assert runner.read_target("dv1", version=m1["version"]).count() == n0
+    # stacking: second vector composes; already-deleted keys don't recount
+    res2 = runner.delete_where(spec, "o_orderkey % 11 IN (3, 5)", mode="dv")
+    assert res2["files_rewritten"] == 0
+    out2 = runner.read_target("dv1")
+    assert out2.filter("o_orderkey % 11 IN (3, 5)").count() == 0
+    assert out2.count() == n0 - res["rows_matched"] - res2["rows_matched"]
+
+
+def test_dv_blocks_mutating_writers_until_absorbed(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    runner, spec = _dv_boot(spark, str(tmp_path / "t"), "dv2")
+    runner.delete_where(spec, "o_orderkey % 13 = 1", mode="dv")
+    src = spark.createDataFrame([(2, 1.0)], "k long, p double")
+    with _pytest.raises(RuntimeError, match="pending deletion vector"):
+        runner.merge_into(
+            spec, src, on="t.o_orderkey = s.k",
+            matched=[("update", None, {"o_totalprice": "s.p"})],
+        )
+    with _pytest.raises(RuntimeError, match="pending deletion vector"):
+        runner.delete_where(spec, "o_orderkey = 2")
+    with _pytest.raises(RuntimeError, match="pending deletion vector"):
+        runner.clone_shallow("dv2", "dv2_clone")
+    # absorb unblocks; the merge then works and the key stays deleted
+    runner.absorb_deletion_vectors(spec)
+    runner.merge_into(
+        spec, src, on="t.o_orderkey = s.k",
+        matched=[("update", None, {"o_totalprice": "s.p"})],
+    )
+    out = runner.read_target("dv2")
+    assert out.filter("o_orderkey % 13 = 1").count() == 0
+    assert abs(out.filter("o_orderkey = 2").first()["o_totalprice"] - 1.0) < 1e-9
+
+
+def test_dv_deletes_flow_through_cdf_and_deleted_keys_since(spark, tmp_path):
+    """table_changes emits DV'd keys as deletes even though no file list
+    changed, and deleted_keys_since (the index deletion feed) sees them —
+    the composition the delete-aware indexes rely on."""
+    runner, spec = _dv_boot(spark, str(tmp_path / "t"), "dv3")
+    v1 = runner.current_manifest("dv3")["version"]
+    res = runner.delete_where(spec, "o_orderkey % 17 = 2", mode="dv")
+    ch = runner.table_changes("dv3", "o_orderkey", v1)
+    rows = ch.collect()
+    assert rows and all(r["_change_type"] == "delete" for r in rows)
+    assert len(rows) == res["rows_matched"]
+    assert all(r["o_orderkey"] % 17 == 2 for r in rows)
+    dk = runner.deleted_keys_since("dv3", "o_orderkey", v1)
+    assert dk is not None and dk.count() == res["rows_matched"]
+    # absorb then diff across the absorb only: no NEW deletes reported
+    v2 = runner.current_manifest("dv3")["version"]
+    runner.absorb_deletion_vectors(spec)
+    ch2 = runner.table_changes("dv3", "o_orderkey", v2)
+    assert ch2.filter("_change_type = 'delete'").count() == 0
+
+
+def test_dv_sidecar_gc_and_restore(spark, tmp_path, monkeypatch):
+    """Vacuum reclaims sidecars no retained manifest references; RESTORE
+    to a DV-bearing version revives its vector."""
+    import os
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    monkeypatch.setattr(inc.IncrementalRunner, "VACUUM_GRACE_SECONDS", 0)
+    monkeypatch.setattr(inc.IncrementalRunner, "RETAIN_VERSIONS", 1)
+    runner, spec = _dv_boot(spark, str(tmp_path / "t"), "dv4")
+    runner.delete_where(spec, "o_orderkey % 19 = 4", mode="dv")
+    v_dv = runner.current_manifest("dv4")["version"]
+    n_dv = runner.read_target("dv4").count()
+    dvdir = os.path.join(runner.target_path("dv4"), runner._DV_DIR)
+    assert os.listdir(dvdir)
+    runner.absorb_deletion_vectors(spec)
+    assert runner.read_target("dv4").count() == n_dv
+    # absorb committed + vacuumed with RETAIN_VERSIONS=1: sidecar gone
+    assert not [f for f in os.listdir(dvdir)] if os.path.isdir(dvdir) else True
+
+
+def test_dv_restore_revives_vector(spark, tmp_path):
+    runner, spec = _dv_boot(spark, str(tmp_path / "t"), "dv5")
+    runner.delete_where(spec, "o_orderkey % 23 = 6", mode="dv")
+    v_dv = runner.current_manifest("dv5")["version"]
+    n_dv = runner.read_target("dv5").count()
+    runner.absorb_deletion_vectors(spec)
+    runner.restore("dv5", v_dv)
+    m = runner.current_manifest("dv5")
+    assert (m.get("dv") or {}).get("files")
+    assert runner.read_target("dv5").count() == n_dv

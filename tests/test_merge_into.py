@@ -316,3 +316,226 @@ ORDER BY o_orderkey
 """
     assert_df_matches_oracle(out, duck, oracle)
     assert res["rows_inserted"] == 0 and res["rows_updated"] == 0
+
+
+def test_merge_into_rebases_onto_disjoint_racing_commit(
+    spark, target_root, monkeypatch
+):
+    """VERDICT r7 item 6a: a partition-scoped merge_into racing a
+    DISJOINT-footprint commit must rebase like _merge does — both
+    writers' rows land, nothing is lost or duplicated."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    runner_a = IncrementalRunner(spark, target_root)
+    runner_b = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m_race")
+    runner_a.run(spec, SF_DIR)
+    v1 = runner_a.current_manifest("m_race")["version"]
+
+    statuses = sorted(
+        r[0]
+        for r in spark.table("orders").select("o_orderstatus").distinct().collect()
+    )
+    st_a, st_b = statuses[0], statuses[-1]
+    assert st_a != st_b
+
+    def src_for(status, bump):
+        return (
+            spark.table("orders")
+            .filter(F.col("o_orderstatus") == status)
+            .filter("o_orderkey % 50 = 1")
+            .select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + bump).alias("p"),
+            )
+        )
+
+    def merge(runner, status, bump):
+        return runner.merge_into(
+            spec,
+            src_for(status, bump),
+            on="t.o_orderkey = s.k",
+            matched=[("update", None, {"o_totalprice": "s.p"})],
+            prune={"o_orderstatus": (status, status)},
+        )
+
+    orig_commit = runner_b._commit_manifest
+    fired = {"done": False}
+
+    def inject(name, manifest, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            merge(runner_a, st_a, 10_000.0)  # A lands after B's read
+        return orig_commit(name, manifest, **kw)
+
+    monkeypatch.setattr(runner_b, "_commit_manifest", inject)
+    merge(runner_b, st_b, 20_000.0)
+
+    final = runner_b.current_manifest("m_race")
+    assert final["version"] == v1 + 2  # both merge commits landed
+    out = runner_b.read_target("m_race")
+    bumped_a = out.filter(
+        (F.col("o_orderstatus") == st_a) & (F.col("o_orderkey") % 50 == 1)
+    )
+    bumped_b = out.filter(
+        (F.col("o_orderstatus") == st_b) & (F.col("o_orderkey") % 50 == 1)
+    )
+    assert bumped_a.count() > 0 and bumped_b.count() > 0
+    assert bumped_a.filter("o_totalprice < 10000").count() == 0
+    assert bumped_b.filter("o_totalprice < 20000").count() == 0
+    # key uniqueness survived the rebase
+    assert (
+        out.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
+
+
+def test_merge_into_overlapping_race_refuses(spark, target_root, monkeypatch):
+    """The complement of the rebase: a racing commit whose footprint
+    OVERLAPS the merge's touched partitions must refuse, not clobber."""
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    runner_a = IncrementalRunner(spark, target_root)
+    runner_b = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m_race2")
+    runner_a.run(spec, SF_DIR)
+
+    status = (
+        spark.table("orders").select("o_orderstatus").distinct().first()[0]
+    )
+
+    def src(bump):
+        return (
+            spark.table("orders")
+            .filter(F.col("o_orderstatus") == status)
+            .filter("o_orderkey % 50 = 1")
+            .select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + bump).alias("p"),
+            )
+        )
+
+    def merge(runner, bump):
+        return runner.merge_into(
+            spec,
+            src(bump),
+            on="t.o_orderkey = s.k",
+            matched=[("update", None, {"o_totalprice": "s.p"})],
+            prune={"o_orderstatus": (status, status)},
+        )
+
+    orig_prices = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in runner_a.read_target("m_race2")
+        .filter(
+            (F.col("o_orderstatus") == status) & (F.col("o_orderkey") % 50 == 1)
+        )
+        .collect()
+    }
+    assert orig_prices
+
+    orig_commit = runner_b._commit_manifest
+    fired = {"done": False}
+
+    def inject(name, manifest, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            merge(runner_a, 10_000.0)  # SAME partition lands first
+        return orig_commit(name, manifest, **kw)
+
+    monkeypatch.setattr(runner_b, "_commit_manifest", inject)
+    with _pytest.raises(RuntimeError, match="concurrent commit|overlapping"):
+        merge(runner_b, 20_000.0)
+    # A's +10000 survived intact; B's +20000 never half-landed
+    out = runner_b.read_target("m_race2")
+    hot = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in out.filter(
+            (F.col("o_orderstatus") == status) & (F.col("o_orderkey") % 50 == 1)
+        ).collect()
+    }
+    assert hot.keys() == orig_prices.keys()
+    for k, p in hot.items():
+        assert abs(p - (orig_prices[k] + 10_000.0)) < 1e-6
+
+
+def test_merge_into_schema_evolution_modes(spark, target_root):
+    """VERDICT r7 item 6b: on_schema_change applies when the merge source
+    carries new columns. fail -> raises; ignore (default) -> new column
+    dropped; append_new_columns -> target gains it, existing rows
+    NULL-backfill, and a reader sees old+new files schema-merged."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    spec = _boot_spec("m_evo")
+    runner.run(spec, SF_DIR)
+    src = spark.createDataFrame(
+        [(1, 11.0, "eu-west"), (90_000_001, 1.0, "us-east")],
+        "k long, p double, region string",
+    )
+    clauses = dict(
+        on="t.o_orderkey = s.k",
+        matched=[("update", None, {"o_totalprice": "s.p", "region": "s.region"})],
+        not_matched=[("insert", None, {
+            "o_orderkey": "s.k",
+            "o_custkey": "0",
+            "o_totalprice": "s.p",
+            "o_orderdate": "DATE '2030-01-01'",
+            "o_orderstatus": "'N'",
+            "region": "s.region",
+        })],
+    )
+
+    with _pytest.raises(RuntimeError, match="on_schema_change='fail'"):
+        runner.merge_into(
+            dataclasses.replace(spec, on_schema_change="fail"), src, **clauses
+        )
+
+    with _pytest.raises(NotImplementedError, match="sync_all_columns"):
+        runner.merge_into(
+            dataclasses.replace(spec, on_schema_change="sync_all_columns"),
+            src,
+            **clauses,
+        )
+
+    # ignore (default): merge applies, region never lands
+    runner.merge_into(spec, src, **clauses)
+    out = runner.read_target("m_evo")
+    assert "region" not in out.columns
+    assert abs(out.filter("o_orderkey = 1").first()["o_totalprice"] - 11.0) < 1e-9
+
+    # append_new_columns: column lands, NULL-backfilled elsewhere
+    res = runner.merge_into(
+        dataclasses.replace(spec, on_schema_change="append_new_columns"),
+        src,
+        **clauses,
+    )
+    # both source keys now exist (the ignore-merge inserted 90000001)
+    assert res["rows_updated"] == 2
+    out = runner.read_target("m_evo")
+    assert "region" in out.columns
+    assert out.filter("o_orderkey = 1").first()["region"] == "eu-west"
+    assert out.filter("o_orderkey = 90000001").first()["region"] == "us-east"
+    # untouched rows (old files, never rewritten) NULL-fill via the
+    # committed dtypes — the metadata-only ALTER ADD COLUMN shape
+    assert out.filter("region IS NULL").count() == out.count() - 2
+    # a later merge on the evolved table keeps working
+    src2 = spark.createDataFrame([(3, 33.0, "ap-south")],
+                                 "k long, p double, region string")
+    runner.merge_into(
+        dataclasses.replace(spec, on_schema_change="append_new_columns"),
+        src2,
+        **clauses,
+    )
+    out = runner.read_target("m_evo")
+    assert out.filter("o_orderkey = 3").first()["region"] == "ap-south"
+    assert out.filter("o_orderkey = 1").first()["region"] == "eu-west"
