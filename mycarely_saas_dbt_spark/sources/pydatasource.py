@@ -178,6 +178,21 @@ class ManifestStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root = options["root"]
         self.model = options["model"]
+        # admission control (Delta's maxFilesPerTrigger analogue at the
+        # version granularity): bound how many manifest VERSIONS one
+        # micro-batch may advance, so a stream recovering from a long
+        # outage catches up in bounded-size batches instead of one
+        # giant batch that overwhelms executor memory / sink commit size
+        self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
+        # progression state for admission control. None = this reader has
+        # not yet learned the stream's position (checkpoint restart):
+        # Spark 4.1's DataSourceStreamReader latestOffset is not
+        # start-aware, so bounding it below the restored committed offset
+        # would plan a backwards batch. The FIRST post-restart batch is
+        # therefore unbounded (a documented catch-up); initialOffset (only
+        # called on a fresh stream) and partitions() teach the position,
+        # after which every batch is bounded.
+        self._last_end: int | None = None
         cur = _manifest_json(
             self.root, self.model, _manifest_current_version(self.root, self.model)
         )
@@ -185,10 +200,16 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.partition_by = (cur or {}).get("partition_by") or []
 
     def initialOffset(self) -> dict:
+        self._last_end = 0
         return {"version": 0}
 
     def latestOffset(self) -> dict:
-        return {"version": _manifest_current_version(self.root, self.model)}
+        cur = _manifest_current_version(self.root, self.model)
+        if self.max_versions is not None and self._last_end is not None:
+            cur = min(cur, self._last_end + self.max_versions)
+        if self.max_versions is not None:
+            self._last_end = cur
+        return {"version": cur}
 
     def _files(self, version: int) -> set:
         if version == 0:
@@ -206,6 +227,8 @@ class ManifestStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         import os
 
+        # teach admission control the authoritative position (restart path)
+        self._last_end = max(self._last_end or 0, end["version"])
         fs, fe = self._files(start["version"]), self._files(end["version"])
         removed = fs - fe
         if removed:

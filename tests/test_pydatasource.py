@@ -261,3 +261,60 @@ def test_ensure_runtime_confs_idempotent_and_unknown_key_safe(spark):
         sess.ensure_runtime_confs(spark)
     finally:
         sess.RUNTIME_CONFS = orig
+
+
+def test_manifest_stream_admission_control_bounds_catchup(
+    spark, tmp_path, monkeypatch
+):
+    """maxVersionsPerBatch (r8): a stream starting far behind catches up
+    in bounded version steps instead of one giant batch; without the
+    option behavior is unchanged. After a simulated restart (fresh reader,
+    no initialOffset call) the first batch is the documented unbounded
+    catch-up, then bounding resumes."""
+    import datetime as dt
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestStreamReader,
+    )
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    # keep all 5 manifests readable (vacuum would retain only 2)
+    monkeypatch.setattr(inc.IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, day date, v bigint")
+
+    spec = lambda b: ModelSpec("t", "k", "day", b, partition_by=["day"])  # noqa: E731
+    for i in range(1, 6):
+        d = dt.date(2024, 1, i)
+        runner.run(spec(lambda sp, sfd, wm, d=d, i=i: mk([(i, d, i * 10)])), "x")
+    assert runner.current_manifest("t")["version"] == 5
+
+    r = ManifestStreamReader(
+        {"root": root, "model": "t", "maxversionsperbatch": "2"}
+    )
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}   # bounded, not 5
+    r.partitions({"version": 0}, {"version": 2})
+    assert r.latestOffset() == {"version": 4}
+    r.partitions({"version": 2}, {"version": 4})
+    assert r.latestOffset() == {"version": 5}   # clamped to CURRENT
+    r.partitions({"version": 4}, {"version": 5})
+    assert r.latestOffset() == {"version": 5}   # idle: no creep past head
+
+    # restart: fresh reader, engine restores offset 3 via partitions()
+    r2 = ManifestStreamReader(
+        {"root": root, "model": "t", "maxversionsperbatch": "2"}
+    )
+    assert r2.latestOffset() == {"version": 5}  # unbounded catch-up once
+    r2.partitions({"version": 3}, {"version": 5})
+    assert r2.latestOffset() == {"version": 5}
+
+    # default (no option): unbounded as before
+    r3 = ManifestStreamReader({"root": root, "model": "t"})
+    assert r3.initialOffset() == {"version": 0}
+    assert r3.latestOffset() == {"version": 5}
