@@ -1171,8 +1171,128 @@ FROM pred GROUP BY true_label
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
+# clustering the embedding space and pruning within-cluster near-identical
+# pairs — the embedding-space complement of the MinHash/SimHash text family.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8        # clusters; centroids = the first K vectors (see note)
+SEMDEDUP_TAU = 0.45   # within-cluster prune threshold (testdata max ~0.51)
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every vector to its nearest centroid by cosine,
+    then within each cluster prune every vector that has a smaller-id
+    neighbor with cos >= τ (the greedy non-chained keep rule the text
+    dedup family uses; the paper keeps the member farthest from the
+    centroid — any deterministic choice preserves one-survivor-per-group).
+
+    Determinism for the cross-engine oracle: centroids are the FIRST K
+    vectors — one Lloyd assignment step with pinned seeds (the paper's
+    k-means refines the same assignment without changing the pruning
+    plan's shape). Tie-breaks pinned: nearest centroid by (cos DESC,
+    cid ASC).
+
+    Scale shape: the centroid table broadcasts (K rows); assignment is
+    one narrow corpus pass (no shuffle beyond the groupBy vec_id argmax,
+    map-combinable); the pairwise verify self-joins WITHIN clusters only
+    — cluster sizes are ~N/K, so the quadratic term is K x (N/K)^2 =
+    N^2/K, and at production scale K grows with N (the paper uses
+    sqrt-ish K) keeping per-cluster pairs bounded. No cartesian across
+    clusters (equi-join on cid, plan-gated class)."""
+    register_sources(spark, sf_dir)
+    e = _with_norm(spark.table("embeddings"))
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    scored = e.join(cent, F.lit(True)).select(
+        "vec_id",
+        "cid",
+        cosine("embedding", "ce", "nrm", "cn").alias("cos"),
+    )
+    # argmax via struct max: (cos, -cid) makes ties resolve to smaller cid
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).cast("long").alias("cid"))
+    )
+    v = best.join(e, "vec_id").select("vec_id", "cid", "embedding", "nrm")
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("cid").alias("ca"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("cid").alias("cb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pruned = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .filter(cosine("ea", "eb", "na", "nb") >= SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("p", F.lit(1))
+    )
+    return (
+        v.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("p").isNotNull(), "pruned")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+O_SEMDEDUP = f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+           sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+    FROM e WHERE vec_id < {SEMDEDUP_K}
+),
+scored AS (
+    SELECT e.vec_id, cent.cid,
+           {_DOT_SQL.format(a='e.embedding', b='cent.ce')} / e.nrm / cent.cn
+               AS cos
+    FROM e CROSS JOIN cent
+),
+best AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+v AS (
+    SELECT b.vec_id, b.cid, e.embedding, e.nrm
+    FROM best b JOIN e USING (vec_id)
+),
+pruned AS (
+    SELECT DISTINCT b.vec_id FROM v a JOIN v b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+    AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')} / a.nrm / b.nrm
+        >= {SEMDEDUP_TAU}
+)
+SELECT v.vec_id, v.cid,
+       CASE WHEN p.vec_id IS NOT NULL THEN 'pruned' ELSE 'kept' END AS status
+FROM v LEFT JOIN pruned p USING (vec_id)
+ORDER BY v.vec_id
+"""
+
+
 def register_queries(register) -> None:
     register("ann_cosine_topk", ann_cosine_topk, O_ANN_TOPK)
+    register("semdedup", semdedup, O_SEMDEDUP)
     register("embedding_neardup", embedding_neardup, O_NEARDUP)
     register("ann_ivf_topk", ann_ivf_topk, O_ANN_IVF)
     register("ann_cosine_topk_pandas", ann_cosine_topk_pandas, O_ANN_TOPK_RANKS)
