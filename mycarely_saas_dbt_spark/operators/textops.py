@@ -1680,6 +1680,114 @@ def _bm25_index_query(spark: SparkSession, runner, manifest: dict) -> DataFrame:
     )
 
 
+RRF_K = 60                 # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000_000  # integer fixed-point for cross-engine exactness
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidates re-ranked by reciprocal-rank
+    fusion (Cormack et al. 2009) with a static document-quality prior —
+    the retrieve-then-rerank shape every production search/RAG stack
+    runs. RRF in exact integers: SCALE DIV (K + bm25_rank) + SCALE DIV
+    (K + quality_rank), so the cross-engine compare is bit-stable. The
+    quality prior ranks docs by a purely integer key (distinct-token
+    count, then length, then doc_id) — in production it is a
+    precomputed committed column (one metadata join), not a query-time
+    window; here the global ranking doubles as its own fixture.
+
+    Scale shape: the BM25 leg is the pruned-postings search (candidates
+    per query <= top-k); the prior joins candidates only — never ranks
+    the corpus per query; fusion and the final re-rank are per-query
+    windows over <= k rows."""
+    from pyspark.sql import Window
+
+    bm = bm25_search(spark, sf_dir)  # qid, doc_id, score_k, n_hit, rank
+    register_sources(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        F.size(F.array_distinct(_toks())).cast("long").alias("n_distinct"),
+        F.size(_toks()).cast("long").alias("n_tokens"),
+    )
+    qrank = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("n_distinct") * 1_000_000 + F.col("n_tokens")).desc(),
+                F.col("doc_id").asc(),
+            )
+        )
+        .cast("long")
+        .alias("q_rank"),
+    )
+    fused = bm.join(qrank, "doc_id").select(
+        "qid",
+        "doc_id",
+        F.expr(
+            f"{RRF_SCALE} DIV ({RRF_K} + rank) + "
+            f"{RRF_SCALE} DIV ({RRF_K} + q_rank)"
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn(
+        "rrf_rank", F.row_number().over(w).cast("long")
+    ).select("qid", "doc_id", "rrf_score", "rrf_rank")
+
+
+O_HYBRID_RRF = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS S, COUNT(*) AS N FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {_BM25_VALUES}),
+scored AS (
+    SELECT q.qid, tf.doc_id,
+           CAST(SUM((2*t.N - 2*df.df + 1) * 44 * t.S * tf.tf * {BM25_SCALE}
+                    // ((2*df.df + 1) * (20*t.S*tf.tf + 6*t.S + 18*dl.dl*t.N)))
+                AS BIGINT) AS score_k,
+           COUNT(*) AS n_hit
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN tot t
+    GROUP BY q.qid, tf.doc_id
+),
+bm AS (
+    SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY score_k DESC, n_hit DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {BM25_TOP_K}
+),
+prior AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+        len(list_distinct(string_split(text, ' '))) * 1000000
+            + len(string_split(text, ' ')) DESC,
+        doc_id ASC) AS q_rank
+    FROM documents
+),
+fused AS (
+    SELECT bm.qid, bm.doc_id,
+           CAST({RRF_SCALE} // ({RRF_K} + bm.rank)
+                + {RRF_SCALE} // ({RRF_K} + p.q_rank) AS BIGINT) AS rrf_score
+    FROM bm JOIN prior p USING (doc_id)
+)
+SELECT qid, doc_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rrf_rank
+FROM fused
+"""
+
+
 BM25_BASE_NAME = "bm25_docs_base"
 BM25_DELETE_PRED = "doc_id % 13 = 2"   # deterministic delete victims
 
@@ -2059,6 +2167,7 @@ def register_extra(register) -> None:
     register(
         "bm25_index_delete_aware", bm25_index_delete_aware, O_BM25_DELETE_AWARE
     )
+    register("hybrid_rrf_search", hybrid_rrf_search, O_HYBRID_RRF)
     register("repetition_filter", repetition_filter, O_REPETITION)
 
 

@@ -66,6 +66,13 @@ AUDIT = [
     # tests/test_merge_into.py; the audit driver only captures SELECT
     # plans).
     "dsir_select",
+    # round 8 additions: delete-aware index read (anti-join composed on
+    # the pruned postings scan) and SemDeDup (broadcast centroid
+    # assignment + within-cluster equi-join verify). The DV/medallion
+    # entries materialize through the commit protocol — their shapes are
+    # pinned in tests/test_dml.py / the entry's own replay asserts.
+    "bm25_index_delete_aware",
+    "semdedup",
 ]
 
 
