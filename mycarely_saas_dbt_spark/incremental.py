@@ -991,6 +991,67 @@ class IncrementalRunner:
             ).unionByName(dv_rows)
         return out
 
+    def txn_last_version(self, name: str, app_id: str) -> int | None:
+        """The highest transaction version committed for ``app_id`` —
+        Delta's txnAppId/txnVersion idempotent-write ledger, answered
+        from the manifest meta (one JSON read, zero jobs)."""
+        cur = self.current_manifest(name)
+        txn = ((cur or {}).get("meta") or {}).get("txn") or {}
+        v = txn.get(app_id)
+        return int(v) if v is not None else None
+
+    def merge_txn(
+        self,
+        spec: ModelSpec,
+        new: DataFrame,
+        *,
+        app_id: str,
+        txn_version: int,
+    ) -> dict:
+        """Idempotent streaming-sink write (Delta's
+        ``option("txnAppId", ...).option("txnVersion", ...)``): merge the
+        batch through the partition-pruned incremental writer AND record
+        (app_id -> txn_version) in the SAME manifest commit, so replayed
+        micro-batches (foreachBatch redelivery after a sink crash —
+        Spark's contract is at-least-once into the user function) are
+        detected by the ledger and skipped WITHOUT reading the batch.
+        The ledger rides in the manifest ``meta`` slot: the data and the
+        transaction watermark are one atomic snapshot — exactly the
+        property that upgrades at-least-once redelivery to exactly-once
+        table state."""
+        import dataclasses
+
+        name = spec.name
+        last = self.txn_last_version(name, app_id)
+        if last is not None and txn_version <= last:
+            return {
+                "op": "merge-txn",
+                "skipped": True,
+                "app_id": app_id,
+                "txn_version": txn_version,
+                "last_committed": last,
+            }
+        live = self.current_manifest(name)
+        meta = dict((live or {}).get("meta") or {})
+        txn = dict(meta.get("txn") or {})
+        txn[app_id] = int(txn_version)
+        meta["txn"] = txn
+        spec2 = dataclasses.replace(spec, manifest_meta=meta)
+        if self.target_exists(name):
+            n, files = self._partitioned_merge_write(
+                spec2, self.read_target(name), new
+            )
+        else:
+            n, files = self._atomic_write(spec2, new), 0
+        return {
+            "op": "merge-txn",
+            "skipped": False,
+            "app_id": app_id,
+            "txn_version": txn_version,
+            "rows_written": int(n),
+            "partitions_touched": files,
+        }
+
     def deleted_keys_since(
         self, name: str, key: str, from_version: int
     ) -> DataFrame | None:

@@ -1656,3 +1656,54 @@ def test_bloom_sidecars_prune_point_lookups_without_false_negatives(
         if f not in live and os.path.isfile(runner._bloom_sidecar_path(f))
     ]
     assert orphans == []
+
+
+def test_merge_txn_idempotent_batch_replay(spark, target_root):
+    """Delta txnAppId/txnVersion ledger (r8): a replayed micro-batch
+    (same txn_version, even with DIFFERENT data — the poisoned-replay
+    case) is skipped without touching the table; a new version merges;
+    ledgers are per-app; the ledger and the data commit atomically."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    spec = inc.ModelSpec("txn_t", "k", "day", None, partition_by=["day"])
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, day date, v bigint")
+
+    import datetime as dt
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    r1 = runner.merge_txn(
+        spec, mk([(1, d1, 10), (2, d1, 20)]), app_id="hop1", txn_version=1
+    )
+    assert not r1["skipped"]
+    assert runner.txn_last_version("txn_t", "hop1") == 1
+
+    # replay batch 1 with POISONED data: must be skipped entirely
+    r2 = runner.merge_txn(
+        spec, mk([(1, d1, 999_999)]), app_id="hop1", txn_version=1
+    )
+    assert r2["skipped"] and r2["last_committed"] == 1
+    out = {r["k"]: r["v"] for r in runner.read_target("txn_t").collect()}
+    assert out == {1: 10, 2: 20}
+
+    # next version merges (upsert of k=1 + insert of k=3)
+    r3 = runner.merge_txn(
+        spec, mk([(1, d1, 11), (3, d2, 30)]), app_id="hop1", txn_version=2
+    )
+    assert not r3["skipped"]
+    out = {r["k"]: r["v"] for r in runner.read_target("txn_t").collect()}
+    assert out == {1: 11, 2: 20, 3: 30}
+
+    # a DIFFERENT app's ledger is independent
+    assert runner.txn_last_version("txn_t", "hop2") is None
+    r4 = runner.merge_txn(
+        spec, mk([(4, d2, 40)]), app_id="hop2", txn_version=1
+    )
+    assert not r4["skipped"]
+    assert runner.txn_last_version("txn_t", "hop1") == 2
+    assert runner.txn_last_version("txn_t", "hop2") == 1
+    assert runner.read_target("txn_t").count() == 4
