@@ -726,14 +726,6 @@ def q_medallion_multihop(spark, sf_dir: str):
         "medallion_gold", "day", "day", build=None, partition_by=["day"]
     )
 
-    def _merge(spec, new):
-        if runner.target_exists(spec.name):
-            runner._partitioned_merge_write(
-                spec, runner.read_target(spec.name), new
-            )
-        else:
-            runner._atomic_write(spec, new)
-
     def hop1():
         stream = (
             spark.readStream.format("mycarely_manifest_stream")
@@ -745,11 +737,17 @@ def q_medallion_multihop(spark, sf_dir: str):
             "k", "day", ((F.col("v") * 3) % 101).alias("v2")
         )
 
-        def sink(batch_df, _bid):
+        def sink(batch_df, bid):
             rows = batch_df.persist()
             try:
                 if rows.count():
-                    _merge(silver_spec, rows)
+                    # the txn ledger (batch id as txnVersion) makes the
+                    # sink idempotent even if the checkpoint replays a
+                    # delivered batch — exactly-once belt AND suspenders
+                    runner.merge_txn(
+                        silver_spec, rows, app_id="medallion_hop1",
+                        txn_version=bid,
+                    )
             finally:
                 rows.unpersist()
 
@@ -769,7 +767,7 @@ def q_medallion_multihop(spark, sf_dir: str):
             .load()
         )
 
-        def sink(batch_df, _bid):
+        def sink(batch_df, bid):
             days = [r["day"] for r in batch_df.select("day").distinct().collect()]
             if not days:
                 return
@@ -784,7 +782,9 @@ def q_medallion_multihop(spark, sf_dir: str):
                     F.sum("v2").cast("long").alias("sum_v2"),
                 )
             )
-            _merge(gold_spec, agg)
+            runner.merge_txn(
+                gold_spec, agg, app_id="medallion_hop2", txn_version=bid
+            )
 
         q = (
             stream.writeStream.foreachBatch(sink)
