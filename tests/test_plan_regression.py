@@ -343,3 +343,33 @@ def test_dsir_scoring_broadcasts_bucket_ratios(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_delete_aware_bm25_keeps_pruning_and_broadcasts_deleted_set(spark):
+    """The delete-aware postings read must keep the query-bucket
+    partition pruning AND apply the deleted-keys anti-join as a
+    BROADCAST (never reshuffling the postings), with no cartesian."""
+    from mycarely_saas_dbt_spark.operators.textops import (
+        bm25_index_delete_aware,
+    )
+
+    plan = _plan(bm25_index_delete_aware(spark, SF_DIR))
+    assert "PartitionFilters: [" in plan and "bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan, plan
+
+
+def test_semdedup_no_cross_cluster_cartesian(spark):
+    """SemDeDup's pairwise verify must be an equi-join on the cluster id
+    (plus the id inequality) — a CartesianProduct across clusters would
+    be the N^2 plan the clustering exists to avoid. The centroid
+    assignment's broadcast nested loop against the 8-row centroid table
+    is the documented tiny-side pattern."""
+    from mycarely_saas_dbt_spark.operators.similarity import semdedup
+
+    plan = _plan(semdedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
