@@ -80,8 +80,11 @@ EXTENSION_QUERIES = [
     "merge_multi_clause",
     "dsir_select",
     # r8: the delete-aware index lifecycle (commit base -> build postings
-    # -> row-level DELETE -> tombstone-at-read search, end to end)
+    # -> row-level DELETE -> tombstone-at-read search, end to end),
+    # SemDeDup embedding-space dedup, and hybrid RRF retrieve-then-rerank
     "bm25_index_delete_aware",
+    "semdedup",
+    "hybrid_rrf_search",
 ]
 
 # Entries whose artifact numbers above are WARM-path (util.session_memo
