@@ -436,6 +436,53 @@ class ModelSpec:
     # codebooks from one consistent snapshot. Incremental merges carry the
     # previous version's meta forward when the spec doesn't supply one.
     manifest_meta: dict | None = None
+    # Delta CHECK constraints (ALTER TABLE ADD CONSTRAINT): SQL boolean
+    # predicates every WRITTEN row must satisfy. Enforced at all three
+    # write chokepoints (full refresh, partition-pruned merge,
+    # copy-on-write file rewrite) via an Observation riding the write
+    # pass itself — zero extra scans — and checked BEFORE the manifest
+    # commit, so a violating batch aborts with the table untouched
+    # (only unreferenced staged files remain; vacuum reclaims them).
+    # NULL results violate, matching Delta (a CHECK must be TRUE).
+    check_constraints: list[str] = field(default_factory=list)
+
+
+def _check_observe(df: DataFrame, spec: "ModelSpec"):
+    """Attach the CHECK-constraint violation counters to a DataFrame
+    about to be WRITTEN. Returns (df, observation|None)."""
+    if not spec.check_constraints:
+        return df, None
+    from pyspark.sql import Observation
+
+    obs = Observation(f"check-{uuid.uuid4().hex[:6]}")
+    aggs = [
+        F.count(
+            F.when(
+                ~F.coalesce(F.expr(c).cast("boolean"), F.lit(False)),
+                F.lit(1),
+            )
+        ).alias(f"c{i}")
+        for i, c in enumerate(spec.check_constraints)
+    ]
+    return df.observe(obs, *aggs), obs
+
+
+def _check_assert(spec: "ModelSpec", obs) -> None:
+    """Raise if the completed write observed violating rows — called
+    after the staging write and BEFORE the manifest commit."""
+    if obs is None:
+        return
+    m = obs.get
+    bad = {
+        spec.check_constraints[int(k[1:])]: int(v)
+        for k, v in m.items()
+        if v
+    }
+    if bad:
+        raise RuntimeError(
+            f"{spec.name}: CHECK constraint violated "
+            f"(constraint -> violating rows): {bad}"
+        )
 
 
 def _reconcile_schema(
@@ -1866,9 +1913,11 @@ class IncrementalRunner:
                 self._partition_predicate(spec.partition_by, touched)
             )
             merged = self._merge(spec, pruned, staged, staged_tomb)
+            merged, chk = _check_observe(merged, spec)
             tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
             merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
             try:
+                _check_assert(spec, chk)  # abort BEFORE commit on violation
                 n = self.spark.read.parquet(tmp).count()
                 # New files land in the partition dirs UNCOMMITTED; the
                 # manifest pointer swap below is the single atomic commit.
@@ -1929,11 +1978,13 @@ class IncrementalRunner:
         os.makedirs(final, exist_ok=True)
         depth = len(spec.partition_by or [])
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        df, chk = _check_observe(df, spec)
         writer = df.write.mode("overwrite")
         if spec.partition_by:
             writer = writer.partitionBy(*spec.partition_by)
         writer.parquet(tmp)
         try:
+            _check_assert(spec, chk)  # abort BEFORE commit on violation
             n = self.spark.read.parquet(tmp).count()
             base = self.current_manifest(spec.name)
             guard = self._premanifest_marker(spec.name, base)
@@ -2099,11 +2150,13 @@ class IncrementalRunner:
         part_by = list(live.get("partition_by") or [])
         depth = len(part_by)
         tmp = f"{root}.tmp-{uuid.uuid4().hex[:8]}"
+        out_df, chk = _check_observe(out_df, spec)
         writer = out_df.write.mode("overwrite")
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(tmp)
         try:
+            _check_assert(spec, chk)  # abort BEFORE commit on violation
             parts_new, stats_new = self._ingest_files(
                 tmp, name, depth, bloom_col=spec.unique_key
             )

@@ -1707,3 +1707,61 @@ def test_merge_txn_idempotent_batch_replay(spark, target_root):
     assert runner.txn_last_version("txn_t", "hop1") == 2
     assert runner.txn_last_version("txn_t", "hop2") == 1
     assert runner.read_target("txn_t").count() == 4
+
+
+def test_check_constraints_enforced_at_every_write_path(spark, target_root):
+    """Delta CHECK constraints (r8): a violating batch ABORTS before the
+    manifest commit on all three write paths — full refresh, incremental
+    merge, copy-on-write UPDATE — leaving the table at its previous
+    committed state. NULL check results violate (Delta's rule). The
+    counters ride the write pass (Observation) — no extra scan."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    d1 = dt.date(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, day date, v bigint")
+
+    def spec(build):
+        return inc.ModelSpec(
+            "chk_t", "k", "day", build, partition_by=["day"],
+            check_constraints=["v >= 0", "k IS NOT NULL"],
+        )
+
+    # clean bootstrap passes
+    runner.run(spec(lambda sp, sfd, wm: mk([(1, d1, 10), (2, d1, 20)])), "x")
+    v1 = runner.current_manifest("chk_t")["version"]
+
+    # violating incremental merge aborts; table unchanged
+    with _pytest.raises(RuntimeError, match="CHECK constraint violated"):
+        runner.run(spec(lambda sp, sfd, wm: mk([(3, d1, -5)])), "x")
+    assert runner.current_manifest("chk_t")["version"] == v1
+    assert runner.read_target("chk_t").count() == 2
+
+    # NULL result violates (v >= 0 on NULL v is not TRUE)
+    with _pytest.raises(RuntimeError, match="CHECK constraint violated"):
+        runner.run(spec(lambda sp, sfd, wm: mk([(4, d1, None)])), "x")
+    assert runner.current_manifest("chk_t")["version"] == v1
+
+    # violating UPDATE (copy-on-write path) aborts too
+    with _pytest.raises(RuntimeError, match="CHECK constraint violated"):
+        runner.update_where(
+            spec(None), "k = 1", {"v": "0 - v"}
+        )
+    assert runner.current_manifest("chk_t")["version"] == v1
+    assert {r["v"] for r in runner.read_target("chk_t").collect()} == {10, 20}
+
+    # violating full refresh aborts; passing one still works end-to-end
+    with _pytest.raises(RuntimeError, match="CHECK constraint violated"):
+        runner.run(
+            spec(lambda sp, sfd, wm: mk([(9, d1, -1)])), "x", full_refresh=True
+        )
+    assert runner.current_manifest("chk_t")["version"] == v1
+    runner.run(spec(lambda sp, sfd, wm: mk([(5, d1, 50)])), "x")
+    assert runner.read_target("chk_t").count() == 3
