@@ -280,8 +280,72 @@ GROUP BY 1, 2
 """
 
 
+_PROFILE_COLS = [
+    # (column, min/max rendering) — numerics render through DECIMAL so
+    # Spark and DuckDB stringify identically (doubles don't)
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_totalprice", "decimal(12,2)"),
+    ("o_orderdate", "string"),
+    ("o_orderstatus", "string"),
+]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ / `dbt docs` statistics pass): one
+    row per column with null count, EXACT distinct count, and min/max —
+    the summary a pipeline computes before trusting a new drop of data.
+
+    Scale shape: ONE scan. The multi-column COUNT(DISTINCT) compiles to
+    Spark's Expand (each input row fans to N tagged rows, map-side
+    combinable partial aggregates, one shuffle) — the same plan Deequ
+    uses; at true lake scale swap exact distinct for HLL (the approx
+    family's `approx_distinct_daily` is the template) without touching
+    the output contract."""
+    register_sources(spark, sf_dir)
+    t = spark.table("orders")
+    aggs = []
+    for c, render in _PROFILE_COLS:
+        typed = F.col(c).cast(render)  # min/max in VALUE order, then render
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(typed).cast("string").alias(f"mn_{c}"),
+            F.max(typed).cast("string").alias(f"mx_{c}"),
+        ]
+    row = t.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    cols = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c, _ in _PROFILE_COLS
+    ]
+    return (
+        row.select(F.explode(F.array(*cols)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+O_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN(CAST({c} AS {render.replace('string', 'VARCHAR')})) AS VARCHAR) AS min_value,
+       CAST(MAX(CAST({c} AS {render.replace('string', 'VARCHAR')})) AS VARCHAR) AS max_value
+FROM orders"""
+    for c, render in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 PAIRS = [
     ("data_tests_suite", q_data_tests_suite, O_DATA_TESTS_SUITE),
+    ("profile_table", q_profile_table, O_PROFILE),
     ("data_tests_store_failures", q_store_failures, O_STORE_FAILURES),
     ("sample_systematic", q_sample_systematic, O_SAMPLE_SYSTEMATIC),
     ("sample_stratified", q_sample_stratified, O_SAMPLE_STRATIFIED),
