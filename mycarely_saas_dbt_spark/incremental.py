@@ -42,6 +42,7 @@ import functools
 import hashlib
 import json
 import logging
+import re
 import os
 import shutil
 import time
@@ -436,6 +437,20 @@ class ModelSpec:
     # codebooks from one consistent snapshot. Incremental merges carry the
     # previous version's meta forward when the spec doesn't supply one.
     manifest_meta: dict | None = None
+    # Delta GENERATED columns (generated partition columns): column ->
+    # generation expression over the other columns. Whitelisted,
+    # INVERTIBLE expressions only — `CAST(base AS DATE)` or a bare
+    # identity `base` (the Delta whitelist is the same idea: expressions
+    # whose partition filters can be derived from base-column
+    # predicates). At write, a missing generated column is computed; a
+    # PROVIDED one is validated against the expression (Delta's rule)
+    # via the same zero-extra-scan Observation as check_constraints. The
+    # definitions commit into the manifest meta, and resolved_files
+    # TRANSLATES a prune on the base column into a prune on the
+    # generated partition column — `prune={"ts": (lo, hi)}` statically
+    # prunes `day=CAST(ts AS DATE)` hive partitions without the caller
+    # knowing the layout.
+    generated_columns: dict[str, str] = field(default_factory=dict)
     # Delta CHECK constraints (ALTER TABLE ADD CONSTRAINT): SQL boolean
     # predicates every WRITTEN row must satisfy. Enforced at all three
     # write chokepoints (full refresh, partition-pruned merge,
@@ -445,6 +460,58 @@ class ModelSpec:
     # (only unreferenced staged files remain; vacuum reclaims them).
     # NULL results violate, matching Delta (a CHECK must be TRUE).
     check_constraints: list[str] = field(default_factory=list)
+
+
+_GEN_CAST_DATE = re.compile(
+    r"^\s*CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)\s*$", re.IGNORECASE
+)
+_GEN_IDENTITY = re.compile(r"^\s*`?(\w+)`?\s*$")
+
+
+def _parse_generated(col: str, expr: str) -> tuple[str, str]:
+    """(kind, base_column) for a whitelisted generation expression;
+    raises on anything the prune translation could not invert."""
+    m = _GEN_CAST_DATE.match(expr)
+    if m:
+        return "cast_date", m.group(1)
+    m = _GEN_IDENTITY.match(expr)
+    if m and m.group(1) != col:
+        return "identity", m.group(1)
+    raise RuntimeError(
+        f"unsupported generated-column expression for {col!r}: {expr!r} "
+        "(whitelist: CAST(base AS DATE), identity)"
+    )
+
+
+def _gen_bound_to_date(v):
+    """Map a base-column prune bound to the cast_date domain."""
+    if v is None:
+        return None
+    if isinstance(v, dt.datetime):
+        return v.date()
+    if isinstance(v, dt.date):
+        return v
+    if isinstance(v, str):
+        return v[:10]  # ISO timestamp/date string -> date prefix
+    return v
+
+
+def _translate_generated_bounds(bounds: dict, gen_meta: dict) -> dict:
+    """Extend prune bounds with derived bounds on generated columns
+    whenever the caller pruned on the BASE column — monotone mappings
+    only (date-cast, identity), so the derived range is conservative-
+    correct."""
+    out = dict(bounds)
+    for col, spec in (gen_meta or {}).items():
+        base = spec.get("base")
+        if col in out or base not in out:
+            continue
+        lo, hi = out[base]
+        if spec.get("kind") == "cast_date":
+            out[col] = (_gen_bound_to_date(lo), _gen_bound_to_date(hi))
+        elif spec.get("kind") == "identity":
+            out[col] = (lo, hi)
+    return out
 
 
 def _check_observe(df: DataFrame, spec: "ModelSpec"):
@@ -629,6 +696,13 @@ class IncrementalRunner:
             c: (self._coerce_bound(lo), self._coerce_bound(hi))
             for c, (lo, hi) in (prune or {}).items()
         }
+        gen_meta = (manifest.get("meta") or {}).get("generated_columns")
+        if gen_meta and bounds:
+            # generated-partition-column translation: a prune on the base
+            # column derives a prune on the generated column (monotone
+            # whitelist), so day=CAST(ts AS DATE) partitions statically
+            # prune from a ts range without the caller knowing the layout
+            bounds = _translate_generated_bounds(bounds, gen_meta)
 
         def after(a, b) -> bool:
             """a strictly after b. ISO strings are compared on their COMMON
@@ -1184,6 +1258,31 @@ class IncrementalRunner:
             )
             tomb = new.filter(flag).drop(spec.tombstone_col)
             new = new.filter(~flag).drop(spec.tombstone_col)
+        if spec.generated_columns:
+            # Delta generated columns: compute missing, VALIDATE provided
+            # (as a check constraint riding the write pass), and commit
+            # the definitions into the manifest meta so reads can
+            # translate base-column prunes into partition pruning.
+            import dataclasses
+
+            gen_meta: dict[str, dict] = {}
+            extra_checks: list[str] = []
+            for col, expr in spec.generated_columns.items():
+                kind, base = _parse_generated(col, expr)
+                gen_meta[col] = {"kind": kind, "base": base, "expr": expr}
+                if col in new.columns:
+                    extra_checks.append(f"`{col}` <=> ({expr})")
+                else:
+                    new = new.withColumn(col, F.expr(expr))
+                if tomb is not None and col not in tomb.columns:
+                    tomb = tomb.withColumn(col, F.expr(expr))
+            meta = dict(spec.manifest_meta or {})
+            meta["generated_columns"] = gen_meta
+            spec = dataclasses.replace(
+                spec,
+                check_constraints=[*spec.check_constraints, *extra_checks],
+                manifest_meta=meta,
+            )
         if spec.contract is not None:
             got = [(f.name, f.dataType.simpleString()) for f in new.schema.fields]
             want = list(spec.contract.items())

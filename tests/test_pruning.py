@@ -61,3 +61,99 @@ def test_rel_pruned_numeric_path_value_vs_string_bounds():
     # plain string/ISO bounds unchanged
     assert _rel_pruned("day=2024-05-01", {"day": ("2024-01-01", "2024-02-01")}) is True
     assert _rel_pruned("day=2024-01-15", {"day": ("2024-01-01", "2024-02-01")}) is False
+
+
+def test_generated_partition_column_computed_and_prunes_from_base(
+    spark, tmp_path
+):
+    """Delta generated columns (r8): `day = CAST(ts AS DATE)` is computed
+    at write when the build omits it, committed into the manifest meta,
+    and a prune on the BASE column (ts) statically prunes the generated
+    day partitions — the caller never names the layout column."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+
+    def build(sp, sfd, wm):
+        return (
+            sp.table("events")
+            .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        )
+
+    spec = ModelSpec(
+        "gen_t", "event_id", "ts", build,
+        partition_by=["day"],
+        generated_columns={"day": "CAST(ts AS DATE)"},
+    )
+    runner = IncrementalRunner(spark, str(tmp_path / "t"))
+    runner.run(spec, SF_DIR)
+
+    out = runner.read_target("gen_t")
+    assert "day" in out.columns
+    assert out.filter(F.col("day") != F.col("ts").cast("date")).count() == 0
+    m = runner.current_manifest("gen_t")
+    assert m["meta"]["generated_columns"]["day"]["kind"] == "cast_date"
+    n_parts = len(m["partitions"])
+    assert n_parts > 1
+
+    lo, hi = runner.read_target("gen_t").agg(
+        F.min("ts"), F.max("ts")
+    ).first()
+    mid = lo + (hi - lo) / 2
+    pruned = runner.resolved_files("gen_t", prune={"ts": (str(lo), str(mid))})
+    full = runner.resolved_files("gen_t")
+    assert 0 < len(pruned) < len(full), (len(pruned), len(full))
+    # translation equals an explicit prune on the generated column
+    explicit = runner.resolved_files(
+        "gen_t", prune={"day": (lo.date(), mid.date())}
+    )
+    assert set(pruned) <= set(explicit) or set(explicit) <= set(pruned)
+
+
+def test_generated_column_provided_values_validated(spark, tmp_path):
+    """A build that PROVIDES the generated column with wrong values must
+    abort before commit (Delta's validation rule); correct provided
+    values pass. Unsupported expressions refuse at parse time."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, str(tmp_path / "t"))
+
+    def mk(day_expr):
+        def build(sp, sfd, wm):
+            return sp.range(10).select(
+                F.col("id").alias("k"),
+                F.to_timestamp(F.lit("2024-01-05 10:00:00")).alias("ts"),
+                F.expr(day_expr).alias("day"),
+            )
+
+        return build
+
+    spec_ok = ModelSpec(
+        "gen_v", "k", "ts", mk("DATE '2024-01-05'"),
+        partition_by=["day"], generated_columns={"day": "CAST(ts AS DATE)"},
+    )
+    runner.run(spec_ok, SF_DIR)
+    assert runner.read_target("gen_v").count() == 10
+
+    import dataclasses
+
+    spec_bad = dataclasses.replace(
+        spec_ok, name="gen_bad", build=mk("DATE '1999-01-01'")
+    )
+    with _pytest.raises(RuntimeError, match="CHECK constraint violated"):
+        runner.run(spec_bad, SF_DIR)
+
+    spec_unsup = dataclasses.replace(
+        spec_ok, name="gen_unsup",
+        generated_columns={"day": "ts + INTERVAL 1 DAY"},
+    )
+    with _pytest.raises(RuntimeError, match="unsupported generated-column"):
+        runner.run(spec_unsup, SF_DIR)
