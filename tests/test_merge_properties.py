@@ -211,3 +211,83 @@ def test_inline_and_checkpointed_manifests_are_equivalent(
     p = os.path.join(ri._manifest_dir("eq"), f"v{last:06d}.json")
     with open(p) as fh:
         assert "segments" not in json.load(fh)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_insert_only_merge_with_duplicate_sources_matches_reference(
+    spark, target_root, seed
+):
+    """ADVICE r8 regression class, randomized: insert-only merges with
+    DUPLICATE source keys. Reference semantics (Delta): matched target
+    rows are untouched (never duplicated, never raising), and every
+    not-matched source OCCURRENCE inserts when its condition holds —
+    duplicate new keys insert twice. Zero files rewritten."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    rng = random.Random(seed)
+    runner = IncrementalRunner(spark, target_root)
+    spec = _mk_spec(f"io{seed}")
+    runner.run(spec, SF_DIR)
+
+    keys = [rng.randrange(0, 80) for _ in range(30)]  # dups + matches
+    src_rows = [(k, float(k + 2000)) for k in keys]
+    mod_i = rng.choice([2, 3])
+    res = runner.merge_into(
+        spec,
+        spark.createDataFrame(src_rows, "k long, sv double"),
+        on="t.k = s.k",
+        not_matched=[
+            ("insert", f"s.k % {mod_i} = 0", {
+                "k": "s.k", "part": "s.k % 4", "v": "s.sv",
+            })
+        ],
+    )
+    assert res["files_rewritten"] == 0
+
+    tgt_keys = set(range(40))
+    expected = [(i, i % 4, float(i * 10)) for i in range(40)]
+    expected += [
+        (k, k % 4, float(k + 2000))
+        for k in keys
+        if k not in tgt_keys and k % mod_i == 0
+    ]
+    got = sorted(
+        (int(r["k"]), int(r["part"]), float(r["v"]))
+        for r in runner.read_target(spec.name).collect()
+    )
+    assert got == sorted(expected), f"seed={seed} mod_i={mod_i}"
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_by_source_only_merge_with_duplicate_sources_matches_reference(
+    spark, target_root, seed
+):
+    """ADVICE r8 second class, randomized: by-source-only merges with
+    duplicate source matches. Matched target rows survive EXACTLY once;
+    unmatched target rows follow the delete condition; nothing inserts."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    rng = random.Random(seed)
+    runner = IncrementalRunner(spark, target_root)
+    spec = _mk_spec(f"bs{seed}")
+    runner.run(spec, SF_DIR)
+
+    keys = [rng.randrange(0, 40) for _ in range(25)]  # heavy dups
+    mod_d = rng.choice([3, 5, 7])
+    runner.merge_into(
+        spec,
+        spark.createDataFrame([(k,) for k in keys], "k long"),
+        on="t.k = s.k",
+        not_matched_by_source=[("delete", f"t.k % {mod_d} = 1")],
+    )
+    src_keys = set(keys)
+    expected = [
+        (i, i % 4, float(i * 10))
+        for i in range(40)
+        if i in src_keys or i % mod_d != 1
+    ]
+    got = sorted(
+        (int(r["k"]), int(r["part"]), float(r["v"]))
+        for r in runner.read_target(spec.name).collect()
+    )
+    assert got == sorted(expected), f"seed={seed} mod_d={mod_d}"
