@@ -3173,6 +3173,14 @@ class IncrementalRunner:
                 "partitions": parts,
                 "stats": stats,
             }
+            # meta (txn ledgers, index codebooks, generated-column defs)
+            # MUST survive a layout rewrite — compaction changes files,
+            # not table semantics. The deletion vector, by contrast, is
+            # intentionally dropped: the read above applied it, so the
+            # rewrite ABSORBED the deletes (OPTIMIZE-absorbs-DVs, exactly
+            # like Delta's compaction rewriting DV-carrying files).
+            if base is not None and base.get("meta") is not None:
+                manifest["meta"] = base["meta"]
             self._commit_manifest(name, manifest)
             self._clear_premanifest_marker(guard)
             self._vacuum(name, manifest)

@@ -407,3 +407,40 @@ def test_dv_restore_revives_vector(spark, tmp_path):
     m = runner.current_manifest("dv5")
     assert (m.get("dv") or {}).get("files")
     assert runner.read_target("dv5").count() == n_dv
+
+
+def test_compact_preserves_meta_and_absorbs_dv(spark, tmp_path):
+    """OPTIMIZE semantics (r8): compaction must carry the manifest meta
+    forward (txn ledgers / codebooks / generated-column defs survive a
+    layout rewrite) and ABSORB a pending deletion vector — the rewrite
+    reads through the DV filter, so deleted rows never land and the
+    vector drops with the commit (Delta's compaction-absorbs-DVs)."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, str(tmp_path / "t"))
+    spec = ModelSpec(
+        "cmp_dv", "k", "day", None, partition_by=["day"],
+        manifest_meta={"custom": {"payload": 42}},
+    )
+    import datetime as dt
+
+    d1 = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, d1, i * 10) for i in range(100)], "k bigint, day date, v bigint"
+    )
+    runner._atomic_write(spec, df)
+    res = runner.delete_where(spec, "k % 10 = 3", mode="dv")
+    assert res["rows_matched"] == 10
+
+    out = runner.compact("cmp_dv", target_file_mb=1)
+    m = runner.current_manifest("cmp_dv")
+    assert m.get("meta") == {"custom": {"payload": 42}}, "meta lost in compact"
+    assert not (m.get("dv") or {}).get("files"), "DV must be absorbed"
+    back = runner.read_target("cmp_dv")
+    assert back.count() == 90
+    assert back.filter("k % 10 = 3").count() == 0
+    # absorbed table is writable again (the DV guard no longer fires)
+    runner.delete_where(spec, "k = 0")
+    assert runner.read_target("cmp_dv").count() == 89
