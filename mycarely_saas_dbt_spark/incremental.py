@@ -3028,6 +3028,7 @@ class IncrementalRunner:
         )
         final = self.target_path(spec.name)
         live = self.current_manifest(spec.name)
+        self._require_no_dv(spec.name, live, "backfill")
         base = live or self._manifest_from_layout(
             spec.name, spec.partition_by
         )
@@ -3059,6 +3060,16 @@ class IncrementalRunner:
                 "partitions": parts,
                 "stats": stats,
             }
+            # meta survives a range rewrite (same rule as compact):
+            # ledgers/codebooks/generated-column defs are table
+            # semantics, not layout
+            meta = (
+                spec.manifest_meta
+                if spec.manifest_meta is not None
+                else base.get("meta")
+            )
+            if meta is not None:
+                manifest["meta"] = meta
             manifest = self._commit_manifest(
                 spec.name,
                 manifest,

@@ -444,3 +444,45 @@ def test_compact_preserves_meta_and_absorbs_dv(spark, tmp_path):
     # absorbed table is writable again (the DV guard no longer fires)
     runner.delete_where(spec, "k = 0")
     assert runner.read_target("cmp_dv").count() == 89
+
+
+def test_backfill_preserves_meta_and_refuses_pending_dv(spark, tmp_path):
+    """Backfill (range rewrite) follows the same rules as compact: meta
+    survives, and a pending deletion vector refuses (a range rebuild
+    could re-insert DV'd keys and the old commit shape silently DROPPED
+    the vector — resurrecting deleted rows everywhere)."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, str(tmp_path / "t"))
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+
+    def build(sp, sfd, wm):
+        return sp.createDataFrame(
+            [(i, d1 if i < 50 else d2, i) for i in range(100)],
+            "k bigint, day date, v bigint",
+        )
+
+    spec = ModelSpec(
+        "bf_dv", "k", "day", build, partition_by=["day"],
+        manifest_meta={"custom": {"payload": 7}},
+    )
+    runner.run(spec, SF_DIR)
+
+    runner.backfill(spec, SF_DIR, start=d2, end=d2)
+    m = runner.current_manifest("bf_dv")
+    assert m.get("meta", {}).get("custom") == {"payload": 7}
+
+    runner.delete_where(spec, "k % 9 = 4", mode="dv")
+    with _pytest.raises(RuntimeError, match="pending deletion vector"):
+        runner.backfill(spec, SF_DIR, start=d2, end=d2)
+    runner.absorb_deletion_vectors(spec)
+    runner.backfill(spec, SF_DIR, start=d2, end=d2)
+    out = runner.read_target("bf_dv")
+    # day-1 rows keep the absorbed deletes; day-2 was rebuilt by the
+    # full build (which reintroduces its keys - authoritative range)
+    assert out.filter("day = DATE '2024-01-01' AND k % 9 = 4").count() == 0
