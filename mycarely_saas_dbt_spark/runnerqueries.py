@@ -1276,6 +1276,134 @@ ORDER BY o_orderkey
 """
 
 
+GEN_T1, GEN_T2 = "2024-01-08", "2024-01-15"  # inside every sf's ts span
+
+
+def gen_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated partition columns end-to-end (r8 — Delta GENERATED
+    ALWAYS AS): commit events into a target partitioned by
+    day=CAST(ts AS DATE) that the build never produces (computed at
+    write, definition committed in the manifest meta), then read a ts
+    RANGE with prune on the BASE column only — resolved_files translates
+    it into static day-partition pruning. The entry asserts the pruning
+    actually skipped partitions, and the oracle is the plain relational
+    filter, so a translation that over-prunes (drops rows) or a write
+    that mis-computes the generated column hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_gen_")
+    try:
+        runner = IncrementalRunner(spark, root)
+
+        def build(sp, sfd, wm):
+            register_sources(sp, sfd)
+            return sp.table("events").select(
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+
+        spec = ModelSpec(
+            "gen_events", "event_id", "ts", build,
+            partition_by=["day"],
+            generated_columns={"day": "CAST(ts AS DATE)"},
+        )
+        runner.run(spec, sf_dir)
+        pruned = runner.resolved_files(
+            "gen_events", prune={"ts": (GEN_T1, GEN_T2)}
+        )
+        full = runner.resolved_files("gen_events")
+        assert 0 < len(pruned) < len(full), (len(pruned), len(full))
+        out = (
+            runner.read_target("gen_events", prune={"ts": (GEN_T1, GEN_T2)})
+            .filter(
+                (F.col("ts") >= F.lit(GEN_T1).cast("timestamp"))
+                & (F.col("ts") < F.lit(GEN_T2).cast("timestamp"))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .orderBy("event_type")
+        )
+        return materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_GEN_PRUNE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE ts >= TIMESTAMP '{GEN_T1} 00:00:00' AND ts < TIMESTAMP '{GEN_T2} 00:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE automatic schema evolution (r8 — VERDICT r7 item 6b in a
+    driver artifact): the source carries a NEW column; with
+    on_schema_change='append_new_columns' the matched rows take its
+    values, every untouched row NULL-backfills (untouched FILES are not
+    rewritten — readers schema-merge via the committed dtypes), and the
+    evolved dtypes commit atomically with the data."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_q_evo_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = dataclasses.replace(
+            _dml_boot_spec("evo_orders"), on_schema_change="append_new_columns"
+        )
+        runner.run(spec, sf_dir)
+        src = (
+            spark.table("orders")
+            .filter("o_orderkey % 6 = 1")
+            .select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + 5.0).alias("p"),
+                F.concat(F.lit("r"), (F.col("o_custkey") % 5).cast("string"))
+                .alias("region"),
+            )
+        )
+        runner.merge_into(
+            spec,
+            src,
+            on="t.o_orderkey = s.k",
+            matched=[("update", None, {
+                "o_totalprice": "s.p", "region": "s.region",
+            })],
+        )
+        return materialize(
+            runner.read_target("evo_orders").orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_MERGE_EVOLUTION = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderstatus,
+       CASE WHEN o_orderkey % 6 = 1 THEN 'r' || CAST(o_custkey % 5 AS VARCHAR)
+            ELSE NULL END AS region
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def dml_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE + shallow CLONE (r7): bootstrap, DELETE a slice (v2),
     RESTORE to v1 (metadata-only — the committed file set IS v1's, by
@@ -1501,6 +1629,8 @@ def register_queries(register) -> None:
     register("bloom_point_lookup", bloom_point_lookup, O_BLOOM_LOOKUP)
     register("dml_delete_update", dml_delete_update, O_DML_DELETE_UPDATE)
     register("dv_delete_read", dv_delete_read, O_DV_DELETE)
+    register("gen_prune_read", gen_prune_read, O_GEN_PRUNE)
+    register("merge_schema_evolution", merge_schema_evolution, O_MERGE_EVOLUTION)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(
