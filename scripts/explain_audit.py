@@ -73,6 +73,7 @@ AUDIT = [
     # pinned in tests/test_dml.py / the entry's own replay asserts.
     "bm25_index_delete_aware",
     "semdedup",
+    "hybrid_rrf_search",
 ]
 
 
