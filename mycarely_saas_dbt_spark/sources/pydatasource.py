@@ -182,7 +182,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         # version granularity): bound how many manifest VERSIONS one
         # micro-batch may advance, so a stream recovering from a long
         # outage catches up in bounded-size batches instead of one
-        # giant batch that overwhelms executor memory / sink commit size
+        # giant batch that overwhelms executor memory / sink commit size.
+        # Contract (bounded by the Python stream API, which has no
+        # start-aware latestOffset and probes latestOffset BEFORE
+        # initialOffset): the FIRST planned batch of each run is
+        # unbounded (the catch-up), every subsequent batch of the run
+        # advances at most max_versions — the steady-state protection
+        # for a running stream that falls behind bursty commits.
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
         # progression state for admission control. None = this reader has
         # not yet learned the stream's position (checkpoint restart):
@@ -204,11 +210,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": 0}
 
     def latestOffset(self) -> dict:
+        # NOT mutating: the engine may probe latestOffset several times
+        # before a batch is planned (availability checks) — advancing
+        # here would silently widen the bound. The position advances in
+        # partitions()/commit(), i.e. only when a batch actually runs.
         cur = _manifest_current_version(self.root, self.model)
         if self.max_versions is not None and self._last_end is not None:
             cur = min(cur, self._last_end + self.max_versions)
-        if self.max_versions is not None:
-            self._last_end = cur
         return {"version": cur}
 
     def _files(self, version: int) -> set:
@@ -281,7 +289,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         yield from pa.Table.from_arrays(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._last_end = max(self._last_end or 0, end["version"])
 
 
 class ManifestStreamDataSource(DataSource):

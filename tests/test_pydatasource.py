@@ -318,3 +318,72 @@ def test_manifest_stream_admission_control_bounds_catchup(
     r3 = ManifestStreamReader({"root": root, "model": "t"})
     assert r3.initialOffset() == {"version": 0}
     assert r3.latestOffset() == {"version": 5}
+
+
+def test_manifest_stream_admission_control_end_to_end(
+    spark, tmp_path, monkeypatch
+):
+    """The option travels through a REAL readStream (Spark lowercases
+    Python-data-source option keys). API contract: the FIRST planned
+    batch of a run is unbounded (Spark probes latestOffset before
+    initialOffset and the Python API has no start-aware latestOffset);
+    every SUBSEQUENT batch advances at most maxVersionsPerBatch — so
+    versions committed while the stream RUNS drain one per micro-batch."""
+    import datetime as dt
+    import time
+
+    from mycarely_saas_dbt_spark import incremental as inc
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_stream_source,
+    )
+
+    monkeypatch.setattr(inc.IncrementalRunner, "RETAIN_VERSIONS", 20)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, day date, v bigint")
+
+    spec = lambda b: ModelSpec("t", "k", "day", b, partition_by=["day"])  # noqa: E731
+
+    def commit(i):
+        d = dt.date(2024, 2, i)
+        runner.run(spec(lambda sp, sfd, wm, d=d, i=i: mk([(i, d, i)])), "x")
+
+    for i in range(1, 3):
+        commit(i)
+
+    register_manifest_stream_source(spark)
+    batches = []
+
+    def sink(batch_df, bid):
+        rows = batch_df.collect()
+        if rows:
+            batches.append(sorted(r["k"] for r in rows))
+
+    q = (
+        spark.readStream.format("mycarely_manifest_stream")
+        .option("root", root)
+        .option("model", "t")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(batches) < 1:
+            time.sleep(0.5)
+        assert batches and batches[0] == [1, 2]  # unbounded catch-up batch
+        # burst of 3 commits WHILE the stream runs: must drain 1/batch
+        for i in range(3, 6):
+            commit(i)
+        deadline = time.time() + 180
+        while time.time() < deadline and sum(len(b) for b in batches) < 5:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert batches == [[1, 2], [3], [4], [5]], batches
