@@ -2407,18 +2407,26 @@ class IncrementalRunner:
         matched = raw.filter(cond).select(key).distinct()
         dvdir = os.path.join(root, self._DV_DIR)
         os.makedirs(dvdir, exist_ok=True)
-        fname = f"dv-{uuid.uuid4().hex[:12]}.parquet"
-        tmp = os.path.join(dvdir, f".{fname}.tmp")
-        matched.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # the vector writes at full parallelism — dv["files"] is a LIST,
+        # so a massive delete's keys never funnel through one task; AQE
+        # coalesces the usual tiny case down to one file anyway
+        stem = f"dv-{uuid.uuid4().hex[:12]}"
+        tmp = os.path.join(dvdir, f".{stem}.tmp")
+        matched.write.mode("overwrite").parquet(tmp)
         n = self.spark.read.parquet(tmp).count()
         if n == 0:
             shutil.rmtree(tmp, ignore_errors=True)
             return result
-        part = next(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        os.replace(os.path.join(tmp, part), os.path.join(dvdir, fname))
+        names = []
+        for i, part in enumerate(
+            sorted(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        ):
+            fname = f"{stem}-{i:04d}.parquet"
+            os.replace(os.path.join(tmp, part), os.path.join(dvdir, fname))
+            names.append(fname)
         shutil.rmtree(tmp, ignore_errors=True)
         old_dv = live.get("dv") or {"key": key, "files": []}
         manifest = {
@@ -2427,7 +2435,7 @@ class IncrementalRunner:
             "dtypes": dtypes,
             "partitions": live["partitions"],
             "stats": live.get("stats") or {},
-            "dv": {"key": key, "files": [*old_dv["files"], fname]},
+            "dv": {"key": key, "files": [*old_dv["files"], *names]},
         }
         if live.get("meta") is not None:
             manifest["meta"] = live["meta"]
