@@ -1095,21 +1095,34 @@ class IncrementalRunner:
         # (they were live there) and exclude them from the file-diff leg
         # so a key that was both DV'd and partition-rewritten isn't
         # double-reported.
-        dv_from = self._dv_keys(name, m_from)
-        dv_to = self._dv_keys(name, m_to)
-        if dv_to is not None:
+        dv_files_from = set(((m_from.get("dv") or {}).get("files")) or [])
+        dv_files_to = set(((m_to.get("dv") or {}).get("files")) or [])
+        if dv_files_to and dv_files_to != dv_files_from:
             dv_key = m_to["dv"]["key"]  # the table's unique_key column
-            new_dv = dv_to
+            new_dv = self._dv_keys(name, m_to)
+            dv_from = self._dv_keys(name, m_from)
             if dv_from is not None:
                 new_dv = new_dv.join(F.broadcast(dv_from), dv_key, "left_anti")
-            dv_rows = (
-                self.read_target(name, version=m_from["version"])
-                .join(F.broadcast(new_dv), dv_key)
-                .select(*cols, F.lit("delete").alias("_change_type"))
-            )
-            out = out.join(
-                F.broadcast(new_dv), dv_key, "left_anti"
-            ).unionByName(dv_rows)
+            # Keep the read metadata-bounded: the new-DV key set is sidecar
+            # scale (KBs), so one tiny agg over it yields min/max bounds
+            # that stats-prune the from-snapshot read — a DV over one day's
+            # keys opens one day's files, not the whole table.
+            lo, hi = new_dv.agg(
+                F.min(dv_key), F.max(dv_key)
+            ).first()
+            if lo is not None:
+                dv_rows = (
+                    self.read_target(
+                        name,
+                        version=m_from["version"],
+                        prune={dv_key: (lo, hi)},
+                    )
+                    .join(F.broadcast(new_dv), dv_key)
+                    .select(*cols, F.lit("delete").alias("_change_type"))
+                )
+                out = out.join(
+                    F.broadcast(new_dv), dv_key, "left_anti"
+                ).unionByName(dv_rows)
         return out
 
     def txn_last_version(self, name: str, app_id: str) -> int | None:
@@ -1276,7 +1289,16 @@ class IncrementalRunner:
                     new = new.withColumn(col, F.expr(expr))
                 if tomb is not None and col not in tomb.columns:
                     tomb = tomb.withColumn(col, F.expr(expr))
-            meta = dict(spec.manifest_meta or {})
+            if spec.manifest_meta is not None:
+                meta = dict(spec.manifest_meta)
+            else:
+                # Preserve the carry-previous-meta-forward rule: a run()
+                # with generated_columns must NOT replace meta committed
+                # by other writers on the same table (e.g. the txn
+                # idempotency ledger from merge_txn) — overlay onto the
+                # live manifest's meta instead of starting from {}.
+                live_now = self.current_manifest(spec.name)
+                meta = dict((live_now or {}).get("meta") or {})
             meta["generated_columns"] = gen_meta
             spec = dataclasses.replace(
                 spec,

@@ -486,3 +486,53 @@ def test_backfill_preserves_meta_and_refuses_pending_dv(spark, tmp_path):
     # day-1 rows keep the absorbed deletes; day-2 was rebuilt by the
     # full build (which reintroduces its keys - authoritative range)
     assert out.filter("day = DATE '2024-01-01' AND k % 9 = 4").count() == 0
+
+
+def test_dv_cdf_leg_is_key_bounded(spark, tmp_path):
+    """ADVICE r8 (low): table_changes' deletion-vector leg must not scan
+    the whole from-snapshot — the (tiny) new-DV key set's min/max bounds
+    the read via stats pruning, and an empty/unchanged vector across the
+    range short-circuits the leg entirely."""
+    runner, spec = _dv_boot(spark, str(tmp_path / "t"), "dv6")
+    v1 = runner.current_manifest("dv6")["version"]
+
+    calls = []
+    orig = runner.read_target
+
+    def spy(name, **kw):
+        calls.append(kw)
+        return orig(name, **kw)
+
+    runner.read_target = spy
+    try:
+        res = runner.delete_where(
+            spec, "o_orderkey BETWEEN 100 AND 200", mode="dv"
+        )
+        assert res["rows_matched"] > 0
+        calls.clear()
+        ch = runner.table_changes("dv6", "o_orderkey", v1).collect()
+        assert len(ch) == res["rows_matched"]
+        assert all(r["_change_type"] == "delete" for r in ch)
+        dv_reads = [
+            kw for kw in calls if kw.get("version") == v1 and kw.get("prune")
+        ]
+        assert dv_reads, f"DV leg did not pass a prune: {calls}"
+        (lo, hi) = dv_reads[0]["prune"]["o_orderkey"]
+        assert 100 <= lo <= hi <= 200
+        # no unbounded full-version read anywhere in the leg
+        assert not any(
+            kw.get("version") == v1
+            and not kw.get("prune")
+            and kw.get("rels") is None  # rels=[] is the (empty) file-diff leg
+            for kw in calls
+        ), calls
+        # short-circuit: a range over which the vector did not change
+        # emits no deletes and never reads the from-snapshot
+        v2 = runner.current_manifest("dv6")["version"]
+        calls.clear()
+        ch2 = runner.table_changes("dv6", "o_orderkey", v2).collect()
+        assert ch2 == []
+        # only the (empty) file-diff legs ran — no DV-leg snapshot read
+        assert all(kw.get("rels") == [] for kw in calls), calls
+    finally:
+        runner.read_target = orig

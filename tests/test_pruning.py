@@ -157,3 +157,41 @@ def test_generated_column_provided_values_validated(spark, tmp_path):
     )
     with _pytest.raises(RuntimeError, match="unsupported generated-column"):
         runner.run(spec_unsup, SF_DIR)
+
+
+def test_generated_columns_run_preserves_live_meta(spark, tmp_path):
+    """ADVICE r8 (low): run() with generated_columns must OVERLAY the
+    definitions onto the live manifest meta, not replace it — a txn
+    idempotency ledger committed by merge_txn on the same table has to
+    survive a subsequent incremental run, or replayed micro-batches
+    would be re-applied."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    def build(sp, sfd, wm):
+        return sp.range(10).select(
+            F.col("id").alias("k"),
+            F.to_timestamp(F.lit("2024-01-05 10:00:00")).alias("ts"),
+        )
+
+    spec = ModelSpec(
+        "gen_meta_t", "k", "ts", build,
+        partition_by=["day"], generated_columns={"day": "CAST(ts AS DATE)"},
+    )
+    runner = IncrementalRunner(spark, str(tmp_path / "t"))
+    runner.run(spec, SF_DIR)
+
+    batch = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-06 10:00:00")).alias("ts"),
+        F.lit("2024-01-06").cast("date").alias("day"),
+    )
+    runner.merge_txn(spec, batch, app_id="hopX", txn_version=7)
+    assert runner.txn_last_version("gen_meta_t", "hopX") == 7
+
+    # incremental run on the same table: the ledger must survive
+    runner.run(spec, SF_DIR)
+    assert runner.txn_last_version("gen_meta_t", "hopX") == 7
+    m = runner.current_manifest("gen_meta_t")
+    assert m["meta"]["generated_columns"]["day"]["kind"] == "cast_date"
