@@ -190,3 +190,49 @@ def materialize(df: DataFrame) -> DataFrame:
     _MAT_DIRS.append(path)
     _prune_mat_dirs()
     return out
+
+
+def global_rank(
+    df: DataFrame, order_by, *, rank_col: str = "rank"
+) -> DataFrame:
+    """Global ROW_NUMBER over ``order_by`` WITHOUT an unpartitioned
+    Window (the W1 single-partition-sort hazard): range-partition on the
+    sort key, rank locally inside each range partition, then add each
+    partition's broadcast cumulative offset. Two distributed shuffles —
+    no stage ever holds the whole relation on one task. The only
+    unpartitioned window runs over the per-partition COUNTS (<=
+    spark.sql.shuffle.partitions rows — metadata scale, like a manifest
+    read).
+
+    ``order_by`` must be a list of Column expressions forming a STRICT
+    total order (include a unique tiebreak column) — equal keys could
+    otherwise land on either side of a range boundary and rank
+    nondeterministically."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    local = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrank",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*order_by)
+            ),
+        )
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__lrank") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrank")
+    )

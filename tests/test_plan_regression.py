@@ -373,3 +373,28 @@ def test_semdedup_no_cross_cluster_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_hybrid_rrf_query_path_uses_committed_prior(spark):
+    """VERDICT r8 item 1: hybrid_rrf_search's quality prior must be the
+    PRECOMPUTED committed column, not a query-time global Window over
+    the corpus. The returned plan therefore (a) never scans the
+    documents corpus at all (the prior is a committed target; the BM25
+    leg already ran), (b) prunes the prior's qbucket partitions to the
+    candidates' buckets, (c) broadcasts the tiny candidate set, and
+    (d) contains no unpartitioned Window (every Window is per-qid)."""
+    from mycarely_saas_dbt_spark.operators.textops import hybrid_rrf_search
+
+    plan = _plan(hybrid_rrf_search(spark, SF_DIR))
+    assert "documents.parquet" not in plan, plan
+    assert "PartitionFilters: [" in plan and "qbucket" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # every Window operator is partitioned by qid — a global corpus-wide
+    # rank would appear as a Window line without the qid partition spec
+    win_lines = [
+        ln for ln in plan.splitlines() if re.match(r"\s*[+:*-]*\s*Window ", ln)
+    ]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "qid" in ln, f"unpartitioned Window in query path: {ln}\n{plan}"
