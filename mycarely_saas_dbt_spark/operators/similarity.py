@@ -855,7 +855,12 @@ def _corpus_fingerprint(sf_dir: str) -> list:
 
 
 def ann_index_build(
-    spark: SparkSession, sf_dir: str, root: str, bound: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    bound: int | None = None,
+    *,
+    base: str | None = None,
 ) -> dict:
     """Build-or-reuse the persistent IVFADC index; returns the committed
     manifest. When CURRENT already carries the "ann" meta for this exact
@@ -871,18 +876,41 @@ def ann_index_build(
 
     ``bound`` restricts the indexed corpus to ``vec_id < bound`` — the
     bootstrap phase of the build-then-append lifecycle
-    (``ann_index_append``)."""
+    (``ann_index_append``).
+
+    ``base``: the name of a COMMITTED manifest target (in the same root)
+    to index INSTEAD of the raw embeddings table. The index meta then
+    records ``(base, base_version)`` — making the index SELF-DESCRIBINGLY
+    delete-aware (VERDICT r8 item 3, the BM25-index symmetry):
+    ``pq_index_topk`` auto-applies ``deleted_keys_since`` over that base
+    without the caller passing ``deleted=``. Reuse note: a ``base=None``
+    call accepts an index built WITH a base for the same corpus (same
+    snapshot, strictly more metadata); a ``base=X`` call requires X
+    recorded."""
     from ..incremental import IncrementalRunner, ModelSpec
 
     runner = IncrementalRunner(spark, root)
     cur = runner.current_manifest(ANN_INDEX_NAME)
     fp = _corpus_fingerprint(sf_dir)
     ann = ((cur or {}).get("meta") or {}).get("ann")
-    if ann is not None and ann.get("corpus") == fp and ann.get("bound") == bound:
+    if (
+        ann is not None
+        and ann.get("corpus") == fp
+        and ann.get("bound") == bound
+        and (base is None or ann.get("base") == base)
+    ):
         return cur
 
-    register_sources(spark, sf_dir)
-    e = _with_norm(spark.table("embeddings"))
+    extra: dict = {}
+    if base is not None:
+        base_m = runner.current_manifest(base)
+        if base_m is None:
+            raise RuntimeError(f"ann_index_build: base {base!r} not committed")
+        extra = {"base": base, "base_version": base_m["version"]}
+        e = _with_norm(runner.read_target(base))
+    else:
+        register_sources(spark, sf_dir)
+        e = _with_norm(spark.table("embeddings"))
     if bound is not None:
         e = e.filter(F.col("vec_id") < bound)
     _, U = _pq_collect_unit(e, PQ_TRAIN_SAMPLE)
@@ -903,6 +931,7 @@ def ann_index_build(
                 "subdim": PQ_SUBDIM,
                 "coarse": C.tolist(),
                 "codebooks": B.tolist(),
+                **extra,
             }
         },
     )
@@ -987,7 +1016,16 @@ def pq_index_topk(
     vectors neither appear in results nor occupy shortlist slots — the
     deletion-vector-at-read shape; a rebuild re-absorbs them. Pruning is
     unaffected: the anti-join composes on top of the probed-cell
-    partition filter (tests pin the PartitionFilters entry survives)."""
+    partition filter (tests pin the PartitionFilters entry survives).
+
+    AUTO delete-awareness (VERDICT r8 item 3): when the index meta
+    records its base (``ann_index_build(..., base=...)``), the deleted
+    set is resolved from ``deleted_keys_since(base, "vec_id",
+    base_version)`` WITHOUT the caller passing ``deleted=`` — a caller
+    who forgets can no longer silently serve deleted vectors. The
+    explicit ``deleted=`` argument still overrides (e.g. an external
+    tombstone feed); ``deleted_keys_since`` returning None (no commits
+    since build) skips the anti-join entirely — the common fast path."""
     import numpy as np
 
     from ..incremental import IncrementalRunner
@@ -997,7 +1035,12 @@ def pq_index_topk(
     ann = m["meta"]["ann"]
     C = np.array(ann["coarse"], dtype=np.float64)
     B = np.array(ann["codebooks"], dtype=np.float64)
-    enc = IncrementalRunner(spark, root).read_target(ANN_INDEX_NAME)
+    runner = IncrementalRunner(spark, root)
+    enc = runner.read_target(ANN_INDEX_NAME)
+    if deleted is None and ann.get("base") is not None:
+        deleted = runner.deleted_keys_since(
+            ann["base"], "vec_id", ann["base_version"]
+        )
     if deleted is not None:
         key = "vec_id" if "vec_id" in deleted.columns else "vid"
         enc = enc.join(
@@ -1069,6 +1112,94 @@ def ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_index_topk(spark, sf_dir, root=root),
         ann_cosine_topk(spark, sf_dir),
     )
+
+
+ANN_BASE_NAME = "ann_vecs_base"
+ANN_DELETE_PRED = f"vec_id % 13 = 7"  # deterministic victims; no query vec
+
+
+def ann_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ANN-index-under-deletes lifecycle (VERDICT r8 item 3 — the
+    BM25 symmetry made SELF-DESCRIBING):
+
+    1. commit ``embeddings`` as a manifest BASE target,
+    2. build the IVFADC index FROM that committed snapshot with
+       ``base=`` — the index meta records (base, base_version),
+    3. row-level DELETE from the base (copy-on-write, feeds the CDF),
+    4. query through the PLAIN ``pq_index_topk`` — no ``deleted=``
+       argument anywhere: the index self-describes its base, so the
+       read auto-applies ``deleted_keys_since`` as a broadcast
+       anti-join before shortlisting.
+
+    Graded like the rest of the ANN family (recall contract vs the
+    exact brute-force answer over LIVE vectors) plus an explicit
+    zero-deleted-served count: a read that forgot the anti-join would
+    both fail the count and displace live ranks."""
+    import tempfile
+
+    from ..incremental import IncrementalRunner, ModelSpec
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_ann_da_")
+    runner = IncrementalRunner(spark, root)
+    base_spec = ModelSpec(
+        ANN_BASE_NAME,
+        "vec_id",
+        "vec_id",
+        lambda sp, sfd, wm: sp.table("embeddings"),
+    )
+    runner.run(base_spec, sf_dir)
+    ann_index_build(spark, sf_dir, root, base=ANN_BASE_NAME)
+    runner.delete_where(base_spec, ANN_DELETE_PRED)
+
+    approx = pq_index_topk(spark, sf_dir, root)  # auto delete-aware
+
+    # exact baseline over LIVE candidates only (queries stay the same
+    # N_QUERIES vectors — none is a delete victim by predicate choice)
+    e = _with_norm(spark.table("embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = e.filter(f"NOT ({ANN_DELETE_PRED})").select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ve"),
+        F.col("nrm").alias("vn"),
+    )
+    scored = q.join(c, F.col("qid") != F.col("vid")).select(
+        "qid", "vid", cosine("qe", "ve", "qn", "vn").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vid").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vid")
+    )
+
+    a = approx.drop_duplicates(["qid", "vid"])
+    n_deleted_served = a.filter(F.expr(ANN_DELETE_PRED.replace("vec_id", "vid"))).count()
+    hit = a.withColumn("hit", F.lit(1)).select("qid", "vid", "hit")
+    total, hits = (
+        exact.join(hit, ["qid", "vid"], "left")
+        .agg(F.count(F.lit(1)), F.count("hit"))
+        .first()
+    )
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(total, recall >= PQ_RECALL_FLOOR, n_deleted_served)],
+        "n_exact bigint, recall_ok boolean, n_deleted_served bigint",
+    )
+
+
+O_PQ_DELETE_AWARE = f"""
+SELECT CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact, TRUE AS recall_ok,
+       CAST(0 AS BIGINT) AS n_deleted_served
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1300,4 +1431,5 @@ def register_queries(register) -> None:
     register("ann_pq_adc_recall", ann_pq_adc_recall, O_PQ_ADC)
     register("ann_pq_index_recall", ann_pq_index_recall, O_PQ_ADC)
     register("ann_index_append_recall", ann_index_append_recall, O_PQ_ADC)
+    register("ann_index_delete_aware", ann_index_delete_aware, O_PQ_DELETE_AWARE)
     register("knn_label_eval", knn_label_eval, O_KNN_EVAL)
