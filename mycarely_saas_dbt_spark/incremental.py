@@ -1171,11 +1171,22 @@ class IncrementalRunner:
         txn[app_id] = int(txn_version)
         meta["txn"] = txn
         spec2 = dataclasses.replace(spec, manifest_meta=meta)
+        # tombstone split — same contract as run(): rows flagged in
+        # spec.tombstone_col are HARD deletes (CDC delete feed through an
+        # idempotent streaming sink), the rest upsert
+        tomb = None
+        if spec.tombstone_col is not None and spec.tombstone_col in new.columns:
+            flag = F.coalesce(
+                F.col(spec.tombstone_col).cast("boolean"), F.lit(False)
+            )
+            tomb = new.filter(flag).drop(spec.tombstone_col)
+            new = new.filter(~flag).drop(spec.tombstone_col)
         if self.target_exists(name):
             n, files = self._partitioned_merge_write(
-                spec2, self.read_target(name), new
+                spec2, self.read_target(name), new, tomb
             )
         else:
+            # fresh table: tombstones have nothing to delete
             n, files = self._atomic_write(spec2, new), 0
         return {
             "op": "merge-txn",
