@@ -85,6 +85,12 @@ EXTENSION_QUERIES = [
     "bm25_index_delete_aware",
     "semdedup",
     "hybrid_rrf_search",
+    # r9: the ANN index-under-deletes lifecycle (self-describing base →
+    # auto delete-aware query) and the sketch-only profiler variant; the
+    # CDF streaming entry stays out of the bench (wall time is stream
+    # machinery, like medallion — tracked per-round in CORRECTNESS only)
+    "ann_index_delete_aware",
+    "profile_table_approx",
 ]
 
 # Entries whose artifact numbers above are WARM-path (util.session_memo

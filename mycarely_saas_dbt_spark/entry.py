@@ -157,27 +157,52 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # `dedup_canonical_keep` (2 artifacts; dedup_cc_clusters is its
 # upstream in-window and training_mix_pipeline executes canonical keep
 # end-to-end in-window).
+# Round-9 rotation (VERDICT r8 item 4): the seven never-artifacted r8
+# entries rotate IN (`dv_delete_read`, `gen_prune_read`,
+# `merge_schema_evolution`, `semdedup`, `hybrid_rrf_search` — post the
+# r9 scale fix — `profile_table`, `medallion_multihop`) plus the three
+# r9 builds (`ann_index_delete_aware`, `profile_table_approx`,
+# `streaming_cdf_propagate`). Demoted, each keeping its identical
+# DuckDB compare in tests/test_microqueries.py and each shape still
+# pinned in-window: `p08_watermark_subquery` (5+ artifacts; the
+# watermark scalar-subquery executes metadata-resolved inside all three
+# in-window incremental_* entries every run), `j05_semi_anti` (5+
+# artifacts; semi/anti joins run in-window inside dedup_exact,
+# dedup_index_ingest's probe, and every delete-aware read's broadcast
+# anti-join), `ann_cosine_topk` (8 artifacts since r1; the brute-force
+# exact leg executes inside in-window ann_pq_index_recall,
+# ann_index_append_recall and ann_index_delete_aware as their grading
+# baseline), `ann_ivf_topk` (8 artifacts; the probed-cell IVF shape is
+# pinned harder by the persistent-index entries, which add commit +
+# pruning on top), `embedding_neardup` (8 artifacts; `semdedup` rotating
+# in is the richer embedding-space dedup — centroid blocking +
+# within-cluster pairwise), `text_token_stats` (8 artifacts;
+# tokenization statistics execute inside every in-window BM25/text
+# entry), `text_quality` (8 artifacts; the Gopher ratio gates run
+# composed inside in-window training_mix_pipeline and
+# repetition_filter), `streaming_traffic_pages` (8 artifacts; the
+# windowed-agg streaming shape runs inside in-window
+# streaming_cdc_apply/medallion/cdf hops; the HLL twin stays rows-only
+# in pytest), `sessionize_events` (8 artifacts; in-window
+# streaming_sessionize runs the same sessionization logic with the
+# HARDER state-store semantics), `approx_distinct_daily` (8 artifacts;
+# the HLL 5% accuracy contract is now pinned in-window by
+# profile_table_approx — same contract, wider column surface — plus
+# kmv_merge_rollup).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
     "traffic_daily_agg",
     "lead_activities_agg",
-    # SURVEY §2 operator micro-suite
-    "p08_watermark_subquery",
+    # SURVEY §2 operator micro-suite survivor (multi-column NOT-NULL
+    # output gate — no in-window model runs it in isolation)
     "p11_notnull_gate",
-    "j05_semi_anti",
     # LLM-data-pipeline surface: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash64",
     "dedup_cc_clusters",
-    # similarity / ANN family
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
     # text analysis family
-    "text_token_stats",
-    "text_quality",
     "text_lang_id",
     # r4: the training-mix composition (canonical-keep ∩ Gopher ∩
     # domain-cap) supersedes the simpler corpus_curation_pipeline in the
@@ -189,11 +214,7 @@ DRIVER_WINDOW = [
     "incremental_td_two_batch",
     "incremental_la_two_batch",
     # structured streaming
-    "streaming_traffic_pages",
     "streaming_sessionize",
-    # heaviest OLAP extensions
-    "sessionize_events",
-    "approx_distinct_daily",
     # r6 rotation survivors (see r8 rotation note for demotions)
     "line_dedup",
     "asof_join_spend_cogroup",
@@ -225,6 +246,19 @@ DRIVER_WINDOW = [
     "streaming_cdc_apply",
     # r8 new build (VERDICT r7 item 2 — index-under-deletes lifecycle)
     "bm25_index_delete_aware",
+    # r9 rotation (VERDICT r8 item 4 — the seven never-artifacted r8
+    # entries; hybrid_rrf_search enters POST the committed-prior fix)
+    "dv_delete_read",
+    "gen_prune_read",
+    "merge_schema_evolution",
+    "semdedup",
+    "hybrid_rrf_search",
+    "profile_table",
+    "medallion_multihop",
+    # r9 new builds (VERDICT r8 items 3, 5, 7)
+    "ann_index_delete_aware",
+    "streaming_cdf_propagate",
+    "profile_table_approx",
 ]
 
 

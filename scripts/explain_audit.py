@@ -74,6 +74,12 @@ AUDIT = [
     "bm25_index_delete_aware",
     "semdedup",
     "hybrid_rrf_search",
+    # round 9 additions: the auto delete-aware ANN lifecycle read and the
+    # sketch-only profiler scan. streaming_cdf_propagate materializes
+    # through stream checkpoints + the commit protocol — its per-rel diff
+    # shape is pinned in tests/test_pydatasource.py.
+    "ann_index_delete_aware",
+    "profile_table_approx",
 ]
 
 

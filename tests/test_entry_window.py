@@ -26,24 +26,29 @@ def test_driver_window_covers_llm_pipeline_surface():
         # dedup family (r4 rotation: 64-bit Hamming-banded simhash is the
         # scale shape; r8: containment + canonical_keep demoted — the
         # explode+equi-join family stays via line_dedup, canonical keep
-        # runs inside training_mix_pipeline)
+        # runs inside training_mix_pipeline; r9: embedding_neardup
+        # demoted for the richer semdedup)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64",
-        "dedup_cc_clusters",
-        # ANN family (r4 rotation: the Arrow-batched alternate scorer of
-        # ann_cosine_topk moved to pytest-only in favour of p09)
-        "ann_cosine_topk", "ann_ivf_topk",
-        "embedding_neardup",
-        # text analysis (r8: tfidf demoted — dsir_select + the BM25
-        # entries pin corpus-statistic term scoring)
-        "text_token_stats", "text_quality", "text_lang_id",
-        "training_mix_pipeline",
-        # incremental + streaming runtimes (r7: late_drop demoted — the
-        # remaining watermarked entries pin late-row semantics)
+        "dedup_cc_clusters", "semdedup",
+        # ANN family (r9: the transient exact/IVF entries demoted — the
+        # persistent-index lifecycle entries grade against the exact leg
+        # every run and add commit/pruning/delete-awareness on top)
+        "ann_pq_index_recall", "ann_index_append_recall",
+        "ann_index_delete_aware",
+        # text analysis (r8: tfidf demoted; r9: token_stats/quality
+        # demoted — they execute inside the windowed BM25/training-mix
+        # entries; retrieval adds hybrid RRF)
+        "text_lang_id", "training_mix_pipeline", "hybrid_rrf_search",
+        # incremental + streaming runtimes (r9: streaming_traffic_pages
+        # and sessionize_events demoted — their shapes run inside the
+        # windowed streaming/sessionize/medallion/cdf entries)
         "incremental_two_batch_upsert", "incremental_td_two_batch",
-        "incremental_la_two_batch", "streaming_traffic_pages",
+        "incremental_la_two_batch",
         "streaming_sessionize",
-        # heaviest OLAP extensions
-        "sessionize_events", "approx_distinct_daily",
+        # r9 lakehouse + profiling first-timers
+        "dv_delete_read", "gen_prune_read", "merge_schema_evolution",
+        "profile_table", "profile_table_approx", "medallion_multihop",
+        "streaming_cdf_propagate",
         # r6 first-time artifact coverage still windowed after r8
         "line_dedup", "asof_join_spend_cogroup",
         "streaming_dedup_within_watermark",
