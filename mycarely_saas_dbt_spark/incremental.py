@@ -1182,9 +1182,17 @@ class IncrementalRunner:
             tomb = new.filter(flag).drop(spec.tombstone_col)
             new = new.filter(~flag).drop(spec.tombstone_col)
         if self.target_exists(name):
-            n, files = self._partitioned_merge_write(
-                spec2, self.read_target(name), new, tomb
-            )
+            if spec.partition_by:
+                n, files = self._partitioned_merge_write(
+                    spec2, self.read_target(name), new, tomb
+                )
+            else:
+                # unpartitioned target: same dispatch as run() — merge
+                # then full rewrite (there is no partition to prune)
+                n = self._atomic_write(
+                    spec2, self._merge(spec2, self.read_target(name), new, tomb)
+                )
+                files = 0
         else:
             # fresh table: tombstones have nothing to delete
             n, files = self._atomic_write(spec2, new), 0

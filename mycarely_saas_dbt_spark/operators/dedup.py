@@ -1044,6 +1044,161 @@ WHERE d.doc_id >= (SELECT s FROM split)
 """
 
 
+SIGM_BASE_NAME = "sigm_docs_base"
+SIGM_INDEX_NAME = "sigm_sig_index"
+SIGM_DELETE_PRED = "doc_id % 9 = 2"
+SIGM_UPDATE_PRED = "doc_id % 10 = 6"
+
+
+def streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature index FOLLOWS its base table through the change-feed
+    stream — the downstream composition the CDF source exists for
+    (VERDICT r8 item 5): base inserts/updates/deletes maintain the
+    committed minhash index automatically, no rebuild, no manual
+    `deleted=` plumbing.
+
+        base (documents, hash-bucket partitioned) --readStream
+          (mycarely_manifest_cdf)--> tagged change rows
+          --foreachBatch--> signatures recomputed FROM THE ROW IMAGES
+          (inserts/updates re-shingle only the changed docs' text —
+          per-batch cost is change-proportional, never corpus-
+          proportional), deletes ride spec.tombstone_col; merged via
+          merge_txn (idempotent under redelivery).
+
+    Waves: bootstrap insert -> cow DELETE -> cow UPDATE (text mutates,
+    so the signature must CHANGE, proving upsert-not-append), each
+    streamed through a checkpointed hop; a final replay wave is
+    asserted a no-op. Returns the final index (doc_id, mh0, mh11,
+    n_sh) — the oracle recomputes signatures over the base's live,
+    post-update text arithmetically."""
+    import shutil
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+
+    register_sources(spark, sf_dir)
+    register_manifest_cdf_source(spark)
+    root = tempfile.mkdtemp(prefix="mycarely_sigm_")
+    runner = IncrementalRunner(spark, root)
+
+    base_spec = ModelSpec(
+        SIGM_BASE_NAME,
+        "doc_id",
+        "doc_id",
+        lambda sp, sfd, wm: sp.table("documents").select(
+            "doc_id", "text", (F.col("doc_id") % 8).alias("pb")
+        ),
+        partition_by=["pb"],
+    )
+    idx_spec = ModelSpec(
+        SIGM_INDEX_NAME, "doc_id", "doc_id", None, tombstone_col="__del"
+    )
+
+    def hop():
+        stream = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", SIGM_BASE_NAME)
+            .option("key", "doc_id")
+            .load()
+        )
+
+        def sink(batch_df, bid):
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                live = rows.filter(
+                    F.col("_change_type") != "delete"
+                ).select("doc_id", "text")
+                sigs = _sig_with_nsh(live).withColumn("__del", F.lit(False))
+                dels = rows.filter(
+                    F.col("_change_type") == "delete"
+                ).select("doc_id")
+                tomb = dels.select(
+                    "doc_id",
+                    *[
+                        F.lit(None).cast("long").alias(f"mh{i}")
+                        for i in range(N_HASHES)
+                    ],
+                    F.lit(None).cast("long").alias("n_sh"),
+                    F.lit(True).alias("__del"),
+                )
+                runner.merge_txn(
+                    idx_spec,
+                    sigs.unionByName(tomb),
+                    app_id="sigm_hop",
+                    txn_version=bid,
+                )
+            finally:
+                rows.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_sigm")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    runner.run(base_spec, sf_dir)                     # bootstrap inserts
+    hop()
+    runner.delete_where(base_spec, SIGM_DELETE_PRED)  # cow DELETE
+    hop()
+    runner.update_where(                              # text mutates
+        base_spec, SIGM_UPDATE_PRED, {"text": "concat(text, ' zzz')"}
+    )
+    hop()
+    v_idx = runner.current_manifest(SIGM_INDEX_NAME)["version"]
+    hop()                                             # replay: no-op
+    assert runner.current_manifest(SIGM_INDEX_NAME)["version"] == v_idx
+
+    from ..util import materialize
+
+    out = materialize(
+        runner.read_target(SIGM_INDEX_NAME)
+        .select("doc_id", "mh0", f"mh{N_HASHES - 1}", "n_sh")
+        .orderBy("doc_id")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _sigm_oracle() -> str:
+    last = N_HASHES - 1
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN {SIGM_UPDATE_PRED} THEN text || ' zzz' ELSE text END
+               AS text
+    FROM documents WHERE NOT ({SIGM_DELETE_PRED})
+),
+sh AS (
+    SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS s
+    FROM base,
+         UNNEST(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1,
+                      {SHINGLE_STRIDE})) AS t(i)
+),
+hh AS (
+    SELECT doc_id, s,
+           ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h1,
+           ('0x' || substr(md5(s), 17, 15))::BIGINT % {MINHASH_P} AS h2
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           CAST(MIN(h1 % {MINHASH_P}) AS BIGINT) AS mh0,
+           CAST(MIN((h1 + {last} * h2) % {MINHASH_P}) AS BIGINT) AS mh{last},
+           CAST(COUNT(*) AS BIGINT) AS n_sh
+    FROM hh GROUP BY doc_id
+)
+SELECT doc_id, mh0, mh{last}, n_sh FROM sig ORDER BY doc_id
+"""
+
+
 PAIRS = [
     ("dedup_exact", dedup_exact, O_DEDUP_EXACT),
     ("dedup_minhash_lsh", dedup_minhash_lsh, None),  # oracle built lazily
@@ -1062,3 +1217,8 @@ def register_queries(register) -> None:
     register("dedup_cc_clusters", dedup_cc_clusters, _cc_oracle())
     register("dedup_canonical_keep", dedup_canonical_keep, _canonical_keep_oracle())
     register("dedup_index_ingest", dedup_index_ingest, _index_ingest_oracle())
+    register(
+        "streaming_index_maintenance",
+        streaming_index_maintenance,
+        _sigm_oracle(),
+    )

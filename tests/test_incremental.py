@@ -1765,3 +1765,39 @@ def test_check_constraints_enforced_at_every_write_path(spark, target_root):
     assert runner.current_manifest("chk_t")["version"] == v1
     runner.run(spec(lambda sp, sfd, wm: mk([(5, d1, 50)])), "x")
     assert runner.read_target("chk_t").count() == 3
+
+
+def test_merge_txn_unpartitioned_with_tombstones(spark, target_root):
+    """merge_txn on an UNPARTITIONED target dispatches to the
+    merge+full-rewrite path (same rule as run()); tombstone-flagged rows
+    hard-delete; the ledger still upgrades redelivery to exactly-once."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    spec = inc.ModelSpec(
+        "txn_unpart", "k", "k", None, tombstone_col="__del"
+    )
+    runner = inc.IncrementalRunner(spark, target_root)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v long, __del boolean")
+
+    runner.merge_txn(
+        spec, mk([(1, 10, False), (2, 20, False), (3, 30, False)]),
+        app_id="u", txn_version=1,
+    )
+    r2 = runner.merge_txn(
+        spec, mk([(2, 99, False), (3, 0, True), (4, 40, False)]),
+        app_id="u", txn_version=2,
+    )
+    assert not r2.get("skipped")
+    out = {r["k"]: r["v"] for r in runner.read_target("txn_unpart").collect()}
+    assert out == {1: 10, 2: 99, 4: 40}
+    # poisoned redelivery of txn 2 is skipped from the ledger alone
+    r2b = runner.merge_txn(
+        spec, mk([(1, 777, True)]), app_id="u", txn_version=2
+    )
+    assert r2b["skipped"]
+    out = {r["k"]: r["v"] for r in runner.read_target("txn_unpart").collect()}
+    assert out == {1: 10, 2: 99, 4: 40}
