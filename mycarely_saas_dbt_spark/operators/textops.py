@@ -1970,6 +1970,175 @@ def bm25_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SEGMENTED postings index with true APPEND (r9 — the Lucene segment
+# architecture): the r8 index is rebuild-on-corpus-change because its df
+# is denormalized at build; segments make ingest incremental. Each append
+# commits a NEW `seg=` partition level (file-disjoint from every older
+# segment — zero old files touched, the FAISS-add economics for text),
+# per-doc stats (tf, dl) are segment-local and final, and the two corpus
+# scalars accumulate in the manifest meta (S += S_seg, N += N_seg).
+# The only cross-segment statistic, per-term df, is recomputed at query
+# time from the PRUNED slice: bucket pruning keeps every posting of the
+# query's terms, so COUNT(rows) per term over the slice IS the exact
+# global df — a vocabulary-of-the-query-sized aggregate, not a corpus
+# pass (Lucene instead merges per-segment term dictionaries; same
+# information, same cost class).
+# ---------------------------------------------------------------------------
+
+BM25_SEG_INDEX_NAME = "bm25_postings_seg"
+BM25_SEG_SPLIT = 0.7  # bootstrap segment = first 70% of doc_ids
+
+
+def bm25_seg_index_build(
+    spark: SparkSession, sf_dir: str, root: str, bound: int
+) -> dict:
+    """Bootstrap segment 0 over ``doc_id < bound``; postings land under
+    seg=0/bucket=N with segment-local stats; meta records running
+    (S, N, segs)."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.util import release_persists
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    runner = IncrementalRunner(spark, root)
+    postings, S, N = _bm25_postings(docs.filter(F.col("doc_id") < bound))
+    runner.run(
+        ModelSpec(
+            BM25_SEG_INDEX_NAME,
+            "doc_id",  # a doc's postings are the unit of replacement
+            "doc_id",
+            lambda sp, sfd, wm: postings.withColumn("seg", F.lit(0)),
+            partition_by=["seg", "bucket"],
+            manifest_meta={"bm25": {"S": S, "N": N, "segs": 1}},
+        ),
+        sf_dir,
+        full_refresh=True,
+    )
+    release_persists("bm25index:tf")
+    return runner.current_manifest(BM25_SEG_INDEX_NAME)
+
+
+def bm25_seg_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
+    """Lucene add-segment: tokenize ONLY the docs past the committed
+    integer watermark (metadata-resolved — max doc_id over the postings'
+    manifest stats), commit them as the next ``seg=`` partition, and
+    accumulate (S, N) in the meta. The incremental merge prunes to the
+    new segment's partitions, which exist in no older manifest: zero
+    pre-existing files are read or rewritten (pinned by pytest)."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.util import release_persists
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    runner = IncrementalRunner(spark, root)
+    cur = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    if cur is None:
+        raise RuntimeError("bm25_seg_index_append: no committed index")
+    meta = cur["meta"]["bm25"]
+    seg = int(meta["segs"])
+
+    # integer watermark over the committed postings — metadata-resolved
+    # from the manifest stats (no file opened); tokenize ONLY past it
+    wm = runner.watermark(BM25_SEG_INDEX_NAME, "doc_id")
+    new = docs if wm is None else docs.filter(F.col("doc_id") > wm)
+    postings, S2, N2 = _bm25_postings(new)
+    staged = postings.withColumn("seg", F.lit(seg))
+    runner.run(
+        ModelSpec(
+            BM25_SEG_INDEX_NAME,
+            "doc_id",
+            "doc_id",
+            lambda sp, sfd, w: staged,
+            partition_by=["seg", "bucket"],
+            manifest_meta={
+                "bm25": {
+                    "S": int(meta["S"]) + int(S2),
+                    "N": int(meta["N"]) + int(N2),
+                    "segs": seg + 1,
+                }
+            },
+        ),
+        sf_dir,
+    )
+    release_persists("bm25index:tf")
+    return runner.current_manifest(BM25_SEG_INDEX_NAME)
+
+
+def _bm25_seg_query(spark: SparkSession, runner) -> DataFrame:
+    """Query the segmented index: bucket-pruned slice across ALL
+    segments, global df recomputed exactly from the slice (one tiny
+    per-term aggregate), (S, N) from the accumulated meta, then the
+    shared integer scorer and per-query top-k."""
+    from pyspark.sql import Window
+
+    m = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    meta = m["meta"]["bm25"]
+    S, N = int(meta["S"]), int(meta["N"])
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "qid bigint, term string",
+    )
+    buckets = sorted(
+        {r["b"] for r in q.select(_bm25_bucket().alias("b")).collect()}
+    )
+    post = runner.read_target(BM25_SEG_INDEX_NAME).filter(
+        F.col("bucket").isin(buckets)
+    )
+    sl = F.broadcast(q).join(post, "term")
+    # exact global df: the pruned slice holds EVERY posting of the query
+    # terms, one row per (term, doc) — count per term and broadcast back
+    df_g = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        sl.drop("df")
+        .join(F.broadcast(df_g), "term")
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                f"(2*{N} - 2*df + 1) * 44 * {S} * tf * {BM25_SCALE} DIV "
+                f"((2*df + 1) * (20*{S}*tf + 6*{S} + 18*dl*{N}))"
+            ).alias("term_score"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("term_score").cast("long").alias("score_k"),
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_k").desc(), F.col("n_hit").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "doc_id", "score_k", "n_hit", "rank")
+    )
+
+
+def bm25_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-append lifecycle for the TEXT index (the ANN
+    `ann_index_append_recall` symmetry): bootstrap segment 0 over the
+    first 70% of doc_ids, APPEND the rest as segment 1 (watermark-
+    resolved, zero old files touched), query across both segments.
+    The combined result must hash-match the full-corpus BM25 oracle —
+    provable only if segment stats compose exactly (S/N accumulate,
+    global df recomposes from the slice, per-doc tf/dl are final in
+    their segment)."""
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
+    root = tempfile.mkdtemp(prefix="mycarely_bm25_seg_")
+    runner = IncrementalRunner(spark, root)
+    bm25_seg_index_build(spark, sf_dir, root, bound=split)
+    bm25_seg_index_append(spark, sf_dir, root)
+    return _bm25_seg_query(spark, runner)
+
+
+# ---------------------------------------------------------------------------
 # Within-document repetition filter (Gopher, Rae et al. 2021 §A1.1) —
 # complements the corpus-level dedup family with the INTRA-doc criterion
 # ---------------------------------------------------------------------------
@@ -2236,6 +2405,7 @@ def register_extra(register) -> None:
     register("temperature_mixture", temperature_mixture, O_TEMPERATURE_MIXTURE)
     register("bm25_search", bm25_search, O_BM25)
     register("bm25_index_search", bm25_index_search, O_BM25)
+    register("bm25_index_append_search", bm25_index_append_search, O_BM25)
     register(
         "bm25_index_delete_aware", bm25_index_delete_aware, O_BM25_DELETE_AWARE
     )

@@ -1,0 +1,82 @@
+"""Segmented BM25 postings index (r9): true APPEND with exact scoring.
+
+The lifecycle entry's oracle already proves cross-segment score
+exactness (full-corpus BM25 hash); these pin the ECONOMICS: an append
+commits only new seg= partitions — every pre-existing file list rides
+forward byte-identical — and the meta scalars accumulate."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_append_touches_no_old_files_and_accumulates_meta(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.operators.textops import (
+        BM25_SEG_INDEX_NAME,
+        bm25_seg_index_append,
+        bm25_seg_index_build,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    split = int(
+        (spark.table("documents").agg(F.max("doc_id")).first()[0] + 1) * 0.7
+    )
+    root = str(tmp_path / "idx")
+    m0 = bm25_seg_index_build(spark, SF_DIR, root, bound=split)
+    base_parts = {r: list(fl) for r, fl in m0["partitions"].items()}
+    assert all(r.startswith("seg=0/") for r in base_parts)
+    S0, N0 = m0["meta"]["bm25"]["S"], m0["meta"]["bm25"]["N"]
+
+    m1 = bm25_seg_index_append(spark, SF_DIR, root)
+    parts1 = {r: list(fl) for r, fl in m1["partitions"].items()}
+    # every seg=0 entry byte-identical; additions are seg=1 only
+    for r, fl in base_parts.items():
+        assert parts1[r] == fl, r
+    new_rels = set(parts1) - set(base_parts)
+    assert new_rels and all(r.startswith("seg=1/") for r in new_rels)
+    meta1 = m1["meta"]["bm25"]
+    assert meta1["segs"] == 2
+    assert meta1["S"] > S0 and meta1["N"] > N0
+
+    runner = IncrementalRunner(spark, root)
+    n_docs = (
+        runner.read_target(BM25_SEG_INDEX_NAME)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_docs == spark.table("documents").count()
+    assert meta1["N"] == n_docs  # accumulated N == docs indexed
+
+
+def test_seg_query_prunes_buckets_across_segments(spark, tmp_path):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.operators.textops import (
+        _bm25_seg_query,
+        bm25_seg_index_append,
+        bm25_seg_index_build,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    split = int(
+        (spark.table("documents").agg(F.max("doc_id")).first()[0] + 1) * 0.7
+    )
+    root = str(tmp_path / "idx")
+    bm25_seg_index_build(spark, SF_DIR, root, bound=split)
+    bm25_seg_index_append(spark, SF_DIR, root)
+    out = _bm25_seg_query(spark, IncrementalRunner(spark, root))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # static pruning on the bucket partition column survives the
+    # two-level (seg, bucket) layout; no cartesian anywhere
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert out.count() > 0
