@@ -290,12 +290,87 @@ GROUP BY e.event_type, d.dim_users
 """
 
 
+RJ_BIN_DAYS = 32       # bin width; fan-out per interval = len/bin + 1 <= 6
+RJ_N_PROMOS = 24
+RJ_PROMO_STEP = 97     # < RJ_PROMO_LEN, so adjacent windows OVERLAP —
+RJ_PROMO_LEN = 150     # a date can match two promos (the many-to-many case)
+
+
+def q_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equi key — the shape Spark plans as
+    a BroadcastNestedLoopJoin (every point against every interval: dead
+    at 100 TB even with a small interval side, because the range
+    predicate can't hash). The binned rewrite (the Databricks range-join
+    optimization in plain DataFrame ops): each interval EXPLODES into
+    the fixed-width date bins it covers (bounded fan-out:
+    len/bin + 1 rows), each point computes its single bin, the join
+    becomes a hash join on bin and the exact BETWEEN rides as the
+    residual. Overlapping windows make it many-to-many, so a wrong
+    dedup or a bin off-by-one flips the hash. Plan-gated: no
+    BroadcastNestedLoopJoin, no CartesianProduct."""
+    register_sources(spark, sf_dir)
+    epoch = F.lit("1992-01-01").cast("date")
+    promos = spark.range(RJ_N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        F.date_add(epoch, (F.col("id") * RJ_PROMO_STEP).cast("int")).alias("d0"),
+        F.date_add(
+            epoch, (F.col("id") * RJ_PROMO_STEP + RJ_PROMO_LEN).cast("int")
+        ).alias("d1"),
+    )
+    binned = promos.select(
+        "promo_id",
+        "d0",
+        "d1",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff("d0", epoch) / RJ_BIN_DAYS),
+                F.floor(F.datediff("d1", epoch) / RJ_BIN_DAYS),
+            )
+        ).alias("bin"),
+    )
+    o = spark.table("orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("od"),
+    ).withColumn("bin", F.floor(F.datediff("od", epoch) / RJ_BIN_DAYS))
+    return (
+        o.join(F.broadcast(binned), "bin")
+        .filter((F.col("od") >= F.col("d0")) & (F.col("od") <= F.col("d1")))
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("promo_id")
+    )
+
+
+O_INTERVAL_BIN_JOIN = f"""
+WITH promos AS (
+    SELECT i AS promo_id,
+           DATE '1992-01-01' + CAST(i * {RJ_PROMO_STEP} AS INT) AS d0,
+           DATE '1992-01-01' + CAST(i * {RJ_PROMO_STEP} + {RJ_PROMO_LEN} AS INT) AS d1
+    FROM UNNEST(range(0, {RJ_N_PROMOS})) AS t(i)
+)
+SELECT p.promo_id, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders o JOIN promos p
+  ON CAST(o.o_orderdate AS DATE) BETWEEN p.d0 AND p.d1
+GROUP BY p.promo_id
+ORDER BY p.promo_id
+"""
+
+
 PAIRS = [
     ("asof_join_spend", q_asof_spend, O_ASOF_SPEND),
     ("asof_join_spend_cogroup", q_asof_spend_cogroup, O_ASOF_SPEND),
     ("range_join_pairs", q_range_pairs, O_RANGE_PAIRS),
     ("skew_salted_agg", q_salted_agg, O_SALTED_AGG),
     ("skew_salted_join", q_salted_join, O_SALTED_JOIN),
+    ("interval_bin_join", q_interval_bin_join, O_INTERVAL_BIN_JOIN),
 ]
 
 

@@ -398,3 +398,15 @@ def test_hybrid_rrf_query_path_uses_committed_prior(spark):
     assert win_lines, plan
     for ln in win_lines:
         assert "qid" in ln, f"unpartitioned Window in query path: {ln}\n{plan}"
+
+
+def test_interval_bin_join_is_hash_not_nested_loop(spark):
+    """The point-in-interval join must plan as a HASH join on the bin
+    key (the binned range-join rewrite) — never the
+    BroadcastNestedLoopJoin the raw BETWEEN predicate would produce."""
+    from mycarely_saas_dbt_spark.operators.joins import q_interval_bin_join
+
+    plan = _plan(q_interval_bin_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
