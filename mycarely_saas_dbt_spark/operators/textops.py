@@ -1990,17 +1990,34 @@ BM25_SEG_SPLIT = 0.7  # bootstrap segment = first 70% of doc_ids
 
 
 def bm25_seg_index_build(
-    spark: SparkSession, sf_dir: str, root: str, bound: int
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    bound: int,
+    *,
+    base: str | None = None,
 ) -> dict:
     """Bootstrap segment 0 over ``doc_id < bound``; postings land under
     seg=0/bucket=N with segment-local stats; meta records running
-    (S, N, segs)."""
+    (S, N, segs). ``base``: index a COMMITTED table instead of the raw
+    documents source and record (base, base_version) — the query path
+    then auto-applies ``deleted_keys_since`` (the same self-describing
+    delete-awareness as the flat index and the ANN index — no new
+    asymmetry)."""
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
     from mycarely_saas_dbt_spark.util import release_persists
 
-    register_sources(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id", "text")
     runner = IncrementalRunner(spark, root)
+    extra: dict = {}
+    if base is not None:
+        base_m = runner.current_manifest(base)
+        if base_m is None:
+            raise RuntimeError(f"bm25_seg_index_build: base {base!r} not committed")
+        extra = {"base": base, "base_version": base_m["version"]}
+        docs = runner.read_target(base).select("doc_id", "text")
+    else:
+        register_sources(spark, sf_dir)
+        docs = spark.table("documents").select("doc_id", "text")
     postings, S, N = _bm25_postings(docs.filter(F.col("doc_id") < bound))
     runner.run(
         ModelSpec(
@@ -2009,7 +2026,7 @@ def bm25_seg_index_build(
             "doc_id",
             lambda sp, sfd, wm: postings.withColumn("seg", F.lit(0)),
             partition_by=["seg", "bucket"],
-            manifest_meta={"bm25": {"S": S, "N": N, "segs": 1}},
+            manifest_meta={"bm25": {"S": S, "N": N, "segs": 1, **extra}},
         ),
         sf_dir,
         full_refresh=True,
@@ -2028,14 +2045,17 @@ def bm25_seg_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
     from mycarely_saas_dbt_spark.util import release_persists
 
-    register_sources(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id", "text")
     runner = IncrementalRunner(spark, root)
     cur = runner.current_manifest(BM25_SEG_INDEX_NAME)
     if cur is None:
         raise RuntimeError("bm25_seg_index_append: no committed index")
     meta = cur["meta"]["bm25"]
     seg = int(meta["segs"])
+    if meta.get("base") is not None:
+        docs = runner.read_target(meta["base"]).select("doc_id", "text")
+    else:
+        register_sources(spark, sf_dir)
+        docs = spark.table("documents").select("doc_id", "text")
 
     # integer watermark over the committed postings — metadata-resolved
     # from the manifest stats (no file opened); tokenize ONLY past it
@@ -2052,6 +2072,10 @@ def bm25_seg_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
             partition_by=["seg", "bucket"],
             manifest_meta={
                 "bm25": {
+                    # base/base_version (if any) ride forward unchanged:
+                    # deletes since the ORIGINAL base snapshot stay
+                    # pending — an append never absorbs them
+                    **meta,
                     "S": int(meta["S"]) + int(S2),
                     "N": int(meta["N"]) + int(N2),
                     "segs": seg + 1,
@@ -2086,8 +2110,16 @@ def _bm25_seg_query(spark: SparkSession, runner) -> DataFrame:
     )
     sl = F.broadcast(q).join(post, "term")
     # exact global df: the pruned slice holds EVERY posting of the query
-    # terms, one row per (term, doc) — count per term and broadcast back
+    # terms, one row per (term, doc) — count per term and broadcast back.
+    # Computed BEFORE any delete filter: tombstone-at-read keeps the
+    # COMMITTED corpus statistics until a rebuild (the flat index's rule)
     df_g = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if meta.get("base") is not None:
+        deleted = runner.deleted_keys_since(
+            meta["base"], "doc_id", meta["base_version"]
+        )
+        if deleted is not None:
+            sl = sl.join(F.broadcast(deleted), "doc_id", "left_anti")
     scored = (
         sl.drop("df")
         .join(F.broadcast(df_g), "term")

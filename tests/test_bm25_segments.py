@@ -80,3 +80,47 @@ def test_seg_query_prunes_buckets_across_segments(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
     assert "CartesianProduct" not in plan, plan
     assert out.count() > 0
+
+
+def test_seg_index_auto_delete_aware_from_base_meta(spark, tmp_path):
+    """No new asymmetry (the r8 lesson): a segmented index built with
+    ``base=`` auto-applies deleted_keys_since at query time — deleted
+    docs vanish from results while the committed df/S/N hold (a deleted
+    doc influences scores until a rebuild, exactly the flat index's
+    tombstone-at-read contract). Deletes pend across an APPEND too."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.operators.textops import (
+        _bm25_seg_query,
+        bm25_seg_index_append,
+        bm25_seg_index_build,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    root = str(tmp_path / "idx")
+    runner = IncrementalRunner(spark, root)
+    base = ModelSpec(
+        "seg_docs_base",
+        "doc_id",
+        "doc_id",
+        lambda sp, sfd, wm: sp.table("documents").select("doc_id", "text"),
+    )
+    runner.run(base, SF_DIR)
+    split = int(
+        (spark.table("documents").agg(F.max("doc_id")).first()[0] + 1) * 0.7
+    )
+    m = bm25_seg_index_build(spark, SF_DIR, root, bound=split,
+                             base="seg_docs_base")
+    assert m["meta"]["bm25"]["base"] == "seg_docs_base"
+    bm25_seg_index_append(spark, SF_DIR, root)
+    m2 = runner.current_manifest("bm25_postings_seg")
+    assert m2["meta"]["bm25"]["base_version"] == 1  # append never absorbs
+
+    before = {r["doc_id"] for r in _bm25_seg_query(spark, runner).collect()}
+    assert before, "fixture must return results"
+    victim = sorted(before)[0]
+    runner.delete_where(base, f"doc_id = {victim}")
+    rows = _bm25_seg_query(spark, runner).collect()
+    assert rows and all(r["doc_id"] != victim for r in rows)
