@@ -510,3 +510,77 @@ def test_manifest_cdf_startingversion_skips_history(spark, tmp_path):
     assert r.initialOffset() == {"version": 1}
     runner.delete_where(spec, "k = 2")
     assert _cdf_rows(r, 1, 2) == [(2, d1, 2, "delete")]
+
+
+def test_manifest_cdf_handles_schema_evolution(spark, tmp_path, monkeypatch):
+    """A CDF batch spanning a MERGE schema evolution must NULL-fill the
+    evolved column for pre-evolution row images (the reader reindexes
+    against the committed dtypes) and carry real values for evolved
+    rows."""
+    import datetime as dt
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+    spec = ModelSpec(
+        "t",
+        "k",
+        "day",
+        lambda sp, sfd, wm: _mk_kdv(sp, [(i, d1, i * 10) for i in range(6)]),
+        partition_by=["day"],
+        on_schema_change="append_new_columns",
+    )
+    runner.run(spec, "x")  # v1
+    src = spark.createDataFrame(
+        [(10, d1, 100, "new")], "k long, day date, v long, tag string"
+    )
+    runner.merge_into(
+        spec, src, on="t.k = s.k", not_matched=[("insert", None, None)]
+    )  # v2: evolves schema with `tag`
+
+    r = ManifestCDFStreamReader({"root": root, "model": "t", "key": "k"})
+    rows = _cdf_rows(r, 1, 2)
+    ins = [t for t in rows if t[-1] == "insert"]
+    assert ins == [(10, d1, 100, "new", "insert")]
+    # pre-evolution rows in the rewritten partition NULL-fill `tag` and
+    # compare equal across versions (no phantom updates)
+    assert all(t[-1] == "insert" for t in rows), rows
+
+
+def test_manifest_cdf_admission_control_inherited(spark, tmp_path, monkeypatch):
+    """maxVersionsPerBatch bounds the CDF source exactly like the
+    append-only source (same latestOffset/partitions machinery)."""
+    import datetime as dt
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+
+    def build(rows):
+        return lambda sp, sfd, wm: _mk_kdv(sp, rows)
+
+    spec = lambda b: ModelSpec("t", "k", "day", b, partition_by=["day"])  # noqa: E731
+    for i in range(4):
+        runner.run(spec(build([(100 + i, d1, i)])), "x")
+
+    r = ManifestCDFStreamReader(
+        {"root": root, "model": "t", "key": "k", "maxversionsperbatch": "1"}
+    )
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": 0}, {"version": 1})
+    assert r.latestOffset() == {"version": 2}
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 3}
