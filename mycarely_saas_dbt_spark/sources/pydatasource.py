@@ -500,6 +500,12 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             return pa.date32()
         if t.startswith("timestamp"):
             return pa.timestamp("us")
+        if t.startswith("decimal"):
+            import re as _re
+
+            m = _re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+            p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+            return pa.decimal128(p, s)
         return pa.string()
 
     def _emit(self, df, change, rel):
