@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.functions.dialect import not_ilike, surrogate_key
@@ -103,13 +103,34 @@ def traffic_pages_agg(
     if id_strategy == "row_number":
         # Parity with the reference's global ROW_NUMBER — deterministic
         # because the ORDER BY key is the full (unique) output grain.
-        w = Window.orderBy("date", "company_domain", "page_urlpath", "type")
-        id_col = F.row_number().over(w).cast("long")
-    elif id_strategy == "hash":
-        id_col = surrogate_key("date", "company_domain", "page_urlpath", "type")
-    else:
-        raise ValueError(f"unknown id_strategy: {id_strategy}")
+        # r9: numbered via util.global_rank (range-partition + local
+        # rank + broadcast offsets) — byte-identical ids to the
+        # reference's ROW_NUMBER, with NO single-partition sort even in
+        # parity mode (the W1 hazard is gone from both strategies).
+        from mycarely_saas_dbt_spark.util import global_rank
 
+        ranked = global_rank(
+            labeled_visits,
+            [
+                F.col("date").asc(),
+                F.col("company_domain").asc(),
+                F.col("page_urlpath").asc(),
+                F.col("type").asc(),
+            ],
+            rank_col="id",
+        )
+        return ranked.select(
+            "id",
+            "date",
+            "type",
+            "page_urlpath",
+            "traffic",
+            F.lit(1).alias("company_id"),
+            "company_domain",
+        )
+    if id_strategy != "hash":
+        raise ValueError(f"unknown id_strategy: {id_strategy}")
+    id_col = surrogate_key("date", "company_domain", "page_urlpath", "type")
     return labeled_visits.select(
         id_col.alias("id"),
         "date",
