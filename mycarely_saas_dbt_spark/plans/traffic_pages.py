@@ -16,9 +16,11 @@ Scale notes (100 TB):
     bug B1 (row_number ids restart each incremental batch and overwrite
     unrelated target rows; SURVEY.md §2.12).
   * ``id_strategy='row_number'`` reproduces the reference's global
-    ROW_NUMBER (models/traffic_pages_agg.sql:60) — a single-partition sort
-    that cannot scale; kept ONLY for the oracle-parity registered entry and
-    the B1-semantics regression test.
+    ROW_NUMBER (models/traffic_pages_agg.sql:60) byte-exactly. Since r9 it
+    is numbered by ``util.global_rank`` (range-partition + local rank +
+    broadcast offsets), so even parity mode has no single-partition sort;
+    the hash default remains preferred because it also fixes reference
+    bug B1 (SURVEY.md §2.12).
 """
 
 from __future__ import annotations
