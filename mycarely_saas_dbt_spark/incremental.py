@@ -1024,11 +1024,18 @@ class IncrementalRunner:
         key: str,
         from_version: int,
         to_version: int | None = None,
+        *,
+        preimages: bool = False,
     ) -> DataFrame:
         """Delta-CDF-shaped change feed between two COMMITTED snapshots:
         full row images plus ``_change_type`` in {insert,
-        update_postimage, delete} (post-images only — the merge is
-        delete+insert, so pre-images carry no extra information). The
+        update_postimage, delete} — and, with ``preimages=True``, an
+        ``update_preimage`` row (the OLD image) alongside every
+        update_postimage, exactly Delta's four-type feed. Preimages are
+        what make downstream INCREMENTAL VIEW MAINTENANCE exact:
+        subtract the old contribution, add the new one — no consumer can
+        reconstruct the old value from post-images alone. Default stays
+        post-only (the r7 contract; existing oracles unchanged). The
         read is METADATA-BOUNDED: the partition-pruned merge rewrites
         whole partitions and carries untouched partitions' file lists
         forward verbatim, so the set of partitions whose lists differ
@@ -1074,20 +1081,24 @@ class IncrementalRunner:
             )
 
         j = tagged(old, "o").join(tagged(new, "n"), "__k", "full")
-        image = F.when(
-            F.col("__fp_n").isNotNull(), F.col("__row_n")
-        ).otherwise(F.col("__row_o"))
-        change = (
-            F.when(F.col("__fp_o").isNull(), "insert")
-            .when(F.col("__fp_n").isNull(), "delete")
-            .when(F.col("__fp_o") != F.col("__fp_n"), "update_postimage")
-        )
-        out = (
-            j.select(image.alias("__img"), change.alias("_change_type"))
-            .filter(F.col("_change_type").isNotNull())
-            .select(
-                *[F.col(f"__img.{c}").alias(c) for c in cols], "_change_type"
+
+        def entry(img_col: str, ct: str):
+            return F.struct(
+                F.col(img_col).alias("img"), F.lit(ct).alias("ct")
             )
+
+        upd = [entry("__row_n", "update_postimage")]
+        if preimages:
+            upd.insert(0, entry("__row_o", "update_preimage"))
+        entries = (
+            F.when(F.col("__fp_o").isNull(), F.array(entry("__row_n", "insert")))
+            .when(F.col("__fp_n").isNull(), F.array(entry("__row_o", "delete")))
+            .when(F.col("__fp_o") != F.col("__fp_n"), F.array(*upd))
+        )
+        # explode drops NULL arrays: unchanged (byte-identical) rows vanish
+        out = j.select(F.explode(entries).alias("e")).select(
+            *[F.col(f"e.img.{c}").alias(c) for c in cols],
+            F.col("e.ct").alias("_change_type"),
         )
         # deletion-vector deletes: keys added to the DV between the two
         # versions never change any file list, so the footprint diff above
@@ -2071,7 +2082,11 @@ class IncrementalRunner:
             merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
             try:
                 _check_assert(spec, chk)  # abort BEFORE commit on violation
-                n = self.spark.read.parquet(tmp).count()
+                # explicit schema: a merge can legitimately produce ZERO
+                # rows for its touched partitions (a tombstone batch that
+                # deletes every row of a partition — the IVM
+                # count-reaches-zero case), and an empty dir can't infer
+                n = self.spark.read.schema(merged.schema).parquet(tmp).count()
                 # New files land in the partition dirs UNCOMMITTED; the
                 # manifest pointer swap below is the single atomic commit.
                 live = self.current_manifest(spec.name)

@@ -408,6 +408,10 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         super().__init__(options)
         self.key = options["key"]
         self.start_version = int(options.get("startingversion", 0))
+        # Delta's four-type feed: emit update_preimage rows (the OLD
+        # image) alongside update_postimage — what exact incremental
+        # view maintenance consumes (subtract old, add new)
+        self.preimages = str(options.get("preimages", "false")).lower() == "true"
 
     def initialOffset(self) -> dict:
         self._last_end = self.start_version
@@ -613,6 +617,8 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         if len(ins):
             yield self._emit(side(ins, "__n"), "insert", part.rel)
         if len(upd):
+            if self.preimages:
+                yield self._emit(side(upd, "__o"), "update_preimage", part.rel)
             yield self._emit(side(upd, "__n"), "update_postimage", part.rel)
         if len(dele):
             yield self._emit(side(dele, "__o"), "delete", part.rel)
@@ -1302,6 +1308,172 @@ ORDER BY k
 """
 
 
+def q_streaming_ivm_aggregate(spark, sf_dir: str):
+    """Exact INCREMENTAL VIEW MAINTENANCE over the four-type change feed
+    (r9): a gold aggregate `(day, n_rows, sum_v)` maintained purely from
+    signed CDF deltas — insert/update_postimage contribute +1/+v,
+    delete/update_preimage contribute -1/-v (the preimage row is what
+    makes subtraction EXACT; a post-only feed cannot reconstruct the old
+    value). Unlike the medallion gold hop (which recomputes touched days
+    from the silver SNAPSHOT), the IVM sink never re-reads the base
+    table: per batch it reads only the pruned gold slice for the touched
+    days, applies the additive deltas, and tombstones days whose count
+    reaches zero — per-batch cost is change-proportional at any base
+    size, the classic IVM economics for additive aggregates.
+
+    Waves: bootstrap insert -> cow UPDATE (v mutates: -old +new) -> cow
+    DELETE -> FULL-DAY delete (drives a gold count to zero -> tombstone)
+    -> second insert wave; replay wave asserted a no-op (checkpoint
+    offsets + txn ledger). Final gold must equal the groupBy over live
+    bronze, which the oracle derives arithmetically — integer-exact, so
+    any double-count or missed preimage flips the hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+
+    epoch = "2024-01-01"
+    root = tempfile.mkdtemp(prefix="mycarely_ivm_")
+    runner = IncrementalRunner(spark, root)
+    register_manifest_cdf_source(spark)
+
+    def bronze_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                F.date_add(
+                    F.lit(epoch).cast("date"),
+                    F.floor(F.col("id") / 100).cast("int"),
+                ).alias("day"),
+                ((F.col("id") * F.col("id")) % 1000).alias("v"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("day") > F.lit(wm))
+            return rows
+
+        return b
+
+    bronze_spec = ModelSpec(
+        "ivm_bronze", "k", "day", bronze_build(300), partition_by=["day"]
+    )
+    gold_spec = ModelSpec(
+        "ivm_gold", "day", "day", None, partition_by=["day"],
+        tombstone_col="__del",
+    )
+
+    def hop():
+        stream = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", "ivm_bronze")
+            .option("key", "k")
+            .option("preimages", "true")
+            .load()
+        )
+
+        def sink(batch_df, bid):
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                sgn = F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                delta = (
+                    rows.select("day", "v", sgn.alias("sgn"))
+                    .groupBy("day")
+                    .agg(
+                        F.sum("sgn").cast("long").alias("dn"),
+                        F.sum(F.col("v") * F.col("sgn")).cast("long").alias("dv"),
+                    )
+                )
+                # bounded collect: one row per TOUCHED day (the batch's
+                # change footprint), the same metadata-scale list the
+                # medallion hop collects
+                days = sorted(r["day"] for r in delta.select("day").collect())
+                if runner.current_manifest("ivm_gold") is not None:
+                    cur = runner.read_target(
+                        "ivm_gold",
+                        prune={"day": (str(days[0]), str(days[-1]))},
+                    ).filter(F.col("day").isin(days))
+                    delta = delta.join(cur, "day", "left")
+                else:
+                    delta = delta.select(
+                        "day", "dn", "dv",
+                        F.lit(None).cast("long").alias("n_rows"),
+                        F.lit(None).cast("long").alias("sum_v"),
+                    )
+                apply = delta.select(
+                    "day",
+                    (F.coalesce("n_rows", F.lit(0)) + F.col("dn"))
+                    .cast("long")
+                    .alias("n_rows"),
+                    (F.coalesce("sum_v", F.lit(0)) + F.col("dv"))
+                    .cast("long")
+                    .alias("sum_v"),
+                ).withColumn("__del", F.col("n_rows") == 0)
+                runner.merge_txn(
+                    gold_spec, apply, app_id="ivm", txn_version=bid
+                )
+            finally:
+                rows.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_ivm")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    import dataclasses
+
+    runner.run(bronze_spec, sf_dir)                      # insert wave 1
+    hop()
+    runner.update_where(bronze_spec, "k % 11 = 5", {"v": "v + 5000"})
+    hop()                                                # -old +new
+    runner.delete_where(bronze_spec, "k % 7 = 3")        # cow DELETE
+    hop()
+    runner.delete_where(bronze_spec, "day = DATE '2024-01-01'")
+    hop()                                                # day-1 -> zero -> tombstone
+    runner.run(                                          # insert wave 2
+        dataclasses.replace(bronze_spec, build=bronze_build(600)), sf_dir
+    )
+    hop()
+    v_gold = runner.current_manifest("ivm_gold")["version"]
+    hop()                                                # replay: no-op
+    assert runner.current_manifest("ivm_gold")["version"] == v_gold
+
+    from ..util import materialize
+
+    out = materialize(
+        runner.read_target("ivm_gold")
+        .select("day", "n_rows", "sum_v")
+        .orderBy("day")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_IVM_AGG = """
+WITH g AS (
+    SELECT i AS k, DATE '2024-01-01' + CAST(i // 100 AS INT) AS day,
+           CASE WHEN i < 300 AND i % 11 = 5 THEN (i * i) % 1000 + 5000
+                ELSE (i * i) % 1000 END AS v
+    FROM UNNEST(range(0, 600)) AS u(i)
+),
+live AS (
+    SELECT * FROM g
+    WHERE NOT (k < 300 AND k % 7 = 3) AND k >= 100
+)
+SELECT day, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+FROM live GROUP BY day ORDER BY day
+"""
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
@@ -1315,4 +1487,7 @@ def register_queries(register) -> None:
     register("medallion_multihop", q_medallion_multihop, O_MEDALLION)
     register(
         "streaming_cdf_propagate", q_streaming_cdf_propagate, O_CDF_PROPAGATE
+    )
+    register(
+        "streaming_ivm_aggregate", q_streaming_ivm_aggregate, O_IVM_AGG
     )

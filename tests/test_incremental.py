@@ -1801,3 +1801,49 @@ def test_merge_txn_unpartitioned_with_tombstones(spark, target_root):
     assert r2b["skipped"]
     out = {r["k"]: r["v"] for r in runner.read_target("txn_unpart").collect()}
     assert out == {1: 10, 2: 99, 4: 40}
+
+
+def test_table_changes_preimages_and_empty_merge_output(spark, target_root):
+    """preimages=True adds an update_preimage row (the OLD image) per
+    update — Delta's four-type feed, the contract exact IVM subtracts
+    from; default stays post-only. Also: a tombstone batch that deletes
+    EVERY row of a partition commits an empty rewrite (the IVM
+    count-reaches-zero case) instead of failing schema inference."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    runner = inc.IncrementalRunner(spark, target_root)
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, day date, v long")
+
+    spec = inc.ModelSpec(
+        "pre_t", "k", "day",
+        lambda sp, sfd, wm: mk([(1, d1, 10), (2, d1, 20), (3, d2, 30)]),
+        partition_by=["day"],
+    )
+    runner.run(spec, "x")  # v1
+    runner.update_where(spec, "k = 2", {"v": "v + 1"})  # v2
+
+    post_only = runner.table_changes("pre_t", "k", 1).collect()
+    assert sorted(r["_change_type"] for r in post_only) == ["update_postimage"]
+    four = runner.table_changes("pre_t", "k", 1, preimages=True).collect()
+    got = {r["_change_type"]: r["v"] for r in four}
+    assert got == {"update_preimage": 20, "update_postimage": 21}
+
+    # delete-everything-in-a-partition tombstone batch
+    spec_t = inc.ModelSpec("pre_t", "k", "day", None,
+                           partition_by=["day"], tombstone_col="__del")
+    batch = spark.createDataFrame(
+        [(1, d1, 0, True), (2, d1, 0, True)],
+        "k long, day date, v long, __del boolean",
+    )
+    runner.merge_txn(spec_t, batch, app_id="z", txn_version=1)
+    out = runner.read_target("pre_t")
+    assert out.count() == 1 and out.first()["k"] == 3
+    m = runner.current_manifest("pre_t")
+    assert "day=2024-01-01" not in m["partitions"]
