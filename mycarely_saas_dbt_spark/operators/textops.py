@@ -2061,6 +2061,8 @@ def bm25_seg_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
     # from the manifest stats (no file opened); tokenize ONLY past it
     wm = runner.watermark(BM25_SEG_INDEX_NAME, "doc_id")
     new = docs if wm is None else docs.filter(F.col("doc_id") > wm)
+    if new.limit(1).count() == 0:
+        return cur  # nothing past the watermark: append is a no-op
     postings, S2, N2 = _bm25_postings(new)
     staged = postings.withColumn("seg", F.lit(seg))
     runner.run(
