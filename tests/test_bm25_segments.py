@@ -124,3 +124,21 @@ def test_seg_index_auto_delete_aware_from_base_meta(spark, tmp_path):
     runner.delete_where(base, f"doc_id = {victim}")
     rows = _bm25_seg_query(spark, runner).collect()
     assert rows and all(r["doc_id"] != victim for r in rows)
+
+
+def test_append_with_nothing_new_is_a_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.operators.textops import (
+        bm25_seg_index_append,
+        bm25_seg_index_build,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    hi = spark.table("documents").agg(F.max("doc_id")).first()[0]
+    root = str(tmp_path / "idx")
+    m0 = bm25_seg_index_build(spark, SF_DIR, root, bound=hi + 1)  # all docs
+    m1 = bm25_seg_index_append(spark, SF_DIR, root)
+    assert m1["version"] == m0["version"]
+    assert m1["meta"]["bm25"]["segs"] == 1
