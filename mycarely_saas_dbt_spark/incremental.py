@@ -3367,6 +3367,78 @@ class IncrementalRunner:
             "cluster_by": cluster_by,
         }
 
+    def optimize_incremental(
+        self, name: str, *, target_file_mb: float = 128
+    ) -> dict:
+        """INCREMENTAL small-file compaction (Databricks' incremental
+        OPTIMIZE): rewrite ONLY the partitions that are actually
+        fragmented — every other partition's file list rides forward
+        in the manifest BY NAME, untouched on disk. After one day's
+        ingest, the optimize rewrites one day, not the table; a second
+        call right after is a metadata-only no-op.
+
+        Selection is self-describing, no bookkeeping meta needed: a
+        partition is fragmented iff it holds more files than
+        ceil(bytes / target_file_mb) — already-compacted partitions
+        fail the predicate by construction, so "files added since the
+        last optimize" emerges from the file lists themselves (and the
+        decision reads only the manifest plus one stat() per file —
+        no data opened). Per selected partition the rewrite reads
+        through any pending deletion vector (its share of the deletes
+        is absorbed physically; the vector rides forward and re-applies
+        as a no-op — the same composition as the loosened DV merge).
+        The driver loop is bounded by the number of FRAGMENTED
+        partitions (the ingest frontier — days, not the table)."""
+        from functools import reduce
+
+        path = self.target_path(name)
+        self._recover_orphan_versions(name)
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(
+                f"{name}: optimize_incremental needs a manifest-committed target"
+            )
+        part_cols = list(live.get("partition_by") or [])
+        selected: dict[str, int] = {}
+        touched: set[str] = set()
+        for rel, fl in live["partitions"].items():
+            if len(fl) <= 1:
+                continue
+            paths = [
+                os.path.join(path, rel, f) if rel else os.path.join(path, f)
+                for f in fl
+            ]
+            n_bytes = sum(os.path.getsize(p) for p in paths)
+            need = int(max(1, -(-n_bytes // (target_file_mb * 1024 * 1024))))
+            if len(fl) > need:
+                selected[rel] = need
+                touched.update(paths)
+        if not selected:
+            return {
+                "op": "optimize-incremental",
+                "partitions_rewritten": 0,
+                "files_before": 0,
+                "version": live["version"],
+            }
+        frames = [
+            self.read_target(name, rels=[rel]).repartition(need)
+            for rel, need in sorted(selected.items())
+        ]
+        # union preserves each branch's partitioning, so every selected
+        # rel writes exactly its own `need` files under partitionBy
+        out_df = reduce(lambda a, b: a.unionByName(b), frames)
+        spec = ModelSpec(name, None, None, None)
+        emap = self._entry_lookup(name, path, live, touched)
+        manifest = self._commit_file_rewrite(
+            spec, live, emap, touched, out_df, carry_dv=True
+        )
+        return {
+            "op": "optimize-incremental",
+            "partitions_rewritten": len(selected),
+            "files_before": len(touched),
+            "version": manifest["version"],
+        }
+
 
 # ---------------------------------------------------------------------------
 # Snapshots (SCD Type 2) — dbt's snapshot materialization, check strategy
