@@ -368,14 +368,18 @@ def register_manifest_stream_source(spark) -> None:
 # inserted then updated inside one version range shows once, with the
 # final image — the same collapse Delta applies within one commit).
 #
-# Scale shape: one task per CHANGED partition-rel (the partition-pruned
-# merge writes whole partitions, so the rel diff is the write
-# footprint); the per-rel diff runs arrow/pandas INSIDE the task, never
-# on the driver. The deletion-vector leg reads the KB-scale sidecars,
-# then scans only from-snapshot files whose manifest min/max can
-# contain a newly-deleted key. At larger-than-rel granularity the task
-# split would chunk by file group — the rel split is the honest shape
-# for the partition-pruned writer this engine commits with.
+# Scale shape (r10 — VERDICT r9 item 1): for tables with
+# spec.change_data, every mutating commit ALSO committed its change rows
+# as key-bucketed `_change_data/` files, and a batch over such versions
+# is a PURE FILE READ — one netting task per key bucket, task memory =
+# that bucket's change rows, never a snapshot. The snapshot-diff path
+# below survives as the fallback for versions without change files
+# (full refresh, RESTORE, never-opted-in tables): one task per CHANGED
+# partition-rel, arrow/pandas inside the task; its deletion-vector leg
+# reads the KB-scale sidecars and scans only from-snapshot files whose
+# manifest min/max can contain a newly-deleted key. The initial load
+# (startingversion 0) is one task per committed FILE, emitted as
+# inserts — Delta's initial-snapshot semantics.
 # ---------------------------------------------------------------------------
 
 
@@ -391,6 +395,27 @@ class _CdfDvLeg(InputPartition):
         self.rel = rel
         self.files = files
         self.dv_old, self.dv_new = dv_old, dv_new
+
+
+class _CdfSnapshotInsert(InputPartition):
+    """Bootstrap leg (start version 0): ONE committed data file, emitted
+    as inserts — the initial load never concatenates a whole partition
+    into one task."""
+
+    def __init__(self, path, rel, dv_new):
+        self.path, self.rel, self.dv_new = path, rel, dv_new
+
+
+class _CdfChangeBucket(InputPartition):
+    """Write-time change-file leg: every `_change_data/` file of ONE key
+    bucket across the batch's versions. Bucketing at write time puts all
+    of a key's events in the same bucket, so per-batch netting is local
+    to the task; task memory is one bucket's CHANGE rows — never a
+    snapshot."""
+
+    def __init__(self, bucket, files):
+        self.bucket = bucket
+        self.files = files  # [(version, abs path), ...] version-ordered
 
 
 def _dv_key_set(paths) -> set:
@@ -447,6 +472,22 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         parts_e = m_e.get("partitions") or {}
         dv_old = self._dv_paths(m_s)
         dv_new = self._dv_paths(m_e)
+        if m_s is None:
+            # bootstrap (startingversion 0): everything live at `end`
+            # arrives as inserts — one task per committed FILE, each
+            # reading that file plus the KB-scale vector sidecars
+            legs = [
+                _CdfSnapshotInsert(absf(rel, f), rel, dv_new)
+                for rel, fl in sorted(parts_e.items())
+                for f in fl
+            ]
+            return legs or [_CdfRelDiff("", [], [], [], [])]
+        legs = self._change_file_legs(start["version"], end["version"])
+        if legs is not None:
+            # every version in the batch committed write-time change
+            # files: NO base data file is opened — one netting task per
+            # key bucket (DV deletes are already IN the change files)
+            return legs or [_CdfRelDiff("", [], [], [], [])]
         out = []
         for rel in sorted(set(parts_s) | set(parts_e)):
             if parts_s.get(rel) == parts_e.get(rel):
@@ -483,6 +524,39 @@ class ManifestCDFStreamReader(ManifestStreamReader):
                 if cand:
                     out.append(_CdfDvLeg(rel, cand, dv_old, dv_new))
         return out or [_CdfRelDiff("", [], [], [], [])]
+
+    def _change_file_legs(self, s: int, e: int) -> list | None:
+        """Per-bucket change-file legs for versions (s, e], or None when
+        any version lacks a write-time change descriptor (snapshot-diff
+        fallback — full refresh, RESTORE, tables that never opted in).
+        All non-empty versions must agree on the bucket count and key, or
+        a key's events would straddle tasks and netting would be wrong —
+        disagreement falls back to the diff."""
+        import os
+
+        metas = []
+        for v in range(s + 1, e + 1):
+            m = self._manifest_at(v)
+            cdc = (m or {}).get("cdc")
+            if cdc is None:
+                return None
+            metas.append((v, cdc))
+        nonempty = [(v, c) for v, c in metas if c.get("files")]
+        if any(c.get("key") != self.key for _, c in nonempty):
+            return None
+        if len({int(c["buckets"]) for _, c in nonempty}) > 1:
+            return None
+        base = os.path.join(self.root, self.model, "_change_data")
+        groups: dict[str, list] = {}
+        for v, c in nonempty:
+            for f in c["files"]:
+                bucket = f.split("/", 1)[0]
+                groups.setdefault(bucket, []).append(
+                    (v, os.path.join(base, c["dir"], f))
+                )
+        return [
+            _CdfChangeBucket(b, sorted(fl)) for b, fl in sorted(groups.items())
+        ]
 
     def _pa_type(self, tname: str):
         import pyarrow as pa
@@ -550,49 +624,12 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         names.append("_change_type")
         return pa.RecordBatch.from_arrays(cols, names=names)
 
-    def read(self, part):
-        import pandas as pd
-        import pyarrow.parquet as pq
-
-        data_cols = [
-            c for c, _ in self.dtypes if c not in set(self.partition_by)
-        ]
-
-        def load(files) -> "pd.DataFrame":
-            frames = [
-                pq.read_table(f).to_pandas() for f in files
-            ]
-            if not frames:
-                return pd.DataFrame(columns=data_cols)
-            df = pd.concat(frames, ignore_index=True)
-            # schema evolution: older files may lack evolved columns —
-            # NULL-fill via reindex against the committed dtypes
-            return df.reindex(columns=data_cols)
-
+    def _diff_emit(self, old, new, cols, rel):
+        """Shared four-type emission from pandas (present-before,
+        present-after) frames over ``cols`` (key included). Equal rows
+        (NaN == NaN) vanish; preimage rows gated on the option."""
         k = self.key
-        if isinstance(part, _CdfDvLeg):
-            new_keys = _dv_key_set(part.dv_new) - _dv_key_set(part.dv_old)
-            df = load(part.files)
-            dead = df[df[k].isin(new_keys)]
-            if len(dead):
-                yield self._emit(dead, "delete", part.rel)
-            return
-
-        dv_s = _dv_key_set(part.dv_old)
-        dv_e = _dv_key_set(part.dv_new)
-        new_dv = dv_e - dv_s
-        old = load(part.old_files)
-        new = load(part.new_files)
-        # live state on each side: read through the respective vector;
-        # newly-DV'd keys are excluded here (the DV leg reports them, the
-        # same anti-join split as batch table_changes)
-        if dv_s:
-            old = old[~old[k].isin(dv_s)]
-        if new_dv:
-            old = old[~old[k].isin(new_dv)]
-        if dv_e:
-            new = new[~new[k].isin(dv_e)]
-        vcols = [c for c in data_cols if c != k]
+        vcols = [c for c in cols if c != k]
         j = old.merge(
             new, on=k, how="outer", suffixes=("__o", "__n"), indicator=True
         )
@@ -615,13 +652,101 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             return out
 
         if len(ins):
-            yield self._emit(side(ins, "__n"), "insert", part.rel)
+            yield self._emit(side(ins, "__n"), "insert", rel)
         if len(upd):
             if self.preimages:
-                yield self._emit(side(upd, "__o"), "update_preimage", part.rel)
-            yield self._emit(side(upd, "__n"), "update_postimage", part.rel)
+                yield self._emit(side(upd, "__o"), "update_preimage", rel)
+            yield self._emit(side(upd, "__n"), "update_postimage", rel)
         if len(dele):
-            yield self._emit(side(dele, "__o"), "delete", part.rel)
+            yield self._emit(side(dele, "__o"), "delete", rel)
+
+    def _read_change_bucket(self, part):
+        """Net one key bucket's committed change rows across the batch's
+        versions: per key, the FIRST version's pre-state vs the LAST
+        version's post-state — identical to the snapshot diff, computed
+        from change-proportional bytes. Change rows carry every table
+        column materialized (partition values included), so emission
+        needs no rel."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        allc = [n for n, _ in self.dtypes]
+        frames = []
+        for v, path in part.files:
+            t = pq.read_table(path).to_pandas()
+            # schema evolution: pre-evolution change files NULL-fill
+            t = t.reindex(columns=[*allc, "_change_type"])
+            t["__v"] = v
+            frames.append(t)
+        df = pd.concat(frames, ignore_index=True)
+        k = self.key
+        vmin = df.groupby(k)["__v"].min()
+        vmax = df.groupby(k)["__v"].max()
+        pre = df[df["_change_type"].isin(("update_preimage", "delete"))]
+        post = df[df["_change_type"].isin(("insert", "update_postimage"))]
+        # pre-state exists iff the key's FIRST event in the range carries
+        # one (update/delete); a first-event insert means absent-before.
+        # Symmetrically for the post-state at the key's LAST event.
+        old = pre[pre["__v"].values == vmin.reindex(pre[k]).values][allc]
+        new = post[post["__v"].values == vmax.reindex(post[k]).values][allc]
+        yield from self._diff_emit(old, new, allc, "")
+
+    def read(self, part):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        if isinstance(part, _CdfChangeBucket):
+            yield from self._read_change_bucket(part)
+            return
+
+        data_cols = [
+            c for c, _ in self.dtypes if c not in set(self.partition_by)
+        ]
+
+        def load(files) -> "pd.DataFrame":
+            frames = [
+                pq.read_table(f).to_pandas() for f in files
+            ]
+            if not frames:
+                return pd.DataFrame(columns=data_cols)
+            df = pd.concat(frames, ignore_index=True)
+            # schema evolution: older files may lack evolved columns —
+            # NULL-fill via reindex against the committed dtypes
+            return df.reindex(columns=data_cols)
+
+        k = self.key
+        if isinstance(part, _CdfSnapshotInsert):
+            df = load([part.path])
+            dv = _dv_key_set(part.dv_new)
+            if dv:
+                df = df[~df[k].isin(dv)]
+            if len(df):
+                yield self._emit(df, "insert", part.rel)
+            return
+
+        if isinstance(part, _CdfDvLeg):
+            new_keys = _dv_key_set(part.dv_new) - _dv_key_set(part.dv_old)
+            df = load(part.files)
+            dead = df[df[k].isin(new_keys)]
+            if len(dead):
+                yield self._emit(dead, "delete", part.rel)
+            return
+
+        dv_s = _dv_key_set(part.dv_old)
+        dv_e = _dv_key_set(part.dv_new)
+        new_dv = dv_e - dv_s
+        old = load(part.old_files)
+        new = load(part.new_files)
+        # live state on each side: read through the respective vector;
+        # newly-DV'd keys are excluded here (the DV leg reports them, the
+        # same anti-join split as batch table_changes)
+        if dv_s:
+            old = old[~old[k].isin(dv_s)]
+        if new_dv:
+            old = old[~old[k].isin(new_dv)]
+        if dv_e:
+            new = new[~new[k].isin(dv_e)]
+        yield from self._diff_emit(old, new, data_cols, part.rel)
 
 
 class ManifestCDFDataSource(DataSource):
@@ -1228,7 +1353,11 @@ def q_streaming_cdf_propagate(spark, sf_dir: str):
         return b
 
     bronze_spec = ModelSpec(
-        "cdf_bronze", "k", "day", bronze_build(300), partition_by=["day"]
+        "cdf_bronze", "k", "day", bronze_build(300), partition_by=["day"],
+        # write-time change files (r10): every mutating bronze commit
+        # also commits its change rows, so the steady-state hops below
+        # stream pure `_change_data/` reads — no snapshot diffed
+        change_data=True,
     )
     silver_spec = ModelSpec(
         "cdf_silver", "k", "day", None, partition_by=["day"],
@@ -1356,7 +1485,9 @@ def q_streaming_ivm_aggregate(spark, sf_dir: str):
         return b
 
     bronze_spec = ModelSpec(
-        "ivm_bronze", "k", "day", bronze_build(300), partition_by=["day"]
+        "ivm_bronze", "k", "day", bronze_build(300), partition_by=["day"],
+        # r10: the IVM deltas stream off write-time change files
+        change_data=True,
     )
     gold_spec = ModelSpec(
         "ivm_gold", "day", "day", None, partition_by=["day"],

@@ -434,13 +434,19 @@ def test_manifest_stream_raises_on_dv_commit(spark, tmp_path):
         )
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("change_data", [False, True])
 def test_manifest_cdf_reader_matches_batch_table_changes(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, change_data
 ):
     """The change-feed reader's micro-batch for (s, e] must equal the
     batch table_changes(s, e) row set for every commit shape: append,
     cow UPDATE, cow DELETE, and deletion-vector DELETE (which the
-    append-only source refuses)."""
+    append-only source refuses). With change_data=True the SAME rows must
+    come off the write-time `_change_data/` files — and the plan must
+    never open a base data file (VERDICT r9 item 1)."""
     import datetime as dt
 
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
@@ -448,6 +454,8 @@ def test_manifest_cdf_reader_matches_batch_table_changes(
     monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
     from mycarely_saas_dbt_spark.sources.pydatasource import (
         ManifestCDFStreamReader,
+        _CdfChangeBucket,
+        _CdfSnapshotInsert,
     )
 
     root = str(tmp_path / "tgt")
@@ -455,7 +463,10 @@ def test_manifest_cdf_reader_matches_batch_table_changes(
     d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
 
     def spec(b):
-        return ModelSpec("t", "k", "day", b, partition_by=["day"])
+        return ModelSpec(
+            "t", "k", "day", b, partition_by=["day"],
+            change_data=change_data, cdc_buckets=3,
+        )
 
     runner.run(
         spec(lambda sp, sfd, wm: _mk_kdv(
@@ -483,6 +494,60 @@ def test_manifest_cdf_reader_matches_batch_table_changes(
                 for t in (tuple(row) for row in live.collect())
             )
         assert got == want, (s, e, got[:5], want[:5])
+        legs = r.partitions({"version": s}, {"version": e})
+        if s == 0:
+            # bootstrap: per-FILE insert legs, never a whole partition
+            assert all(isinstance(p, _CdfSnapshotInsert) for p in legs)
+        elif change_data:
+            # steady state: every planned task reads ONLY committed
+            # change files — no base data file is ever opened
+            assert legs and all(
+                isinstance(p, _CdfChangeBucket) for p in legs
+            ), [type(p).__name__ for p in legs]
+            for p in legs:
+                assert all("/_change_data/" in path for _, path in p.files)
+            # one key's events net inside ONE task: each bucket leg is
+            # disjoint from the others by construction
+            buckets = [p.bucket for p in legs]
+            assert len(buckets) == len(set(buckets))
+
+
+def test_manifest_cdf_change_files_vacuumed_with_history(
+    spark, tmp_path, monkeypatch
+):
+    """`_change_data/` dirs die with the version JSONs that reference
+    them: past the retention floor the vacuum reclaims both."""
+    import datetime as dt
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 2)
+    monkeypatch.setattr(IncrementalRunner, "VACUUM_GRACE_SECONDS", 0)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+
+    def spec(b):
+        return ModelSpec(
+            "t", "k", "day", b, partition_by=["day"], change_data=True
+        )
+
+    runner.run(
+        spec(lambda sp, sfd, wm: _mk_kdv(sp, [(i, d1, i) for i in range(6)])),
+        "x",
+    )
+    for i in range(4):
+        runner.update_where(spec(None), f"k = {i}", {"v": f"v + {100 + i}"})
+    cdir = os.path.join(root, "t", "_change_data")
+    live_dirs = {
+        (runner._manifest_at("t", v) or {}).get("cdc", {}).get("dir")
+        for v in runner.list_versions("t")
+    } - {None}
+    on_disk = set(os.listdir(cdir))
+    assert on_disk == live_dirs, (on_disk, live_dirs)
+    # retention floor passed v2/v3: their change dirs are gone
+    assert len(on_disk) == 2
 
 
 def test_manifest_cdf_startingversion_skips_history(spark, tmp_path):
