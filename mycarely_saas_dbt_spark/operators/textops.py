@@ -2172,6 +2172,167 @@ def bm25_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_seg_query(spark, runner)
 
 
+def bm25_seg_index_optimize(spark: SparkSession, root: str) -> dict:
+    """Lucene ``forceMerge(1)`` for the segmented index (VERDICT r9 item
+    3): merge every ``seg=`` level into one fresh segment 0 and ABSORB
+    tombstoned docs — postings of keys deleted from the base since the
+    index's recorded ``base_version`` are dropped, (S, N) are recomputed
+    from the surviving postings, and the meta's base pointer advances to
+    the base's CURRENT version (the deletes are now physical, exactly
+    like compaction absorbing deletion vectors). After many appends +
+    deletes this bounds the query-time df recompute to LIVE postings
+    again. No-op (one manifest read, zero jobs) when the index is
+    already one segment with nothing pending.
+
+    Scale shape: the rewrite reads the index — postings, not the corpus
+    — through one broadcast anti-join, recomputes per-doc-distinct
+    (S, N) with a map-combinable aggregate, and commits full-refresh
+    under the manifest protocol (the tiered-merge generalization would
+    rewrite only the small segments and keep deletes pending; absorbing
+    requires touching every segment a deleted doc lives in, so the
+    force-merge is the shape that can advance the base pointer)."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    runner = IncrementalRunner(spark, root)
+    cur = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    if cur is None:
+        raise RuntimeError("bm25_seg_index_optimize: no committed index")
+    meta = cur["meta"]["bm25"]
+    deleted = None
+    extra: dict = {}
+    if meta.get("base") is not None:
+        deleted = runner.deleted_keys_since(
+            meta["base"], "doc_id", meta["base_version"]
+        )
+        extra = {
+            "base": meta["base"],
+            "base_version": runner.current_manifest(meta["base"])["version"],
+        }
+    if int(meta["segs"]) <= 1 and deleted is None:
+        return cur  # already optimal: zero jobs
+    live = runner.read_target(BM25_SEG_INDEX_NAME).drop("df", "seg", "bucket")
+    if deleted is not None:
+        live = live.join(F.broadcast(deleted), "doc_id", "left_anti")
+    from mycarely_saas_dbt_spark.util import bounded_persist, release_persists
+
+    live = bounded_persist(live, "bm25seg:optimize")
+    # (S, N) over surviving DOCS: dl is per-doc (identical on every
+    # posting row of a doc), so aggregate one row per doc first
+    S, N = (
+        live.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.sum("dl").cast("long"), F.count(F.lit(1)).cast("long"))
+        .first()
+    )
+    df_new = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    merged = (
+        live.join(df_new, "term")
+        .select("term", "doc_id", "tf", "dl", "df")
+        .withColumn("bucket", _bm25_bucket())
+        .withColumn("seg", F.lit(0))
+    )
+    runner.run(
+        ModelSpec(
+            BM25_SEG_INDEX_NAME,
+            "doc_id",
+            "doc_id",
+            lambda sp, sfd, wm: merged,
+            partition_by=["seg", "bucket"],
+            manifest_meta={
+                "bm25": {"S": int(S), "N": int(N), "segs": 1, **extra}
+            },
+        ),
+        "",
+        full_refresh=True,
+    )
+    release_persists("bm25seg:optimize")
+    return runner.current_manifest(BM25_SEG_INDEX_NAME)
+
+
+# Post-optimize oracle: the merge ABSORBED the deletes, so corpus
+# statistics (tf/dl/df/S/N) are those of the LIVE corpus — a fresh build
+# over it. Distinguishable both from tombstone-at-read (committed stats,
+# live candidates: O_BM25_DELETE_AWARE) and from forgetting the deletes.
+O_BM25_OPTIMIZE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    WHERE NOT (doc_id % 13 = 2)
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS S, COUNT(*) AS N FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {_BM25_VALUES}),
+scored AS (
+    SELECT q.qid, tf.doc_id,
+           CAST(SUM((2*t.N - 2*df.df + 1) * 44 * t.S * tf.tf * {BM25_SCALE}
+                    // ((2*df.df + 1) * (20*t.S*tf.tf + 6*t.S + 18*dl.dl*t.N)))
+                AS BIGINT) AS score_k,
+           COUNT(*) AS n_hit
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN tot t
+    GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, score_k, n_hit,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_k DESC, n_hit DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+def bm25_index_optimize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full segment-merge lifecycle (append -> delete -> OPTIMIZE ->
+    search): bootstrap segment 0 over the first 70% of a COMMITTED base,
+    append the rest as segment 1, row-level DELETE from the base
+    (doc_id % 13 = 2), force-merge the segments absorbing the tombstoned
+    postings, then query. Asserts in-entry that exactly ONE live segment
+    remains and that the meta's base pointer advanced past the delete
+    (replaying the optimize is a zero-job no-op). The result must
+    hash-match a FRESH build over the live corpus — stats recomputed,
+    not carried — which is what distinguishes absorption from
+    tombstone-at-read."""
+    import os
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_bm25_opt_")
+    runner = IncrementalRunner(spark, root)
+
+    base_spec = ModelSpec(
+        BM25_BASE_NAME,
+        "doc_id",
+        "doc_id",
+        lambda sp, sfd, wm: sp.table("documents").select("doc_id", "text"),
+    )
+    runner.run(base_spec, sf_dir)
+    docs = runner.read_target(BM25_BASE_NAME)
+    split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
+    bm25_seg_index_build(spark, sf_dir, root, bound=split, base=BM25_BASE_NAME)
+    bm25_seg_index_append(spark, sf_dir, root)
+    runner.delete_where(base_spec, BM25_DELETE_PRED)
+
+    m = bm25_seg_index_optimize(spark, root)
+    meta = m["meta"]["bm25"]
+    segs_live = {
+        rel.split(os.sep, 1)[0] for rel in m["partitions"] if rel
+    }
+    assert segs_live == {"seg=0"} and meta["segs"] == 1, segs_live
+    assert meta["base_version"] == (
+        runner.current_manifest(BM25_BASE_NAME)["version"]
+    )
+    # idempotence: a second optimize is a metadata no-op (zero jobs)
+    assert bm25_seg_index_optimize(spark, root)["version"] == m["version"]
+    return _bm25_seg_query(spark, runner)
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition filter (Gopher, Rae et al. 2021 §A1.1) —
 # complements the corpus-level dedup family with the INTRA-doc criterion
@@ -2442,6 +2603,10 @@ def register_extra(register) -> None:
     register("bm25_index_append_search", bm25_index_append_search, O_BM25)
     register(
         "bm25_index_delete_aware", bm25_index_delete_aware, O_BM25_DELETE_AWARE
+    )
+    register(
+        "bm25_index_optimize_search", bm25_index_optimize_search,
+        O_BM25_OPTIMIZE,
     )
     register("hybrid_rrf_search", hybrid_rrf_search, O_HYBRID_RRF)
     register("repetition_filter", repetition_filter, O_REPETITION)
