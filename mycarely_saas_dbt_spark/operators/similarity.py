@@ -829,6 +829,14 @@ SELECT CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact, TRUE AS recall_ok
 # ---------------------------------------------------------------------------
 
 ANN_INDEX_NAME = "ann_pq_index"
+# Append-drift retrain trigger (VERDICT r9 item 4): codebooks are FROZEN
+# on add (FAISS-style), which is exact for encoding but lets quantizer
+# fit drift as the never-trained-on fraction grows. When the appended
+# fraction (n - n_trained) / n would reach this after an add, the append
+# RETRAINS + re-encodes through the same manifest protocol instead —
+# one commit, readers never see a half-retrained index, and a recorded
+# base's pending deletes are absorbed by the rebuild.
+ANN_RETRAIN_FRAC = 0.5
 # session-scoped default index roots: (app id, realpath sf_dir) -> tempdir.
 # Like util.session_memo this makes repeated registered-query invocations
 # (bench rounds, driver_check) hit the committed index instead of
@@ -913,8 +921,23 @@ def ann_index_build(
         e = _with_norm(spark.table("embeddings"))
     if bound is not None:
         e = e.filter(F.col("vec_id") < bound)
+    return _ann_train_commit(spark, runner, e, sf_dir, fp, bound, extra)
+
+
+def _ann_train_commit(
+    spark: SparkSession, runner, e: DataFrame, sf_dir: str,
+    fp: list, bound: int | None, extra: dict,
+) -> dict:
+    """Train codebooks on ``e`` and commit the full encode — shared by the
+    bootstrap build and the append-drift RETRAIN. The meta records the
+    drift-policy state: ``n`` (vectors indexed), ``n_trained`` (vectors
+    indexed at last training — here == n), and ``retrain_frac`` (the
+    appended-fraction trigger ``ann_index_append`` enforces)."""
+    from ..incremental import IncrementalRunner, ModelSpec
+
     _, U = _pq_collect_unit(e, PQ_TRAIN_SAMPLE)
     C, B = _pq_train_core(U)
+    n = e.count()
     spec = ModelSpec(
         name=ANN_INDEX_NAME,
         unique_key="vid",
@@ -931,6 +954,9 @@ def ann_index_build(
                 "subdim": PQ_SUBDIM,
                 "coarse": C.tolist(),
                 "codebooks": B.tolist(),
+                "n": int(n),
+                "n_trained": int(n),
+                "retrain_frac": ANN_RETRAIN_FRAC,
                 **extra,
             }
         },
@@ -939,17 +965,31 @@ def ann_index_build(
     return runner.current_manifest(ANN_INDEX_NAME)
 
 
-def ann_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
+def ann_index_append(
+    spark: SparkSession, sf_dir: str, root: str, *,
+    retrain_frac: float | None = None,
+) -> dict:
     """FAISS ``add()`` through the commit protocol: encode the vectors
     PAST the committed index's integer watermark with the COMMITTED
-    codebooks (no retraining — quantizer quality saturates on the
-    training sample, the add path is pure encode) and merge them into
-    the codes target. The watermark is answered from manifest stats
-    (metadata-only for integral columns), so deciding what's new costs
-    zero jobs; the encode pass touches only the new vectors. The
-    appended commit's meta clears ``bound`` and re-fingerprints the
-    corpus: the composed index is THE index for the full corpus, with
-    codebooks honestly inherited from the bootstrap training set."""
+    codebooks (no retraining — the add path is pure encode) and merge
+    them into the codes target. The watermark is answered from manifest
+    stats (metadata-only for integral columns), so deciding what's new
+    costs zero jobs; the encode pass touches only the new vectors. The
+    appended commit's meta clears ``bound``, re-fingerprints the corpus
+    and advances ``n``: the composed index is THE index for the full
+    corpus, with codebooks honestly inherited from the last training.
+
+    DRIFT POLICY (VERDICT r9 item 4): frozen codebooks decay as the
+    appended (never-trained-on) fraction grows. When
+    ``(n - n_trained) / n`` would reach ``retrain_frac`` (default: the
+    committed ``meta.retrain_frac``, itself defaulting to
+    ``ANN_RETRAIN_FRAC``) the append escalates to a full RETRAIN +
+    re-encode in one commit — codebooks refit on the whole current
+    corpus, ``n_trained`` resets to ``n``, and a recorded base's
+    pending deletes are absorbed (the rebuild indexes only live rows).
+    Recall under both arms is pinned by tests: the frozen-codebook arm
+    must hold the recall floor at the fraction just UNDER the trigger,
+    and the trigger arm must fire and reset the drift state."""
     import numpy as np
 
     from ..incremental import IncrementalRunner, ModelSpec
@@ -959,15 +999,43 @@ def ann_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
     if cur is None:
         raise RuntimeError("ann_index_append: no committed index to append to")
     ann = cur["meta"]["ann"]
+    threshold = (
+        retrain_frac
+        if retrain_frac is not None
+        else float(ann.get("retrain_frac", ANN_RETRAIN_FRAC))
+    )
+
+    if ann.get("base") is not None:
+        e = _with_norm(runner.read_target(ann["base"]))
+    else:
+        register_sources(spark, sf_dir)
+        e = _with_norm(spark.table("embeddings"))
+
+    wm = runner.watermark(ANN_INDEX_NAME, "vid")
+    new = e if wm is None else e.filter(F.col("vec_id") > wm)
+    n_new = new.count()
+    if n_new == 0:
+        return cur  # nothing past the watermark: append is a no-op
+    n_trained = int(ann.get("n_trained") or 0)
+    n_total = int(ann.get("n") or 0) + int(n_new)
+    frac = (n_total - n_trained) / n_total if n_total else 0.0
+    fp = _corpus_fingerprint(sf_dir)
+    if n_trained and frac >= threshold:
+        extra: dict = {}
+        if ann.get("base") is not None:
+            extra = {
+                "base": ann["base"],
+                # retrain absorbs: the rebuild encodes only LIVE base rows
+                "base_version": runner.current_manifest(ann["base"])["version"],
+            }
+        return _ann_train_commit(spark, runner, e, sf_dir, fp, None, extra)
+
     C = np.array(ann["coarse"], dtype=np.float64)
     B = np.array(ann["codebooks"], dtype=np.float64)
 
-    register_sources(spark, sf_dir)
-    e = _with_norm(spark.table("embeddings"))
-
-    def append_build(sp, sfd, wm):
-        new = e if wm is None else e.filter(F.col("vec_id") > wm)
-        return _pq_encode_df(new, C, B)
+    def append_build(sp, sfd, w):
+        delta = e if w is None else e.filter(F.col("vec_id") > w)
+        return _pq_encode_df(delta, C, B)
 
     spec = ModelSpec(
         name=ANN_INDEX_NAME,
@@ -976,7 +1044,13 @@ def ann_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
         build=append_build,
         partition_by=["cid"],
         manifest_meta={
-            "ann": {**ann, "corpus": _corpus_fingerprint(sf_dir), "bound": None}
+            "ann": {
+                **ann,
+                "corpus": fp,
+                "bound": None,
+                "n": n_total,
+                "retrain_frac": threshold,
+            }
         },
     )
     runner.run(spec, sf_dir)
@@ -1107,6 +1181,40 @@ def ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_ann_append_")
     ann_index_build(spark, sf_dir, root, bound=split)
     ann_index_append(spark, sf_dir, root)
+    return _recall_contract(
+        spark,
+        pq_index_topk(spark, sf_dir, root=root),
+        ann_cosine_topk(spark, sf_dir),
+    )
+
+
+def ann_index_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-DRIFT lifecycle (VERDICT r9 item 4): bootstrap over only
+    the first 30% of vec_ids, then append the other 70% — the appended
+    fraction (0.7) trips the retrain policy, so the add escalates to a
+    full retrain + re-encode in one commit. Asserted in-entry: the drift
+    state reset (n_trained == n == full corpus, bound cleared), i.e. the
+    served index was trained on the whole current corpus, not a 30%
+    relic. Graded under the same recall floor as every other index
+    entry."""
+    import tempfile
+
+    from ..incremental import IncrementalRunner
+
+    register_sources(spark, sf_dir)
+    e = spark.table("embeddings")
+    n_corpus = e.count()
+    split = int((e.agg(F.max("vec_id")).first()[0] + 1) * 0.3)
+
+    root = tempfile.mkdtemp(prefix="mycarely_ann_retrain_")
+    m0 = ann_index_build(spark, sf_dir, root, bound=split)
+    assert m0["meta"]["ann"]["n_trained"] < n_corpus
+    m1 = ann_index_append(spark, sf_dir, root)
+    ann = m1["meta"]["ann"]
+    assert ann["n"] == ann["n_trained"] == n_corpus, ann["n"]
+    assert ann["bound"] is None
+    # replay: nothing past the watermark — zero-commit no-op
+    assert ann_index_append(spark, sf_dir, root)["version"] == m1["version"]
     return _recall_contract(
         spark,
         pq_index_topk(spark, sf_dir, root=root),
@@ -1431,5 +1539,6 @@ def register_queries(register) -> None:
     register("ann_pq_adc_recall", ann_pq_adc_recall, O_PQ_ADC)
     register("ann_pq_index_recall", ann_pq_index_recall, O_PQ_ADC)
     register("ann_index_append_recall", ann_index_append_recall, O_PQ_ADC)
+    register("ann_index_retrain_recall", ann_index_retrain_recall, O_PQ_ADC)
     register("ann_index_delete_aware", ann_index_delete_aware, O_PQ_DELETE_AWARE)
     register("knn_label_eval", knn_label_eval, O_KNN_EVAL)
