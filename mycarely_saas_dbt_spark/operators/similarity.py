@@ -1178,9 +1178,13 @@ def ann_index_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("embeddings")
     split = int((e.agg(F.max("vec_id")).first()[0] + 1) * 0.7)
 
+    from ..util import timed_phase
+
     root = tempfile.mkdtemp(prefix="mycarely_ann_append_")
-    ann_index_build(spark, sf_dir, root, bound=split)
-    ann_index_append(spark, sf_dir, root)
+    with timed_phase("build"):
+        ann_index_build(spark, sf_dir, root, bound=split)
+    with timed_phase("append"):
+        ann_index_append(spark, sf_dir, root)
     return _recall_contract(
         spark,
         pq_index_topk(spark, sf_dir, root=root),
@@ -1206,10 +1210,14 @@ def ann_index_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = e.count()
     split = int((e.agg(F.max("vec_id")).first()[0] + 1) * 0.3)
 
+    from ..util import timed_phase
+
     root = tempfile.mkdtemp(prefix="mycarely_ann_retrain_")
-    m0 = ann_index_build(spark, sf_dir, root, bound=split)
+    with timed_phase("build"):
+        m0 = ann_index_build(spark, sf_dir, root, bound=split)
     assert m0["meta"]["ann"]["n_trained"] < n_corpus
-    m1 = ann_index_append(spark, sf_dir, root)
+    with timed_phase("retrain"):
+        m1 = ann_index_append(spark, sf_dir, root)
     ann = m1["meta"]["ann"]
     assert ann["n"] == ann["n_trained"] == n_corpus, ann["n"]
     assert ann["bound"] is None
@@ -1247,6 +1255,8 @@ def ann_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..incremental import IncrementalRunner, ModelSpec
 
+    from ..util import timed_phase
+
     register_sources(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="mycarely_ann_da_")
     runner = IncrementalRunner(spark, root)
@@ -1256,9 +1266,11 @@ def ann_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         lambda sp, sfd, wm: sp.table("embeddings"),
     )
-    runner.run(base_spec, sf_dir)
-    ann_index_build(spark, sf_dir, root, base=ANN_BASE_NAME)
-    runner.delete_where(base_spec, ANN_DELETE_PRED)
+    with timed_phase("build"):
+        runner.run(base_spec, sf_dir)
+        ann_index_build(spark, sf_dir, root, base=ANN_BASE_NAME)
+    with timed_phase("mutate"):
+        runner.delete_where(base_spec, ANN_DELETE_PRED)
 
     approx = pq_index_topk(spark, sf_dir, root)  # auto delete-aware
 

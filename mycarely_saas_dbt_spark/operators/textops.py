@@ -1928,6 +1928,8 @@ def bm25_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
     from mycarely_saas_dbt_spark.util import release_persists
 
+    from mycarely_saas_dbt_spark.util import timed_phase
+
     register_sources(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="mycarely_bm25_da_")
     runner = IncrementalRunner(spark, root)
@@ -1938,32 +1940,34 @@ def bm25_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lambda sp, sfd, wm: sp.table("documents").select("doc_id", "text"),
     )
-    runner.run(base_spec, sf_dir)
-    base_v = runner.current_manifest(BM25_BASE_NAME)["version"]
+    with timed_phase("build"):
+        runner.run(base_spec, sf_dir)
+        base_v = runner.current_manifest(BM25_BASE_NAME)["version"]
 
-    postings, S, N = _bm25_postings(runner.read_target(BM25_BASE_NAME))
-    runner.run(
-        ModelSpec(
-            BM25_INDEX_NAME,
-            "term",
-            "doc_id",
-            lambda sp, sfd, wm: postings,
-            partition_by=["bucket"],
-            manifest_meta={
-                "bm25": {
-                    "S": S,
-                    "N": N,
-                    "base": BM25_BASE_NAME,
-                    "base_version": base_v,
-                }
-            },
-        ),
-        sf_dir,
-        full_refresh=True,
-    )
-    release_persists("bm25index:tf")
+        postings, S, N = _bm25_postings(runner.read_target(BM25_BASE_NAME))
+        runner.run(
+            ModelSpec(
+                BM25_INDEX_NAME,
+                "term",
+                "doc_id",
+                lambda sp, sfd, wm: postings,
+                partition_by=["bucket"],
+                manifest_meta={
+                    "bm25": {
+                        "S": S,
+                        "N": N,
+                        "base": BM25_BASE_NAME,
+                        "base_version": base_v,
+                    }
+                },
+            ),
+            sf_dir,
+            full_refresh=True,
+        )
+        release_persists("bm25index:tf")
 
-    runner.delete_where(base_spec, BM25_DELETE_PRED)
+    with timed_phase("mutate"):
+        runner.delete_where(base_spec, BM25_DELETE_PRED)
     return _bm25_index_query(
         spark, runner, runner.current_manifest(BM25_INDEX_NAME)
     )
@@ -2162,13 +2166,17 @@ def bm25_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner
 
+    from mycarely_saas_dbt_spark.util import timed_phase
+
     register_sources(spark, sf_dir)
     docs = spark.table("documents")
     split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
     root = tempfile.mkdtemp(prefix="mycarely_bm25_seg_")
     runner = IncrementalRunner(spark, root)
-    bm25_seg_index_build(spark, sf_dir, root, bound=split)
-    bm25_seg_index_append(spark, sf_dir, root)
+    with timed_phase("build"):
+        bm25_seg_index_build(spark, sf_dir, root, bound=split)
+    with timed_phase("append"):
+        bm25_seg_index_append(spark, sf_dir, root)
     return _bm25_seg_query(spark, runner)
 
 
@@ -2312,14 +2320,24 @@ def bm25_index_optimize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lambda sp, sfd, wm: sp.table("documents").select("doc_id", "text"),
     )
-    runner.run(base_spec, sf_dir)
-    docs = runner.read_target(BM25_BASE_NAME)
-    split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
-    bm25_seg_index_build(spark, sf_dir, root, bound=split, base=BM25_BASE_NAME)
-    bm25_seg_index_append(spark, sf_dir, root)
-    runner.delete_where(base_spec, BM25_DELETE_PRED)
+    from mycarely_saas_dbt_spark.util import timed_phase
 
-    m = bm25_seg_index_optimize(spark, root)
+    with timed_phase("build"):
+        runner.run(base_spec, sf_dir)
+        docs = runner.read_target(BM25_BASE_NAME)
+        split = int(
+            (docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT
+        )
+        bm25_seg_index_build(
+            spark, sf_dir, root, bound=split, base=BM25_BASE_NAME
+        )
+    with timed_phase("append"):
+        bm25_seg_index_append(spark, sf_dir, root)
+    with timed_phase("mutate"):
+        runner.delete_where(base_spec, BM25_DELETE_PRED)
+
+    with timed_phase("optimize"):
+        m = bm25_seg_index_optimize(spark, root)
     meta = m["meta"]["bm25"]
     segs_live = {
         rel.split(os.sep, 1)[0] for rel in m["partitions"] if rel

@@ -44,6 +44,45 @@ def bounded_persist(df: DataFrame, site: str) -> DataFrame:
     return df.persist()
 
 
+# ---------------------------------------------------------------------------
+# Phase timing for LIFECYCLE entries (VERDICT r9 item 5): fixtures like
+# bm25_index_delete_aware bundle build -> mutate -> query into one bench
+# number, so a query-path regression is indistinguishable from build
+# noise. Entries wrap their fixture stages in ``timed_phase(...)``; when a
+# harness installs a sink via ``capture_phases``, stage wall times land
+# there (a no-op two time.time() calls otherwise). The QUERY phase is the
+# residual: entries return a lazy DataFrame, so its execution happens at
+# the caller's sink — bench reports total - sum(recorded phases).
+# ---------------------------------------------------------------------------
+import contextlib
+import time as _time
+
+_PHASE_SINK: dict | None = None
+
+
+@contextlib.contextmanager
+def timed_phase(name: str):
+    t0 = _time.time()
+    try:
+        yield
+    finally:
+        if _PHASE_SINK is not None:
+            _PHASE_SINK[name] = round(
+                _PHASE_SINK.get(name, 0.0) + _time.time() - t0, 3
+            )
+
+
+@contextlib.contextmanager
+def capture_phases(sink: dict):
+    global _PHASE_SINK
+    prev = _PHASE_SINK
+    _PHASE_SINK = sink
+    try:
+        yield sink
+    finally:
+        _PHASE_SINK = prev
+
+
 def release_persists(prefix: str) -> None:
     """Unpersist (and drop from the registry) every bounded_persist site
     whose key starts with ``prefix`` — used by session_memo builders to
