@@ -218,7 +218,12 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # stream source end-to-end twice per wave under admission control),
 # `bloom_point_lookup` (2 artifacts; the file-skipping family stays via
 # in-window gen_prune_read and pyds_pushdown_slice; the bloom sidecars
-# keep their pytest plan gates).
+# keep their pytest plan gates). An eighth first-timer joins for the
+# r10 positional-DV build: `dv_pos_reinsert_read` (the writer-matrix
+# flips proven in a driver artifact) in the slot of `cdc_apply_changes`
+# (3 artifacts; the tombstone-hard-delete merge path runs in-window
+# inside streaming_cdc_apply's foreachBatch sink and both CDF streaming
+# entries' tombstone-merge hops).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -256,7 +261,6 @@ DRIVER_WINDOW = [
     # r7 new-build first-timers (see rotation note above)
     "dedup_index_ingest",
     "ann_index_append_recall",
-    "cdc_apply_changes",
     # r8 rotation (VERDICT r7 item 4 — first-time artifact coverage)
     "merge_multi_clause",
     "cdf_table_changes",
@@ -288,10 +292,11 @@ DRIVER_WINDOW = [
     "bm25_index_append_search",
     "interval_bin_join",
     "streaming_ivm_aggregate",
-    # r10 new builds (VERDICT r9 items 3, 4, 6)
+    # r10 new builds (VERDICT r9 items 3, 4, 6, 7)
     "bm25_index_optimize_search",
     "ann_index_retrain_recall",
     "mm_image_decode",
+    "dv_pos_reinsert_read",
 ]
 
 

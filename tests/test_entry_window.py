@@ -59,9 +59,10 @@ def test_driver_window_covers_llm_pipeline_surface():
         # kmv_merge_rollup, streaming_interval_full_join — shapes pinned
         # by in-window siblings; justifications in entry.py)
         "repetition_filter", "graph_pagerank", "pyds_pushdown_slice",
-        # r7 new-build first-timers (built r7)
+        # r7 new-build first-timers (built r7; r10: cdc_apply_changes
+        # demoted — the tombstone-hard-delete merge runs in-window inside
+        # streaming_cdc_apply and both CDF streaming entries' sinks)
         "dedup_index_ingest", "ann_index_append_recall",
-        "cdc_apply_changes",
         # r8 rotation (VERDICT r7 item 4) + the r8 delete-aware build
         # (r10 demotions: pyds_manifest_stream — medallion_multihop tails
         # the same stream source in-window; bloom_point_lookup —
@@ -75,7 +76,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         "streaming_index_maintenance", "bm25_index_append_search",
         "interval_bin_join", "streaming_ivm_aggregate",
         "bm25_index_optimize_search", "ann_index_retrain_recall",
-        "mm_image_decode",
+        "mm_image_decode", "dv_pos_reinsert_read",
     }
     assert must_have <= first50
 
