@@ -2370,10 +2370,14 @@ class IncrementalRunner:
                 # exact change rows are diff(pruned old slice, rewritten
                 # slice) — the same footprint the merge itself read, never
                 # the table — committed with the manifest below
-                cdc = self._cdc_for_commit(
-                    spec,
-                    pruned,
-                    self.spark.read.schema(merged.schema).parquet(tmp),
+                cdc = (
+                    self._cdc_for_commit(
+                        spec,
+                        pruned,
+                        self.spark.read.schema(merged.schema).parquet(tmp),
+                    )
+                    if spec.change_data and spec.unique_key
+                    else None
                 )
                 # New files land in the partition dirs UNCOMMITTED; the
                 # manifest pointer swap below is the single atomic commit.

@@ -80,6 +80,19 @@ AUDIT = [
     # shape is pinned in tests/test_pydatasource.py.
     "ann_index_delete_aware",
     "profile_table_approx",
+    # round 10 additions: the segment-merged BM25 read (bucket-pruned
+    # slice across seg= levels post-forceMerge), the retrained ANN read,
+    # the binned interval join (hash-not-nested-loop), the stdlib PNG
+    # decode pipeline (two Arrow-batched narrow passes), and the
+    # positional-DV read (broadcast (file, ordinal) anti-join composed on
+    # the partitioned scan). The CDF change-file paths materialize
+    # through stream checkpoints/commits — their no-base-file plan shape
+    # is pinned in tests/test_pydatasource.py.
+    "bm25_index_optimize_search",
+    "ann_index_retrain_recall",
+    "interval_bin_join",
+    "mm_image_decode",
+    "dv_pos_reinsert_read",
 ]
 
 

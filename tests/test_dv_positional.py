@@ -221,3 +221,86 @@ def test_streaming_fallback_reads_through_unchanged_positional_vector(
         for i in range(b.num_rows)
     )
     assert rows == [(100, "d1", 1, "insert")], rows
+
+
+def test_rebase_carries_cdc_and_refuses_concurrent_dv_change(
+    spark, tmp_path, monkeypatch
+):
+    """r10 rebase hardening: (a) a partition-scoped writer racing a
+    DISJOINT commit keeps its own change-data descriptor through the
+    rebase (previously any extra manifest field was silently dropped);
+    (b) a deletion-vector commit landing between a writer's read and its
+    commit REFUSES — the staged rewrite was produced without that
+    vector's deletes, so neither side's vector can be carried blindly."""
+    import dataclasses
+
+    import pytest
+
+    from mycarely_saas_dbt_spark import incremental as inc
+
+    def mkspec(name, build, **kw):
+        return inc.ModelSpec(
+            name, "k", "k", build, partition_by=["day"], **kw
+        )
+
+    def rows(lo, hi, day):
+        def build(sp, sfd, wm):
+            return _mk(sp, [(i, day, i * 10) for i in range(lo, hi)])
+
+        return build
+
+    # --- (a) cdc survives the rebase
+    root = str(tmp_path / "a")
+    ra, rb = inc.IncrementalRunner(spark, root), inc.IncrementalRunner(
+        spark, root
+    )
+    boot = mkspec("t", rows(0, 4, "d1"), change_data=True, cdc_buckets=2)
+    ra.run(boot, SF_DIR)  # v1 bootstrap (d1)
+    ra.run(
+        dataclasses.replace(boot, build=rows(100, 104, "d2")), SF_DIR
+    )  # v2: d2
+
+    orig = rb._commit_manifest
+    fired = {}
+
+    def inject(name, manifest, **kw):
+        if not fired:
+            fired["x"] = 1
+            # A lands a DISJOINT d2 merge after B's read, before B's commit
+            ra.run(
+                dataclasses.replace(boot, build=rows(104, 108, "d2")), SF_DIR
+            )
+        return orig(name, manifest, **kw)
+
+    monkeypatch.setattr(rb, "_commit_manifest", inject)
+    rb.run(dataclasses.replace(boot, build=rows(4, 8, "d1")), SF_DIR)
+    cur = rb.current_manifest("t")
+    assert cur["version"] == 4  # both landed
+    cdc = cur.get("cdc")
+    assert cdc and cdc.get("files"), "rebased commit lost its cdc descriptor"
+    # B's change rows are intact: the feed reports exactly B's inserts
+    ch = rb.table_changes("t", "k", 3, 4).collect()
+    assert sorted(r["k"] for r in ch) == [4, 5, 6, 7]
+    assert all(r["_change_type"] == "insert" for r in ch)
+
+    # --- (b) concurrent DV change refuses the rebase
+    root2 = str(tmp_path / "b")
+    rc, rd = inc.IncrementalRunner(spark, root2), inc.IncrementalRunner(
+        spark, root2
+    )
+    boot2 = mkspec("u", rows(0, 8, "d1"))
+    rc.run(boot2, SF_DIR)
+    rc.run(dataclasses.replace(boot2, build=rows(100, 104, "d2")), SF_DIR)
+
+    orig2 = rd._commit_manifest
+    fired2 = {}
+
+    def inject2(name, manifest, **kw):
+        if not fired2:
+            fired2["x"] = 1
+            rc.delete_where(boot2, "k = 0", mode="dv_pos")  # DV lands mid-race
+        return orig2(name, manifest, **kw)
+
+    monkeypatch.setattr(rd, "_commit_manifest", inject2)
+    with pytest.raises(RuntimeError, match="deletion-vector"):
+        rd.run(dataclasses.replace(boot2, build=rows(104, 108, "d2")), SF_DIR)
