@@ -1214,23 +1214,40 @@ class IncrementalRunner:
             + ", `_change_type` string"
         )
         root = os.path.join(self.target_path(name), self._CDC_DIR)
-        frames = []
-        for v, c in nonempty:
-            paths = [os.path.join(root, c["dir"], f) for f in c["files"]]
-            frames.append(
-                # explicit schema => files from pre-evolution versions
-                # NULL-fill evolved columns, same as the snapshot reader
-                self.spark.read.schema(ddl)
-                .parquet(*paths)
-                .select(*cols, "_change_type")
-                .withColumn("__v", F.lit(v))
-            )
-        if not frames:
+        paths = [
+            os.path.join(root, c["dir"], f)
+            for _, c in nonempty
+            for f in c["files"]
+        ]
+        if not paths:
             return (
                 self.spark.createDataFrame([], schema=ddl)
                 .select(*cols, "_change_type")
             )
-        raw = functools.reduce(lambda a, b: a.unionByName(b), frames)
+        # ONE scan over every version's change files (a per-version union
+        # would grow the plan O(versions) on a deep catch-up); the commit
+        # version rides back in via a broadcast (dir -> version) map keyed
+        # on the uuid dir segment of the file path — metadata scale.
+        vmap = self.spark.createDataFrame(
+            [(c["dir"], v) for v, c in nonempty], "__cdir string, __v int"
+        )
+        raw = (
+            # explicit schema => files from pre-evolution versions
+            # NULL-fill evolved columns, same as the snapshot reader
+            self.spark.read.schema(ddl)
+            .parquet(*paths)
+            .select(
+                *cols,
+                "_change_type",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    f"{self._CDC_DIR}/([^/]+)/",
+                    1,
+                ).alias("__cdir"),
+            )
+            .join(F.broadcast(vmap), "__cdir")
+            .drop("__cdir")
+        )
         vcols = sorted(c for c in cols if c != key)
         img = F.struct(*cols)
         pre = F.col("_change_type").isin("update_preimage", "delete")
