@@ -2652,6 +2652,7 @@ class IncrementalRunner:
         carry_dv: bool = False,
         cdc_old: DataFrame | None = None,
         cdc_empty: bool = False,
+        meta_out: dict | None = None,
     ) -> dict:
         """Shared copy-on-write tail for DELETE/UPDATE/MERGE: write
         ``out_df`` (the replacement rows for ``touched`` files, plus any
@@ -2730,8 +2731,9 @@ class IncrementalRunner:
                 "partitions": parts,
                 "stats": stats,
             }
-            if live.get("meta") is not None:
-                manifest["meta"] = live["meta"]
+            meta_eff = meta_out if meta_out is not None else live.get("meta")
+            if meta_eff is not None:
+                manifest["meta"] = meta_eff
             if carry_dv and live.get("dv"):
                 # opted in only by writers that passed a DV guard
                 # (insert-only merge with disjoint keys); absorb/DML
@@ -2749,6 +2751,48 @@ class IncrementalRunner:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return manifest
+
+    def replace_rels(
+        self,
+        spec: ModelSpec,
+        rels: list[str],
+        out_df: DataFrame,
+        *,
+        meta: dict | None = None,
+    ) -> dict:
+        """Atomically REPLACE the named partition rels with ``out_df``
+        (which may land under different partition values — e.g. an index
+        segment merge rewriting seg=1..3 into one seg=4): the named rels'
+        files delist, the new files ingest, every other rel rides forward
+        BY NAME, and ``meta`` (when given) swaps in the same commit — the
+        public face of the copy-on-write tail, for derived-data
+        maintenance (segment merges, re-clustering a slice). CONTRACT:
+        the rewrite must be CONTENT-PRESERVING modulo layout (same rows,
+        possibly different partition values/files) — on change_data
+        tables the commit carries an EMPTY change descriptor on that
+        basis. A pending deletion vector of EITHER mode refuses: a
+        positional vector names the replaced files (blind carry would
+        resurrect their dead rows in the new files), and a key vector's
+        writers are frozen anyway — absorb first."""
+        name = spec.name
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: replace_rels needs a committed target")
+        self._require_no_dv(name, live, "replace_rels")
+        root = self.target_path(name)
+        touched = set(
+            self.resolved_files(name, rels=list(rels), manifest=live)
+        )
+        emap = self._entry_lookup(name, root, live, touched)
+        return self._commit_file_rewrite(
+            spec,
+            live,
+            emap,
+            touched,
+            out_df,
+            cdc_empty=bool(spec.change_data),
+            meta_out=meta,
+        )
 
     def delete_where(
         self,

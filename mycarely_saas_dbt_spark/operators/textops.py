@@ -2039,13 +2039,18 @@ def bm25_seg_index_build(
     return runner.current_manifest(BM25_SEG_INDEX_NAME)
 
 
-def bm25_seg_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
+def bm25_seg_index_append(
+    spark: SparkSession, sf_dir: str, root: str, *, bound: int | None = None
+) -> dict:
     """Lucene add-segment: tokenize ONLY the docs past the committed
     integer watermark (metadata-resolved — max doc_id over the postings'
     manifest stats), commit them as the next ``seg=`` partition, and
     accumulate (S, N) in the meta. The incremental merge prunes to the
     new segment's partitions, which exist in no older manifest: zero
-    pre-existing files are read or rewritten (pinned by pytest)."""
+    pre-existing files are read or rewritten (pinned by pytest).
+    ``bound`` caps the ingest at ``doc_id < bound`` — one bounded batch
+    per call, the shape a staged backfill (or the tiered-merge tests)
+    use to build several segments from one corpus."""
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
     from mycarely_saas_dbt_spark.util import release_persists
 
@@ -2065,6 +2070,8 @@ def bm25_seg_index_append(spark: SparkSession, sf_dir: str, root: str) -> dict:
     # from the manifest stats (no file opened); tokenize ONLY past it
     wm = runner.watermark(BM25_SEG_INDEX_NAME, "doc_id")
     new = docs if wm is None else docs.filter(F.col("doc_id") > wm)
+    if bound is not None:
+        new = new.filter(F.col("doc_id") < bound)
     if new.limit(1).count() == 0:
         return cur  # nothing past the watermark: append is a no-op
     postings, S2, N2 = _bm25_postings(new)
@@ -2180,25 +2187,39 @@ def bm25_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_seg_query(spark, runner)
 
 
-def bm25_seg_index_optimize(spark: SparkSession, root: str) -> dict:
-    """Lucene ``forceMerge(1)`` for the segmented index (VERDICT r9 item
-    3): merge every ``seg=`` level into one fresh segment 0 and ABSORB
-    tombstoned docs — postings of keys deleted from the base since the
-    index's recorded ``base_version`` are dropped, (S, N) are recomputed
-    from the surviving postings, and the meta's base pointer advances to
-    the base's CURRENT version (the deletes are now physical, exactly
-    like compaction absorbing deletion vectors). After many appends +
-    deletes this bounds the query-time df recompute to LIVE postings
-    again. No-op (one manifest read, zero jobs) when the index is
-    already one segment with nothing pending.
+def bm25_seg_index_optimize(
+    spark: SparkSession, root: str, *, max_segments: int | None = None
+) -> dict:
+    """Lucene merge policy for the segmented index (VERDICT r9 item 3).
 
-    Scale shape: the rewrite reads the index — postings, not the corpus
-    — through one broadcast anti-join, recomputes per-doc-distinct
-    (S, N) with a map-combinable aggregate, and commits full-refresh
-    under the manifest protocol (the tiered-merge generalization would
-    rewrite only the small segments and keep deletes pending; absorbing
-    requires touching every segment a deleted doc lives in, so the
-    force-merge is the shape that can advance the base pointer)."""
+    Default (``max_segments=None``): ``forceMerge(1)`` — merge every
+    ``seg=`` level into one fresh segment 0 and ABSORB tombstoned docs:
+    postings of keys deleted from the base since the index's recorded
+    ``base_version`` are dropped, (S, N) are recomputed from the
+    surviving postings, and the meta's base pointer advances to the
+    base's CURRENT version (the deletes are now physical, exactly like
+    compaction absorbing deletion vectors). After many appends + deletes
+    this bounds the query-time df recompute to LIVE postings again.
+    No-op (one manifest read, zero jobs) when the index is already one
+    segment with nothing pending.
+
+    ``max_segments=K`` (TIERED merge, Lucene's background policy): when
+    more than K live segments exist and NO deletes are pending, merge
+    the SMALLEST len-K+1 segments (by on-disk bytes — a metadata
+    decision) into one new segment so exactly K remain; the largest
+    segments' files ride forward BYTE-IDENTICAL, (S, N) and the base
+    pointer are untouched (no absorb — per-doc stats are segment-local
+    and final, and query-time df never trusted the stored column, so a
+    pure re-layout changes no answer). With deletes pending the call
+    escalates to the force-merge: absorption must touch every segment a
+    deleted doc lives in, which is what can advance the base pointer.
+
+    Scale shape: the force-merge reads the index — postings, not the
+    corpus — through one broadcast anti-join and recomputes
+    per-doc-distinct (S, N) with a map-combinable aggregate; the tiered
+    merge reads ONLY the small segments it folds and commits through
+    ``replace_rels`` (copy-on-write tail: untouched rels ride forward by
+    name)."""
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
 
     runner = IncrementalRunner(spark, root)
@@ -2216,7 +2237,12 @@ def bm25_seg_index_optimize(spark: SparkSession, root: str) -> dict:
             "base": meta["base"],
             "base_version": runner.current_manifest(meta["base"])["version"],
         }
-    if int(meta["segs"]) <= 1 and deleted is None:
+    if max_segments is not None and deleted is None:
+        return _bm25_tiered_merge(runner, cur, meta, max_segments)
+    # live segment count from the manifest rels (meta["segs"] is the
+    # NEXT id — after a tiered merge it exceeds the live count)
+    live_segs = {rel.split("/", 1)[0] for rel in cur["partitions"] if rel}
+    if len(live_segs) <= 1 and deleted is None:
         return cur  # already optimal: zero jobs
     live = runner.read_target(BM25_SEG_INDEX_NAME).drop("df", "seg", "bucket")
     if deleted is not None:
@@ -2255,6 +2281,47 @@ def bm25_seg_index_optimize(spark: SparkSession, root: str) -> dict:
     )
     release_persists("bm25seg:optimize")
     return runner.current_manifest(BM25_SEG_INDEX_NAME)
+
+
+def _bm25_tiered_merge(runner, cur: dict, meta: dict, max_segments: int) -> dict:
+    """Fold the smallest segments into one new ``seg=`` level so at most
+    ``max_segments`` remain; every surviving segment's files are
+    byte-identical (pinned by pytest). Selection reads only the manifest
+    plus one stat() per candidate file — no data opened to decide."""
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    parts = cur["partitions"]
+    seg_rels: dict[str, list[str]] = {}
+    for rel in parts:
+        seg_rels.setdefault(rel.split("/", 1)[0], []).append(rel)
+    if len(seg_rels) <= max_segments:
+        return cur  # within policy: zero jobs
+    root_path = runner.target_path(BM25_SEG_INDEX_NAME)
+    sizes = {
+        seg: sum(
+            os.path.getsize(os.path.join(root_path, rel, f))
+            for rel in rels
+            for f in parts[rel]
+        )
+        for seg, rels in seg_rels.items()
+    }
+    merge_segs = sorted(seg_rels, key=lambda s: (sizes[s], s))[
+        : len(seg_rels) - max_segments + 1
+    ]
+    merge_rels = sorted(r for s in merge_segs for r in seg_rels[s])
+    new_id = int(meta["segs"])
+    out_df = runner.read_target(
+        BM25_SEG_INDEX_NAME, rels=merge_rels
+    ).withColumn("seg", F.lit(new_id))
+    spec = ModelSpec(
+        BM25_SEG_INDEX_NAME, "doc_id", "doc_id", None,
+        partition_by=["seg", "bucket"],
+    )
+    new_meta = dict(cur.get("meta") or {})
+    new_meta["bm25"] = {**meta, "segs": new_id + 1}
+    return runner.replace_rels(spec, merge_rels, out_df, meta=new_meta)
 
 
 # Post-optimize oracle: the merge ABSORBED the deletes, so corpus

@@ -203,3 +203,71 @@ def test_optimize_merges_segments_and_absorbs_deletes(spark, tmp_path):
     assert not (live_docs & set(victims))
     # replay: already one segment, nothing pending -> zero-job no-op
     assert bm25_seg_index_optimize(spark, root)["version"] == m2["version"]
+
+
+def test_tiered_merge_folds_smallest_segments_untouched_largest(
+    spark, tmp_path
+):
+    """Lucene's tiered policy (max_segments=K): three bounded appends
+    make four segments; the tiered optimize folds the smallest three
+    into ONE new level so two remain, the LARGEST segment's files ride
+    forward byte-identical, (S, N) and the meta are layout-only changed
+    (segs advances as a next-id counter), and the query still matches
+    the pre-merge answer exactly. A follow-up call within policy is a
+    zero-job no-op; a later forceMerge still collapses to one segment."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.operators.textops import (
+        BM25_SEG_INDEX_NAME,
+        _bm25_seg_query,
+        bm25_seg_index_append,
+        bm25_seg_index_build,
+        bm25_seg_index_optimize,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    hi = spark.table("documents").agg(F.max("doc_id")).first()[0] + 1
+    root = str(tmp_path / "idx")
+    runner = IncrementalRunner(spark, root)
+    # seg0 = 70% (the big one), then three small appends of ~10% each
+    bm25_seg_index_build(spark, SF_DIR, root, bound=int(hi * 0.7))
+    for frac in (0.8, 0.9, 1.0):
+        bm25_seg_index_append(spark, SF_DIR, root, bound=int(hi * frac) + 1)
+    m0 = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    meta0 = m0["meta"]["bm25"]
+    assert meta0["segs"] == 4
+    seg0_files = {
+        rel: list(fl)
+        for rel, fl in m0["partitions"].items()
+        if rel.startswith("seg=0/")
+    }
+    before = sorted(tuple(r) for r in _bm25_seg_query(spark, runner).collect())
+
+    m1 = bm25_seg_index_optimize(spark, root, max_segments=2)
+    live = {rel.split("/", 1)[0] for rel in m1["partitions"]}
+    assert live == {"seg=0", "seg=4"}, live
+    for rel, fl in seg0_files.items():
+        assert list(m1["partitions"][rel]) == fl, f"{rel} was rewritten"
+    meta1 = m1["meta"]["bm25"]
+    assert meta1["segs"] == 5  # next-id counter advanced
+    assert (meta1["S"], meta1["N"]) == (meta0["S"], meta0["N"])
+    n_docs = (
+        runner.read_target(BM25_SEG_INDEX_NAME)
+        .select("doc_id").distinct().count()
+    )
+    assert n_docs == spark.table("documents").count()
+    after = sorted(tuple(r) for r in _bm25_seg_query(spark, runner).collect())
+    assert after == before
+    # within policy: no-op
+    assert (
+        bm25_seg_index_optimize(spark, root, max_segments=2)["version"]
+        == m1["version"]
+    )
+    # forceMerge still collapses the remaining two levels
+    m2 = bm25_seg_index_optimize(spark, root)
+    assert {r.split("/", 1)[0] for r in m2["partitions"]} == {"seg=0"}
+    assert sorted(
+        tuple(r) for r in _bm25_seg_query(spark, runner).collect()
+    ) == before
