@@ -649,3 +649,63 @@ def test_manifest_cdf_admission_control_inherited(spark, tmp_path, monkeypatch):
     assert r.latestOffset() == {"version": 2}
     r.commit({"version": 2})
     assert r.latestOffset() == {"version": 3}
+
+
+def test_change_files_capture_tombstone_merge_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """A change_data merge whose batch carries tombstone_col hard-deletes
+    must emit those rows as delete events in the write-time change files
+    (plus the upserts as updates/inserts) — and the stream must match the
+    batch feed off the same files."""
+    import datetime as dt
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+        _CdfChangeBucket,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+
+    def spec(b):
+        return ModelSpec(
+            "t", "k", "day", b, partition_by=["day"],
+            tombstone_col="__del", change_data=True, cdc_buckets=3,
+        )
+
+    runner.run(
+        spec(lambda sp, sfd, wm: _mk_kdv(
+            sp, [(i, d1, i * 10) for i in range(8)]
+        )),
+        "x",
+    )  # v1 bootstrap
+    batch = spark.createDataFrame(
+        [(1, d1, 111, False), (2, d1, 20, False), (5, d1, 0, True),
+         (9, d1, 90, False)],
+        "k bigint, day date, v bigint, __del boolean",
+    )
+    runner.merge_txn(spec(None), batch, app_id="a", txn_version=1)  # v2
+    ch = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in runner.table_changes("t", "k", 1, 2, preimages=True).collect()
+    }
+    assert ch[(5, "delete")] == 50          # tombstone -> delete event
+    assert ch[(1, "update_postimage")] == 111
+    assert ch[(1, "update_preimage")] == 10
+    assert ch[(9, "insert")] == 90
+    assert (2, "update_postimage") not in ch  # rewritten identical: no event
+    r = ManifestCDFStreamReader({"root": root, "model": "t", "key": "k"})
+    legs = r.partitions({"version": 1}, {"version": 2})
+    assert all(isinstance(p, _CdfChangeBucket) for p in legs)
+    rows = sorted(
+        tuple(b.to_pylist()[i].values())
+        for p in legs for b in r.read(p) for i in range(b.num_rows)
+    )
+    want = sorted(
+        tuple(row) for row in runner.table_changes("t", "k", 1, 2).collect()
+    )
+    assert rows == want
