@@ -709,3 +709,57 @@ def test_change_files_capture_tombstone_merge_deletes(
         tuple(row) for row in runner.table_changes("t", "k", 1, 2).collect()
     )
     assert rows == want
+
+
+def test_batch_table_changes_fast_path_never_reads_base(
+    spark, tmp_path, monkeypatch
+):
+    """With change files covering the range, batch table_changes must be
+    a pure `_change_data/` read: read_target (the base-snapshot reader)
+    is poisoned and must never be called; dropping one version's
+    descriptor falls back (and then needs the snapshots)."""
+    import datetime as dt
+
+    import pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+
+    def spec(b):
+        return ModelSpec(
+            "t", "k", "day", b, partition_by=["day"],
+            change_data=True, cdc_buckets=2,
+        )
+
+    runner.run(
+        spec(lambda sp, sfd, wm: _mk_kdv(sp, [(i, d1, i) for i in range(6)])),
+        "x",
+    )                                                        # v1
+    runner.update_where(spec(None), "k % 2 = 0", {"v": "v + 100"})  # v2
+    runner.delete_where(spec(None), "k = 1")                        # v3
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("fast path opened a base snapshot")
+
+    monkeypatch.setattr(runner, "read_target", boom)
+    rows = sorted(
+        tuple(r) for r in runner.table_changes("t", "k", 1, 3).collect()
+    )
+    assert (1, d1, 1, "delete") in rows
+    assert (0, d1, 100, "update_postimage") in rows
+
+    # strip v2's descriptor: the range must fall back to the snapshot
+    # diff, which needs read_target again (the poison proves WHICH path)
+    import json
+    import os
+
+    p = os.path.join(root, "t", "_manifest", "v000002.json")
+    j = json.load(open(p))
+    j.pop("cdc")
+    json.dump(j, open(p, "w"))
+    with pytest.raises(AssertionError, match="base snapshot"):
+        runner.table_changes("t", "k", 1, 3).collect()
