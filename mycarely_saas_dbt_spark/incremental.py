@@ -193,15 +193,27 @@ def _rels_differing(a, b) -> set:
 
 
 def _row_fingerprint(vcols: list[str], side: str | None = None):
-    """md5 over the non-key columns, NULL-sentineled — the row-equality
-    probe shared by the snapshot diff and the change-file netting (both
-    must agree on "unchanged", or the two change-feed paths would emit
-    different row sets for the same history)."""
+    """md5 over PER-COLUMN md5 tokens of the non-key columns — the
+    row-equality probe shared by the snapshot diff and the change-file
+    netting (both must agree on "unchanged", or the two change-feed
+    paths would emit different row sets for the same history).
+
+    Each column hashes independently before the outer concat (NULL maps
+    to a 1-char token no 32-hex md5 output can equal), so no byte
+    sequence INSIDE a value can mimic the separator or the NULL
+    sentinel: the previous single-concat form could fingerprint two
+    genuinely different rows equal when a value contained the separator
+    byte, and a collision here nets real changes away (ADVICE r10).
+    Computed at READ time on both paths — nothing persisted, so the
+    definition can evolve without versioning change files."""
     src = (lambda c: F.col(f"{side}.{c}")) if side else F.col
     return F.md5(
         F.concat_ws(
-            "\x01",
-            *[F.coalesce(src(c).cast("string"), F.lit("\x00")) for c in vcols],
+            "|",
+            *[
+                F.coalesce(F.md5(src(c).cast("string")), F.lit("N"))
+                for c in vcols
+            ],
         )
     )
 

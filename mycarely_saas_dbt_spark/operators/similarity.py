@@ -869,6 +869,7 @@ def ann_index_build(
     bound: int | None = None,
     *,
     base: str | None = None,
+    retrain_frac: float = ANN_RETRAIN_FRAC,
 ) -> dict:
     """Build-or-reuse the persistent IVFADC index; returns the committed
     manifest. When CURRENT already carries the "ann" meta for this exact
@@ -921,18 +922,27 @@ def ann_index_build(
         e = _with_norm(spark.table("embeddings"))
     if bound is not None:
         e = e.filter(F.col("vec_id") < bound)
-    return _ann_train_commit(spark, runner, e, sf_dir, fp, bound, extra)
+    return _ann_train_commit(
+        spark, runner, e, sf_dir, fp, bound, extra, retrain_frac=retrain_frac
+    )
 
 
 def _ann_train_commit(
     spark: SparkSession, runner, e: DataFrame, sf_dir: str,
     fp: list, bound: int | None, extra: dict,
+    *, retrain_frac: float = ANN_RETRAIN_FRAC, extra_meta: dict | None = None,
 ) -> dict:
     """Train codebooks on ``e`` and commit the full encode — shared by the
-    bootstrap build and the append-drift RETRAIN. The meta records the
-    drift-policy state: ``n`` (vectors indexed), ``n_trained`` (vectors
-    indexed at last training — here == n), and ``retrain_frac`` (the
-    appended-fraction trigger ``ann_index_append`` enforces)."""
+    bootstrap build, the append-drift RETRAIN and the streaming
+    maintenance escalation. The meta records the drift-policy state:
+    ``n`` (vectors indexed), ``n_trained`` (vectors indexed at last
+    training — here == n), and ``retrain_frac`` (the appended-fraction
+    trigger the maintainers enforce). ``retrain_frac`` is threaded from
+    the caller so a custom committed threshold survives a retrain commit
+    instead of silently resetting to the default (ADVICE r10).
+    ``extra_meta``: top-level manifest-meta entries to carry in the SAME
+    commit (the streaming maintainer's txn ledger — idempotency and the
+    retrained state must be one atomic snapshot)."""
     from ..incremental import IncrementalRunner, ModelSpec
 
     _, U = _pq_collect_unit(e, PQ_TRAIN_SAMPLE)
@@ -956,9 +966,10 @@ def _ann_train_commit(
                 "codebooks": B.tolist(),
                 "n": int(n),
                 "n_trained": int(n),
-                "retrain_frac": ANN_RETRAIN_FRAC,
+                "retrain_frac": float(retrain_frac),
                 **extra,
-            }
+            },
+            **(extra_meta or {}),
         },
     )
     runner.run(spec, sf_dir, full_refresh=True)
@@ -1028,7 +1039,10 @@ def ann_index_append(
                 # retrain absorbs: the rebuild encodes only LIVE base rows
                 "base_version": runner.current_manifest(ann["base"])["version"],
             }
-        return _ann_train_commit(spark, runner, e, sf_dir, fp, None, extra)
+        return _ann_train_commit(
+            spark, runner, e, sf_dir, fp, None, extra,
+            retrain_frac=threshold,
+        )
 
     C = np.array(ann["coarse"], dtype=np.float64)
     B = np.array(ann["codebooks"], dtype=np.float64)

@@ -2233,6 +2233,15 @@ def bm25_seg_index_optimize(
         deleted = runner.deleted_keys_since(
             meta["base"], "doc_id", meta["base_version"]
         )
+        if deleted is not None and deleted.limit(1).count() == 0:
+            # base commits happened but none DELETED anything (pure
+            # appends): nothing is pending absorption. Without this the
+            # tiered path below would silently escalate to the full
+            # forceMerge — rewriting the whole index — on any base
+            # commit, losing its documented "reads only the small
+            # segments it folds" cost shape (ADVICE r10). The probe is
+            # one change-proportional limit(1) job.
+            deleted = None
         extra = {
             "base": meta["base"],
             "base_version": runner.current_manifest(meta["base"])["version"],

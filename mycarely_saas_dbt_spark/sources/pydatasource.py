@@ -432,7 +432,17 @@ def _dv_key_set(paths) -> set:
 
 
 def _strip_scheme(p: str) -> str:
-    return p[5:] if p.startswith("file:") else p
+    """Normalize a possibly-URI-style path (``file:/x``, ``file:///x``,
+    percent-encoded) to the plain filesystem path used as the key in
+    ``load()``/``_dv_pos_map`` — the same urlparse+unquote rule as
+    ``IncrementalRunner._fs_path``. A naive prefix strip handled only
+    the ``file:/x`` form; any other Hadoop path spelling would silently
+    stop positional tombstones from applying (ADVICE r10)."""
+    if "://" in p or p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
 
 
 def _dv_pos_map(paths) -> dict:

@@ -377,3 +377,13 @@ def test_append_drift_policy_retrains_and_restores_recall(
     # the policy's value, measured: retraining beats frozen codebooks at
     # this append fraction on this corpus
     assert retrained > frozen, (retrained, frozen)
+
+    # custom committed threshold SURVIVES the retrain commit (ADVICE
+    # r10): the retrain arm used to hardcode the default back into the
+    # meta, silently resetting a caller-tuned policy
+    root3 = tempfile.mkdtemp(prefix="ann_thresh_")
+    S.ann_index_build(spark, SF_DIR, root3, bound=split, retrain_frac=0.3)
+    m3 = S.ann_index_append(spark, SF_DIR, root3)
+    ann3 = m3["meta"]["ann"]
+    assert ann3["n_trained"] == ann3["n"], "0.7 appended >= 0.3 must fire"
+    assert ann3["retrain_frac"] == 0.3, ann3["retrain_frac"]

@@ -271,3 +271,59 @@ def test_tiered_merge_folds_smallest_segments_untouched_largest(
     assert sorted(
         tuple(r) for r in _bm25_seg_query(spark, runner).collect()
     ) == before
+
+
+def test_tiered_merge_not_escalated_by_pure_base_appends(spark, tmp_path):
+    """ADVICE r10: deleted_keys_since returns a non-None (empty) frame
+    for any base commit — including pure appends. The tiered path must
+    treat an EMPTY delete set as no-deletes, not escalate to the full
+    forceMerge (which rewrites the whole index and loses the documented
+    'reads only the small segments it folds' cost shape). Pinned by the
+    largest segment's files riding forward byte-identical."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.operators.textops import (
+        BM25_SEG_INDEX_NAME,
+        bm25_seg_index_append,
+        bm25_seg_index_build,
+        bm25_seg_index_optimize,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    hi = spark.table("documents").agg(F.max("doc_id")).first()[0] + 1
+    root = str(tmp_path / "idx")
+    runner = IncrementalRunner(spark, root)
+    base = ModelSpec(
+        "seg_docs_base2",
+        "doc_id",
+        "doc_id",
+        lambda sp, sfd, wm: (
+            sp.table("documents").select("doc_id", "text").filter(
+                F.col("doc_id") < int(hi * 0.9)
+                if wm is None
+                else F.col("doc_id") > wm
+            )
+        ),
+    )
+    runner.run(base, SF_DIR)
+    bm25_seg_index_build(
+        spark, SF_DIR, root, bound=int(hi * 0.7), base="seg_docs_base2"
+    )
+    bm25_seg_index_append(spark, SF_DIR, root, bound=int(hi * 0.8))
+    bm25_seg_index_append(spark, SF_DIR, root)  # -> 3 segments
+    m0 = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    seg0_files = {
+        rel: list(fl)
+        for rel, fl in m0["partitions"].items()
+        if rel.startswith("seg=0/")
+    }
+    # PURE APPEND to the base since the index's base_version: a commit
+    # happened, but nothing was deleted
+    runner.run(base, SF_DIR)
+    m1 = bm25_seg_index_optimize(spark, root, max_segments=2)
+    live = {rel.split("/", 1)[0] for rel in m1["partitions"]}
+    assert live == {"seg=0", "seg=3"}, live  # tiered, NOT forceMerge
+    for rel, fl in seg0_files.items():
+        assert list(m1["partitions"][rel]) == fl, f"{rel} was rewritten"

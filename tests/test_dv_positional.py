@@ -304,3 +304,55 @@ def test_rebase_carries_cdc_and_refuses_concurrent_dv_change(
     monkeypatch.setattr(rd, "_commit_manifest", inject2)
     with pytest.raises(RuntimeError, match="deletion-vector"):
         rd.run(dataclasses.replace(boot2, build=rows(104, 108, "d2")), SF_DIR)
+
+
+def test_streaming_fallback_drops_dead_ordinals_in_diffed_rel(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: the untested leg — a DIFFED rel whose OLD-side files
+    actually CARRY tombstoned ordinals. _boot's victims (k%10=3, all
+    odd) live in d2; a later non-change-data merge into d2 rewrites that
+    partition (new files absorb, old files stay dirty), dv unchanged
+    across the batch. The rel diff must read the OLD side through the
+    (file, ordinal) map — a reader that skipped it (or whose sidecar
+    path normalization failed to match load()'s plain os paths) would
+    resurrect the dead rows as spurious deletes."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    runner, spec = _boot(spark, str(tmp_path / "t"), "p9")  # v1 boot, v2 DV
+    runner.merge_txn(
+        spec, _mk(spark, [(101, "d2", 1)]), app_id="a", txn_version=1
+    )  # v3: merge into d2 — the partition holding the dead ordinals
+    r = ManifestCDFStreamReader(
+        {"root": str(tmp_path / "t"), "model": "p9", "key": "k"}
+    )
+    rows = sorted(
+        tuple(b.to_pylist()[i].values())
+        for p in r.partitions({"version": 2}, {"version": 3})
+        for b in r.read(p)
+        for i in range(b.num_rows)
+    )
+    assert rows == [(101, "d2", 1, "insert")], rows
+
+
+def test_strip_scheme_matches_fs_path_on_all_uri_forms():
+    """The sidecar 'file' column is Spark's _metadata.file_path verbatim;
+    the streaming reader's normalization must agree with the batch
+    reader's (IncrementalRunner._fs_path) on every Hadoop path spelling
+    — file:/x, file:///x, percent-encoded — or positional tombstones
+    silently stop applying on one path (ADVICE r10)."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.sources.pydatasource import _strip_scheme
+
+    for u in [
+        "/plain/path/part-0.parquet",
+        "file:/root/t/day=d2/part-0.parquet",
+        "file:///root/t/day=d2/part-0.parquet",
+        "file:/root/t/day=d%202/part-0.parquet",
+        "file:///root/t/day=d%202/part-0.parquet",
+    ]:
+        assert _strip_scheme(u) == IncrementalRunner._fs_path(u), u
