@@ -558,9 +558,18 @@ class ModelSpec:
     # bucket fan-out for the change files: per-version change rows are
     # written under `__cdc_bucket=pmod(xxhash64(key), cdc_buckets)` dirs.
     # Must stay CONSTANT for the table's lifetime (the reader nets per
-    # bucket across versions); size it so one bucket's changes over a
-    # realistic catch-up window fit one task (~hundreds of MB at 100 TB).
-    cdc_buckets: int = 8
+    # bucket across versions). WRITE-FINE, GROUP-COARSE (VERDICT r10
+    # item 1): the default is deliberately fine — buckets are the
+    # reader's PACKING UNIT, not its task count. The streaming planner
+    # packs whole buckets into netting tasks by on-disk byte size (file
+    # sizes are metadata), so task memory is capped regardless of churn
+    # or catch-up depth, while key locality holds because only whole
+    # buckets group. A coarse count could never be split after the fact
+    # (netting needs every version to agree); a fine count packs down to
+    # few tasks for free on quiet tables. Write cost stays one file per
+    # NON-EMPTY bucket per commit (the writer hash-repartitions on the
+    # bucket column), so small commits write few files.
+    cdc_buckets: int = 256
 
 
 _GEN_CAST_DATE = re.compile(
@@ -1154,6 +1163,15 @@ class IncrementalRunner:
                 "__cdc_bucket",
                 F.pmod(F.xxhash64(F.col(key)), F.lit(int(buckets))),
             )
+            # hash-repartition on the bucket column first: a bucket's
+            # rows all land in ONE task, so partitionBy writes exactly
+            # one file per NON-EMPTY bucket — instead of upstream-tasks
+            # × buckets tiny files (at 1000 executors and a fine bucket
+            # count the unrepartitioned write is a small-files
+            # explosion). No explicit partition count: AQE coalesces the
+            # change-proportional shuffle down to few tasks on small
+            # commits without changing the one-file-per-bucket shape.
+            .repartition(F.col("__cdc_bucket"))
             .write.mode("overwrite")
             .partitionBy("__cdc_bucket")
             .parquet(tmp)

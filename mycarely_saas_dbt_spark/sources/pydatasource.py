@@ -410,14 +410,17 @@ class _CdfSnapshotInsert(InputPartition):
 
 
 class _CdfChangeBucket(InputPartition):
-    """Write-time change-file leg: every `_change_data/` file of ONE key
-    bucket across the batch's versions. Bucketing at write time puts all
-    of a key's events in the same bucket, so per-batch netting is local
-    to the task; task memory is one bucket's CHANGE rows — never a
-    snapshot."""
+    """Write-time change-file leg: every `_change_data/` file of one or
+    more WHOLE key buckets across the batch's versions. Bucketing at
+    write time puts all of a key's events in the same bucket, so
+    per-batch netting is local to the task; task memory is the packed
+    buckets' CHANGE rows — never a snapshot. The planner packs whole
+    buckets into one leg by on-disk byte size (VERDICT r10 item 1:
+    write-fine, group-coarse), so the cap holds regardless of churn or
+    catch-up depth while each key's events stay within one task."""
 
-    def __init__(self, bucket, files):
-        self.bucket = bucket
+    def __init__(self, buckets, files):
+        self.buckets = tuple(buckets)
         self.files = files  # [(version, abs path), ...] version-ordered
 
 
@@ -459,11 +462,19 @@ def _dv_pos_map(paths) -> dict:
     return out
 
 
+CDF_TASK_TARGET_BYTES = 32 * 1024 * 1024
+
+
 class ManifestCDFStreamReader(ManifestStreamReader):
     def __init__(self, options):
         super().__init__(options)
         self.key = options["key"]
         self.start_version = int(options.get("startingversion", 0))
+        # cap on one netting task's change-file bytes (the packer groups
+        # whole buckets up to this); option `cdfTaskTargetBytes`
+        self.task_target_bytes = int(
+            options.get("cdftasktargetbytes", CDF_TASK_TARGET_BYTES)
+        )
         # Delta's four-type feed: emit update_preimage rows (the OLD
         # image) alongside update_postimage — what exact incremental
         # view maintenance consumes (subtract old, add new)
@@ -605,9 +616,35 @@ class ManifestCDFStreamReader(ManifestStreamReader):
                 groups.setdefault(bucket, []).append(
                     (v, os.path.join(base, c["dir"], f))
                 )
-        return [
-            _CdfChangeBucket(b, sorted(fl)) for b, fl in sorted(groups.items())
-        ]
+        # WRITE-FINE, GROUP-COARSE (VERDICT r10 item 1): pack whole
+        # buckets into netting tasks by on-disk byte size — a pure
+        # metadata decision (one stat() per change file; change files
+        # are change-proportional, so this is cheap even on a deep
+        # catch-up). One task's pandas netting is thereby capped at
+        # ~task_target_bytes of parquet regardless of churn or version
+        # depth; a bucket LARGER than the target still rides alone (the
+        # floor is one whole bucket — key locality is the invariant).
+        target = self.task_target_bytes
+        legs: list = []
+        cur_buckets: list = []
+        cur_files: list = []
+        cur_bytes = 0
+        for b, fl in sorted(groups.items()):
+            sz = 0
+            for _, p in fl:
+                try:
+                    sz += os.path.getsize(p)
+                except OSError:
+                    sz += target  # unstat-able: isolate conservatively
+            if cur_files and cur_bytes + sz > target:
+                legs.append(_CdfChangeBucket(cur_buckets, sorted(cur_files)))
+                cur_buckets, cur_files, cur_bytes = [], [], 0
+            cur_buckets.append(b)
+            cur_files.extend(fl)
+            cur_bytes += sz
+        if cur_files:
+            legs.append(_CdfChangeBucket(cur_buckets, sorted(cur_files)))
+        return legs
 
     def _pa_type(self, tname: str):
         import pyarrow as pa
@@ -712,12 +749,13 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             yield self._emit(side(dele, "__o"), "delete", rel)
 
     def _read_change_bucket(self, part):
-        """Net one key bucket's committed change rows across the batch's
-        versions: per key, the FIRST version's pre-state vs the LAST
-        version's post-state — identical to the snapshot diff, computed
-        from change-proportional bytes. Change rows carry every table
-        column materialized (partition values included), so emission
-        needs no rel."""
+        """Net the leg's (whole) key buckets' committed change rows
+        across the batch's versions: per key, the FIRST version's
+        pre-state vs the LAST version's post-state — identical to the
+        snapshot diff, computed from change-proportional bytes (capped
+        at ~task_target_bytes by the planner's bucket packing). Change
+        rows carry every table column materialized (partition values
+        included), so emission needs no rel."""
         import pandas as pd
         import pyarrow.parquet as pq
 

@@ -506,9 +506,9 @@ def test_manifest_cdf_reader_matches_batch_table_changes(
             ), [type(p).__name__ for p in legs]
             for p in legs:
                 assert all("/_change_data/" in path for _, path in p.files)
-            # one key's events net inside ONE task: each bucket leg is
-            # disjoint from the others by construction
-            buckets = [p.bucket for p in legs]
+            # one key's events net inside ONE task: the packed legs'
+            # bucket sets are disjoint by construction
+            buckets = [b for p in legs for b in p.buckets]
             assert len(buckets) == len(set(buckets))
 
 
@@ -763,3 +763,88 @@ def test_batch_table_changes_fast_path_never_reads_base(
     json.dump(j, open(p, "w"))
     with pytest.raises(AssertionError, match="base snapshot"):
         runner.table_changes("t", "k", 1, 3).collect()
+
+
+def test_change_file_legs_pack_buckets_by_bytes(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 1 — write-fine, group-coarse: the CDF planner
+    packs WHOLE key buckets into netting tasks by on-disk byte size, so
+    one task's pandas netting is capped regardless of churn or catch-up
+    depth. Pinned: (a) under a tiny byte target every leg's file bytes
+    stay <= max(target, its largest single bucket); (b) no bucket
+    straddles legs; (c) the default target packs the same fixture into
+    FEWER legs than buckets; (d) both plans net to exactly the batch
+    table_changes row set."""
+    import datetime as dt
+    import os
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+        _CdfChangeBucket,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+
+    def spec(b):
+        return ModelSpec(
+            "t", "k", "day", b, partition_by=["day"],
+            change_data=True, cdc_buckets=16,
+        )
+
+    runner.run(
+        spec(lambda sp, sfd, wm: _mk_kdv(
+            sp, [(i, d1, i) for i in range(400)]
+        )),
+        "x",
+    )  # v1 bootstrap
+    # high churn over a deep version range: three mutating commits
+    runner.update_where(spec(None), "k % 2 = 0", {"v": "v + 1000"})  # v2
+    runner.update_where(spec(None), "k % 3 = 0", {"v": "v + 7"})     # v3
+    runner.delete_where(spec(None), "k % 5 = 1")                     # v4
+
+    want = sorted(
+        tuple(row) for row in runner.table_changes("t", "k", 1, 4).collect()
+    )
+
+    # (a)+(b)+(d): tiny target -> many capped legs
+    tight = ManifestCDFStreamReader({
+        "root": root, "model": "t", "key": "k",
+        "cdftasktargetbytes": "4000",
+    })
+    legs = tight.partitions({"version": 1}, {"version": 4})
+    assert all(isinstance(p, _CdfChangeBucket) for p in legs)
+    assert len(legs) > 1
+    seen_buckets: list = []
+    for p in legs:
+        seen_buckets.extend(p.buckets)
+        leg_bytes = sum(os.path.getsize(f) for _, f in p.files)
+        per_bucket: dict = {}
+        for _, f in p.files:
+            b = f.split("/_change_data/", 1)[1].split("/")[1]
+            per_bucket[b] = per_bucket.get(b, 0) + os.path.getsize(f)
+        assert leg_bytes <= max(4000, max(per_bucket.values())), (
+            p.buckets, leg_bytes, per_bucket,
+        )
+    assert len(seen_buckets) == len(set(seen_buckets))  # no straddling
+    got = sorted(
+        tuple(b.to_pylist()[i].values())
+        for p in legs
+        for b in tight.read(p)
+        for i in range(b.num_rows)
+    )
+    assert got == want
+
+    # (c)+(d): default target packs all 16 buckets into fewer legs
+    loose = ManifestCDFStreamReader({"root": root, "model": "t", "key": "k"})
+    legs2 = loose.partitions({"version": 1}, {"version": 4})
+    assert len(legs2) < len(set(seen_buckets))
+    got2 = sorted(
+        tuple(b.to_pylist()[i].values())
+        for p in legs2
+        for b in loose.read(p)
+        for i in range(b.num_rows)
+    )
+    assert got2 == want
