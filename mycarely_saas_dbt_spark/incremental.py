@@ -1440,6 +1440,7 @@ class IncrementalRunner:
         *,
         app_id: str,
         txn_version: int,
+        meta_update: dict | None = None,
     ) -> dict:
         """Idempotent streaming-sink write (Delta's
         ``option("txnAppId", ...).option("txnVersion", ...)``): merge the
@@ -1451,7 +1452,13 @@ class IncrementalRunner:
         The ledger rides in the manifest ``meta`` slot: the data and the
         transaction watermark are one atomic snapshot — exactly the
         property that upgrades at-least-once redelivery to exactly-once
-        table state."""
+        table state.
+
+        ``meta_update``: top-level manifest-meta entries to merge into
+        the SAME commit (a streaming index maintainer's policy state —
+        e.g. the ANN drift counters — must move atomically with the
+        batch it accounts for, or a crash between two commits would
+        double- or under-count on replay)."""
         import dataclasses
 
         name = spec.name
@@ -1466,6 +1473,7 @@ class IncrementalRunner:
             }
         live = self.current_manifest(name)
         meta = dict((live or {}).get("meta") or {})
+        meta.update(meta_update or {})
         txn = dict(meta.get("txn") or {})
         txn[app_id] = int(txn_version)
         meta["txn"] = txn

@@ -650,6 +650,11 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         import pyarrow as pa
 
         t = tname.lower()
+        if t.startswith("array<") and t.endswith(">"):
+            # embedding-style columns (array<float> etc.) are first-class
+            # change-feed citizens — the ANN maintenance consumer needs
+            # the row images typed, not stringified
+            return pa.list_(self._pa_type(t[6:-1]))
         if t in ("bigint", "long"):
             return pa.int64()
         if t in ("int", "integer"):
@@ -725,9 +730,20 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         dele = j[j["_merge"] == "left_only"]
         both = j[j["_merge"] == "both"]
         if len(both) and vcols:
+            import numpy as np
+
+            def cmpable(s):
+                # array-typed cells (embeddings) compare as tuples —
+                # elementwise ndarray == would poison the boolean reduce
+                return s.map(
+                    lambda v: tuple(v)
+                    if isinstance(v, (list, np.ndarray))
+                    else v
+                )
+
             same = None
             for c in vcols:
-                a, b = both[f"{c}__o"], both[f"{c}__n"]
+                a, b = cmpable(both[f"{c}__o"]), cmpable(both[f"{c}__n"])
                 eq = (a == b) | (a.isna() & b.isna())
                 same = eq if same is None else (same & eq)
             upd = both[~same]

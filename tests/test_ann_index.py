@@ -387,3 +387,96 @@ def test_append_drift_policy_retrains_and_restores_recall(
     ann3 = m3["meta"]["ann"]
     assert ann3["n_trained"] == ann3["n"], "0.7 appended >= 0.3 must fire"
     assert ann3["retrain_frac"] == 0.3, ann3["retrain_frac"]
+
+
+def test_maintenance_moves_cells_and_never_reads_base_on_plain_arm(
+    spark, tmp_path, monkeypatch
+):
+    """ann_index_apply_changes invariants the entry can't see directly:
+
+    * an UPDATE whose re-encode lands in a DIFFERENT cid leaves exactly
+      one code row per live vid (tombstone at the old cell + insert at
+      the new one — the partition-pruned merge's same-key-same-partition
+      rule held by construction);
+    * the plain (non-retrain) arm is change-proportional: it must never
+      read the BASE table (only the batch's row images);
+    * a redelivered batch is a ledger no-op."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.operators import similarity as S
+
+    root = str(tmp_path / "r")
+    runner = IncrementalRunner(spark, root)
+
+    def build(sp, sfd, wm):
+        e = sp.table("embeddings").select("vec_id", "embedding")
+        return e if wm is None else e.filter(F.col("vec_id") > wm)
+
+    base_spec = ModelSpec(
+        "ann_m_unit_base", "vec_id", "vec_id", build, change_data=True
+    )
+    e = __import__(
+        "mycarely_saas_dbt_spark.sources.registry",
+        fromlist=["register_sources"],
+    )
+    e.register_sources(spark, SF_DIR)
+    runner.run(base_spec, SF_DIR)
+    S.ann_index_build(spark, SF_DIR, root, base="ann_m_unit_base")
+    v_base = runner.current_manifest("ann_m_unit_base")["version"]
+
+    # mutate: reversing the embedding moves most vectors' coarse cell
+    runner.update_where(
+        base_spec, "vec_id % 7 = 3", {"embedding": "reverse(embedding)"}
+    )
+    batch = runner.table_changes(
+        "ann_m_unit_base", "vec_id", v_base, preimages=True
+    )
+
+    # the plain arm must not read the base: poison read_target for it
+    orig_read = runner.read_target
+
+    def guarded(name, *a, **kw):
+        if name == "ann_m_unit_base":
+            raise AssertionError("plain maintenance arm read the base")
+        return orig_read(name, *a, **kw)
+
+    monkeypatch.setattr(runner, "read_target", guarded)
+    S.ann_index_apply_changes(
+        spark, runner, batch, app_id="m", txn_version=0, sf_dir=SF_DIR
+    )
+    monkeypatch.setattr(runner, "read_target", orig_read)
+
+    codes = runner.read_target(S.ANN_INDEX_NAME)
+    n_base = runner.read_target("ann_m_unit_base").count()
+    assert codes.count() == n_base  # one row per live vid, no stale dup
+    assert codes.select("vid").distinct().count() == n_base
+
+    # moved victims sit in the cell their NEW embedding encodes to
+    ann = runner.current_manifest(S.ANN_INDEX_NAME)["meta"]["ann"]
+    C = np.array(ann["coarse"], dtype=np.float64)
+    victims = runner.read_target("ann_m_unit_base").filter(
+        "vec_id % 7 = 3"
+    ).collect()
+    got_cid = {
+        r["vid"]: r["cid"]
+        for r in codes.filter("vid % 7 = 3").collect()
+    }
+    moved = 0
+    for r in victims:
+        x = np.array(r["embedding"], dtype=np.float64)
+        u = x / np.linalg.norm(x)
+        want = int(np.argmax(u @ C.T))
+        assert got_cid[r["vec_id"]] == want, r["vec_id"]
+        x0 = x[::-1]  # the pre-update embedding
+        if int(np.argmax((x0 / np.linalg.norm(x0)) @ C.T)) != want:
+            moved += 1
+    assert moved > 0, "fixture too easy: no vector changed cells"
+
+    # redelivered batch: ledger no-op (same txn_version)
+    v = runner.current_manifest(S.ANN_INDEX_NAME)["version"]
+    S.ann_index_apply_changes(
+        spark, runner, batch, app_id="m", txn_version=0, sf_dir=SF_DIR
+    )
+    assert runner.current_manifest(S.ANN_INDEX_NAME)["version"] == v

@@ -848,3 +848,69 @@ def test_change_file_legs_pack_buckets_by_bytes(spark, tmp_path, monkeypatch):
         for i in range(b.num_rows)
     )
     assert got2 == want
+
+
+def test_cdf_streams_array_columns_typed(spark, tmp_path, monkeypatch):
+    """Array-typed columns (embeddings) are first-class change-feed
+    citizens: the streamed micro-batch must carry them TYPED (not
+    stringified) and equal the batch table_changes row set — on both the
+    change-file netting path and the snapshot-diff fallback (where
+    pandas cell equality must not choke on ndarray cells)."""
+    import pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, vec array<float>")
+
+    for change_data in (True, False):
+        root = str(tmp_path / f"tgt{change_data}")
+        runner = IncrementalRunner(spark, root)
+        spec = ModelSpec(
+            "t", "k", "k",
+            lambda sp, sfd, wm: mk(
+                [(i, [float(i), float(i + 1)]) for i in range(8)]
+            ),
+            change_data=change_data,
+        )
+        runner.run(spec, "x")                                        # v1
+        runner.update_where(spec, "k % 3 = 1", {"vec": "reverse(vec)"})
+        runner.delete_where(spec, "k = 6")                           # v3
+        r = ManifestCDFStreamReader(
+            {"root": root, "model": "t", "key": "k", "preimages": "true"}
+        )
+        got = sorted(
+            (
+                d["k"],
+                tuple(d["vec"]) if d["vec"] is not None else None,
+                d["_change_type"],
+            )
+            for p in r.partitions({"version": 1}, {"version": 3})
+            for b in r.read(p)
+            for d in b.to_pylist()
+        )
+        want = sorted(
+            (
+                row["k"],
+                tuple(row["vec"]) if row["vec"] is not None else None,
+                row["_change_type"],
+            )
+            for row in runner.table_changes(
+                "t", "k", 1, 3, preimages=True
+            ).collect()
+        )
+        assert got == want, (change_data, got, want)
+        # typed, and genuinely netted: the update shows pre+post images
+        assert any(
+            ct == "update_preimage" and vec == (1.0, 2.0)
+            for _, vec, ct in got
+        )
+        assert any(
+            ct == "update_postimage" and vec == (2.0, 1.0)
+            for _, vec, ct in got
+        )
