@@ -1495,9 +1495,13 @@ class IncrementalRunner:
                 )
             else:
                 # unpartitioned target: same dispatch as run() — merge
-                # then full rewrite (there is no partition to prune)
+                # then full rewrite (there is no partition to prune);
+                # change_data tables keep their feed fast-path here too
+                tgt = self.read_target(name)
                 n = self._atomic_write(
-                    spec2, self._merge(spec2, self.read_target(name), new, tomb)
+                    spec2, self._merge(spec2, tgt, new, tomb),
+                    cdc_old=tgt if spec.change_data and spec.unique_key
+                    else None,
                 )
                 files = 0
         else:
@@ -1660,8 +1664,19 @@ class IncrementalRunner:
                 mode = "incremental-pruned"
             else:
                 # full rewrite (also migrates an unpartitioned layout to a
-                # partitioned one when partition_by was just turned on)
-                n = self._atomic_write(spec, self._merge(spec, target, new, tomb))
+                # partitioned one when partition_by was just turned on).
+                # Still a MUTATING incremental commit: change_data tables
+                # write their four-type files here too (unpartitioned
+                # merges and schema-evolving merges would otherwise
+                # silently knock the feed back to the snapshot diff —
+                # Delta keeps CDF across schema changes; only explicit
+                # full refresh / RESTORE lose it)
+                n = self._atomic_write(
+                    spec,
+                    self._merge(spec, target, new, tomb),
+                    cdc_old=target if spec.change_data and spec.unique_key
+                    else None,
+                )
         else:
             # fresh table: tombstones have nothing to delete
             n = self._atomic_write(spec, new)
@@ -2491,11 +2506,21 @@ class IncrementalRunner:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
-    def _atomic_write(self, spec: ModelSpec, df: DataFrame) -> int:
+    def _atomic_write(
+        self, spec: ModelSpec, df: DataFrame, *, cdc_old: DataFrame | None = None
+    ) -> int:
         """Full-refresh CTAS under the manifest protocol: stage the write,
         move the files in uncommitted, commit a manifest referencing ONLY
         them (old files — legacy or previous versions — become
-        unreferenced), vacuum."""
+        unreferenced), vacuum.
+
+        ``cdc_old`` (mutating callers on change_data tables — the
+        unpartitioned/schema-evolving incremental merge): the commit's
+        OLD live rows; the change rows diff(cdc_old, staged write) land
+        in `_change_data/` under the same manifest version. The diff is
+        table-bounded, but so is the rewrite itself — the fast-path feed
+        stays available across this commit. Left None on genuine CTAS
+        (full refresh), which keeps Delta's CDF-availability rule."""
         final = self.target_path(spec.name)
         os.makedirs(final, exist_ok=True)
         depth = len(spec.partition_by or [])
@@ -2508,6 +2533,14 @@ class IncrementalRunner:
         try:
             _check_assert(spec, chk)  # abort BEFORE commit on violation
             n = self.spark.read.parquet(tmp).count()
+            cdc = (
+                self._cdc_for_commit(
+                    spec, cdc_old,
+                    self.spark.read.schema(df.schema).parquet(tmp),
+                )
+                if cdc_old is not None
+                else None
+            )
             base = self.current_manifest(spec.name)
             guard = self._premanifest_marker(spec.name, base)
             parts, stats = self._ingest_files(
@@ -2527,6 +2560,8 @@ class IncrementalRunner:
             )
             if meta is not None:
                 manifest["meta"] = meta
+            if cdc is not None:
+                manifest["cdc"] = cdc
             self._commit_manifest(spec.name, manifest)
             self._clear_premanifest_marker(guard)
             self._vacuum(spec.name, manifest)

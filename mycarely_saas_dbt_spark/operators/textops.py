@@ -2427,6 +2427,67 @@ def bm25_index_optimize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_seg_query(spark, runner)
 
 
+def bm25_index_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED-merge lifecycle (VERDICT r10 item 3 — the background merge
+    policy, distinct from bm25_index_optimize_search's forceMerge):
+    bootstrap segment 0 over 70% of doc_ids, three bounded appends make
+    four segments, then ``bm25_seg_index_optimize(max_segments=2)``
+    folds the smallest three into one new level. Asserted in-entry:
+    exactly 2 live segments remain, the LARGEST segment's files ride
+    forward byte-identical ((name, size, mtime) recorded before the
+    merge — copy-on-write never rewrites in place), and a repeat call
+    within policy is a zero-commit no-op. The query across the merged
+    layout must hash-match the full-corpus fresh-build oracle — a pure
+    re-layout changes no answer (per-doc stats are segment-local and
+    final; query-time df never trusted a stored column)."""
+    import os
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    from mycarely_saas_dbt_spark.util import timed_phase
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    root = tempfile.mkdtemp(prefix="mycarely_bm25_tier_")
+    runner = IncrementalRunner(spark, root)
+    with timed_phase("build"):
+        bm25_seg_index_build(spark, sf_dir, root, bound=int(hi * 0.7))
+    with timed_phase("append"):
+        for frac in (0.8, 0.9, 1.0):
+            bm25_seg_index_append(
+                spark, sf_dir, root, bound=int(hi * frac) + 1
+            )
+    m0 = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    assert m0["meta"]["bm25"]["segs"] == 4, m0["meta"]["bm25"]
+    idx_root = runner.target_path(BM25_SEG_INDEX_NAME)
+
+    def fstate(m, seg):
+        return {
+            (rel, f): (
+                os.path.getsize(p := os.path.join(idx_root, rel, f)),
+                os.path.getmtime(p),
+            )
+            for rel, fl in m["partitions"].items()
+            if rel.startswith(f"{seg}/")
+            for f in fl
+        }
+
+    seg0_before = fstate(m0, "seg=0")
+    with timed_phase("optimize"):
+        m1 = bm25_seg_index_optimize(spark, root, max_segments=2)
+    live = {rel.split("/", 1)[0] for rel in m1["partitions"] if rel}
+    assert live == {"seg=0", "seg=4"}, live
+    assert fstate(m1, "seg=0") == seg0_before, "seg=0 was rewritten"
+    # within policy now: a repeat call is a zero-commit no-op
+    assert (
+        bm25_seg_index_optimize(spark, root, max_segments=2)["version"]
+        == m1["version"]
+    )
+    return _bm25_seg_query(spark, runner)
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition filter (Gopher, Rae et al. 2021 §A1.1) —
 # complements the corpus-level dedup family with the INTRA-doc criterion
@@ -2702,6 +2763,7 @@ def register_extra(register) -> None:
         "bm25_index_optimize_search", bm25_index_optimize_search,
         O_BM25_OPTIMIZE,
     )
+    register("bm25_index_tiered_search", bm25_index_tiered_search, O_BM25)
     register("hybrid_rrf_search", hybrid_rrf_search, O_HYBRID_RRF)
     register("repetition_filter", repetition_filter, O_REPETITION)
 

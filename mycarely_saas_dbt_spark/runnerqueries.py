@@ -1475,6 +1475,129 @@ ORDER BY o_orderkey
 """
 
 
+def cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-file feed across a SCHEMA-EVOLUTION boundary (VERDICT r10
+    item 7 — pins the NULL-fill contract at the FEED level, not just the
+    snapshot reader): v2 mutates PRE-evolution (its committed change
+    files lack the evolved column), v3 is an incremental run with
+    on_schema_change='append_new_columns' whose batch carries the new
+    column ``w``; ``table_changes(v1 -> v3)`` reads every version's
+    change files under the CURRENT dtypes with NULL-fill and nets per
+    key across the boundary. Keys k ≡ 10 (mod 30) are touched on BOTH
+    sides (v2 price bump, v3 adds w) and must net to ONE update whose
+    pre-state is the v1 image; v2-only victims net an update with w
+    NULL; v3 inserts carry w. Asserted in-entry: both mutating versions
+    committed change-file descriptors (the read is the fast path, no
+    snapshot diffed) and the feed contains updates on both sides of the
+    boundary."""
+    import dataclasses
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mycarely_q_cdfevo_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        # the feed range spans three versions — retention must cover it
+        # (Delta's rule too: CDF reads reach only retained history)
+        runner.RETAIN_VERSIONS = 5
+        o = spark.table("orders")
+
+        def boot(sp, sfd, wm):
+            return o.filter(F.col("o_orderkey") % 4 != 3).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("v"),
+            )
+
+        spec = ModelSpec(
+            "evo_cdf", "k", "k", boot,
+            change_data=True,
+            on_schema_change="append_new_columns",
+        )
+        runner.run(spec, sf_dir)                                  # v1
+        runner.update_where(spec, "k % 10 = 0", {"v": "v + 1000"})  # v2
+
+        def evolved(sp, sfd, wm):
+            upd = o.filter(
+                (F.col("o_orderkey") % 6 == 4) & (F.col("o_orderkey") % 4 != 3)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                (
+                    F.col("o_totalprice")
+                    + F.when(F.col("o_orderkey") % 10 == 0, 1000.0).otherwise(0.0)
+                ).alias("v"),
+                F.concat(
+                    F.lit("e"), (F.col("o_orderkey") % 7).cast("string")
+                ).alias("w"),
+            )
+            ins = o.filter(F.col("o_orderkey") % 4 == 3).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("v"),
+                F.concat(
+                    F.lit("n"), (F.col("o_orderkey") % 5).cast("string")
+                ).alias("w"),
+            )
+            return upd.unionByName(ins)
+
+        runner.run(dataclasses.replace(spec, build=evolved), sf_dir)  # v3
+        for ver in (2, 3):
+            cdc = (runner._manifest_at("evo_cdf", ver) or {}).get("cdc") or {}
+            assert cdc.get("files"), f"v{ver} has no change files"
+        out = materialize(
+            runner.table_changes("evo_cdf", "k", 1)
+            .select("k", "v", "w", "_change_type")
+            .orderBy("k", "_change_type")
+        )
+        shapes = {
+            (r["_change_type"], r["w"] is not None) for r in out.collect()
+        }
+        # updates on BOTH sides of the evolution boundary + typed inserts
+        assert ("update_postimage", False) in shapes, shapes  # pre-evo only
+        assert ("update_postimage", True) in shapes, shapes   # crossed/post
+        assert ("insert", True) in shapes, shapes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_CDF_EVOLUTION = """
+WITH boot AS (
+    SELECT o_orderkey AS k, o_totalprice AS v
+    FROM orders WHERE o_orderkey % 4 != 3
+),
+v3u AS (
+    SELECT o_orderkey AS k,
+           o_totalprice
+             + CASE WHEN o_orderkey % 10 = 0 THEN 1000.0 ELSE 0.0 END AS v,
+           'e' || CAST(o_orderkey % 7 AS VARCHAR) AS w
+    FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey % 4 != 3
+),
+v3i AS (
+    SELECT o_orderkey AS k, o_totalprice AS v,
+           'n' || CAST(o_orderkey % 5 AS VARCHAR) AS w
+    FROM orders WHERE o_orderkey % 4 = 3
+),
+final AS (
+    SELECT k, v, w FROM v3u
+    UNION ALL
+    SELECT b.k, CASE WHEN b.k % 10 = 0 THEN b.v + 1000.0 ELSE b.v END AS v,
+           CAST(NULL AS VARCHAR) AS w
+    FROM boot b WHERE b.k NOT IN (SELECT k FROM v3u)
+    UNION ALL
+    SELECT k, v, w FROM v3i
+),
+old AS (SELECT k, v, CAST(NULL AS VARCHAR) AS w FROM boot)
+SELECT f.k, f.v, f.w, 'insert' AS _change_type
+FROM final f WHERE f.k NOT IN (SELECT k FROM old)
+UNION ALL
+SELECT f.k, f.v, f.w, 'update_postimage' AS _change_type
+FROM final f JOIN old o USING (k)
+WHERE f.v IS DISTINCT FROM o.v OR f.w IS DISTINCT FROM o.w
+ORDER BY k, _change_type
+"""
+
+
 def dml_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE + shallow CLONE (r7): bootstrap, DELETE a slice (v2),
     RESTORE to v1 (metadata-only — the committed file set IS v1's, by
@@ -1703,6 +1826,7 @@ def register_queries(register) -> None:
     register("dv_pos_reinsert_read", dv_pos_reinsert_read, O_DV_POS)
     register("gen_prune_read", gen_prune_read, O_GEN_PRUNE)
     register("merge_schema_evolution", merge_schema_evolution, O_MERGE_EVOLUTION)
+    register("cdf_schema_evolution", cdf_schema_evolution, O_CDF_EVOLUTION)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(
