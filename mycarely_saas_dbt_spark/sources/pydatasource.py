@@ -385,11 +385,18 @@ def register_manifest_stream_source(spark) -> None:
 
 class _CdfRelDiff(InputPartition):
     def __init__(self, rel, old_files, new_files, dv_old, dv_new,
-                 positional=False):
+                 positional=False, key_lo=None, key_hi=None):
         self.rel = rel
         self.old_files, self.new_files = old_files, new_files
         self.dv_old, self.dv_new = dv_old, dv_new  # sidecar paths
         self.positional = positional
+        # optional KEY-RANGE slice [key_lo, key_hi) — the planner splits
+        # an oversized rel diff into range sub-tasks using the
+        # manifest's per-file min/max stats (VERDICT r10 item 5); each
+        # side loads only the files whose stats intersect the range and
+        # clips rows to it, so a key's old/new images still meet in one
+        # task while task memory tracks the range's bytes, not the rel's
+        self.key_lo, self.key_hi = key_lo, key_hi
 
 
 class _CdfDvLeg(InputPartition):
@@ -548,14 +555,12 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         for rel in sorted(set(parts_s) | set(parts_e)):
             if parts_s.get(rel) == parts_e.get(rel):
                 continue  # untouched rel: live-state change only via DV leg
-            out.append(
-                _CdfRelDiff(
+            out.extend(
+                self._rel_diff_legs(
                     rel,
-                    [absf(rel, f) for f in parts_s.get(rel, [])],
-                    [absf(rel, f) for f in parts_e.get(rel, [])],
-                    dv_old,
-                    dv_new,
-                    positional,
+                    [(f, absf(rel, f)) for f in parts_s.get(rel, [])],
+                    [(f, absf(rel, f)) for f in parts_e.get(rel, [])],
+                    m_s, m_e, dv_old, dv_new, positional,
                 )
             )
         if positional:
@@ -586,6 +591,97 @@ class ManifestCDFStreamReader(ManifestStreamReader):
                 if cand:
                     out.append(_CdfDvLeg(rel, cand, dv_old, dv_new))
         return out or [_CdfRelDiff("", [], [], [], [])]
+
+    def _rel_diff_legs(
+        self, rel, old_pairs, new_pairs, m_s, m_e, dv_old, dv_new, positional
+    ) -> list:
+        """Plan one changed rel's snapshot-diff task(s) — the fallback
+        for versions without write-time change files (legacy tables,
+        full refresh, RESTORE). Default: ONE task for the rel. When the
+        rel's combined bytes exceed the task target AND every file on
+        both sides carries numeric key min/max stats in its manifest,
+        split the KEY SPACE into byte-balanced ranges instead (VERDICT
+        r10 item 5): boundaries are chosen at file minima by greedy byte
+        packing (a metadata decision — stats from the manifests, sizes
+        from stat()), each sub-task reads only the files intersecting
+        its range and clips rows to it. A key's two snapshots still meet
+        in exactly one task, so the diff is the union of the range
+        diffs; the byte cap is best-effort under heavily overlapping
+        file ranges (a sorted/clustered layout — the normal case at
+        scale — packs tightly)."""
+        import os
+
+        def single():
+            return [_CdfRelDiff(
+                rel, [p for _, p in old_pairs], [p for _, p in new_pairs],
+                dv_old, dv_new, positional,
+            )]
+
+        metas = []  # (side, abs path, bytes, kmin, kmax) — None bounds
+        total = 0   # mean "no usable stats": assigned to EVERY range
+        for side, pairs, m in (("o", old_pairs, m_s), ("n", new_pairs, m_e)):
+            stats = ((m or {}).get("stats") or {}).get(rel) or {}
+            for name, ap in pairs:
+                b = (stats.get(name) or {}).get(self.key)
+                ok = (
+                    b
+                    and len(b) == 2
+                    and all(
+                        isinstance(x, (int, float)) and not isinstance(x, bool)
+                        for x in b
+                    )
+                )
+                try:
+                    sz = os.path.getsize(ap)
+                except OSError:
+                    return single()
+                # a stats-less file (empty shuffle part, or a non-numeric
+                # key) rides into every sub-task: the read-side row clip
+                # sends each of its rows to exactly one range, so this is
+                # a cost concession, never a correctness one
+                metas.append(
+                    (side, ap, sz, b[0] if ok else None, b[1] if ok else None)
+                )
+                total += sz
+        statful = [t for t in metas if t[3] is not None]
+        if total <= self.task_target_bytes or len(statful) < 2:
+            return single()
+        # greedy byte packing over stats-bearing files sorted by key
+        # minimum; range boundaries land at group-leading minima
+        statful.sort(key=lambda t: (t[3], t[1]))
+        bounds: list = []
+        acc = 0
+        for i, (_, _, sz, kmin, _) in enumerate(statful):
+            if i and acc + sz > self.task_target_bytes:
+                bounds.append(kmin)
+                acc = 0
+            acc += sz
+        bounds = sorted(set(bounds))
+        if not bounds:
+            return single()
+        ranges = list(zip([None, *bounds], [*bounds, None]))
+        out = []
+
+        def hits(mn, mx, lo, hi):
+            if mn is None:
+                return True  # stats-less: every range (rows clip inside)
+            return (hi is None or mn < hi) and (lo is None or mx >= lo)
+
+        for lo, hi in ranges:
+            of = [
+                p for s, p, _, mn, mx in metas
+                if s == "o" and hits(mn, mx, lo, hi)
+            ]
+            nf = [
+                p for s, p, _, mn, mx in metas
+                if s == "n" and hits(mn, mx, lo, hi)
+            ]
+            if of or nf:
+                out.append(_CdfRelDiff(
+                    rel, sorted(of), sorted(nf), dv_old, dv_new,
+                    positional, lo, hi,
+                ))
+        return out or single()
 
     def _change_file_legs(self, s: int, e: int) -> list | None:
         """Per-bucket change-file legs for versions (s, e], or None when
@@ -846,14 +942,27 @@ class ManifestCDFStreamReader(ManifestStreamReader):
                 yield self._emit(dead, "delete", part.rel)
             return
 
+        lo = getattr(part, "key_lo", None)
+        hi = getattr(part, "key_hi", None)
+
+        def clip(df):
+            # key-range sub-task (oversized rel diff): the planner
+            # assigned only intersecting FILES; rows outside the range
+            # belong to a sibling task
+            if lo is not None:
+                df = df[df[k] >= lo]
+            if hi is not None:
+                df = df[df[k] < hi]
+            return df
+
         if getattr(part, "positional", False):
             # positional vector, unchanged across the range (the planner
             # raised otherwise): both snapshots read through the SAME
             # (file, ordinal) map — per-file, inside the task
             pmap = _dv_pos_map(part.dv_new)
             yield from self._diff_emit(
-                load(part.old_files, pmap),
-                load(part.new_files, pmap),
+                clip(load(part.old_files, pmap)),
+                clip(load(part.new_files, pmap)),
                 data_cols,
                 part.rel,
             )
@@ -862,8 +971,8 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         dv_s = _dv_key_set(part.dv_old)
         dv_e = _dv_key_set(part.dv_new)
         new_dv = dv_e - dv_s
-        old = load(part.old_files)
-        new = load(part.new_files)
+        old = clip(load(part.old_files))
+        new = clip(load(part.new_files))
         # live state on each side: read through the respective vector;
         # newly-DV'd keys are excluded here (the DV leg reports them, the
         # same anti-join split as batch table_changes)

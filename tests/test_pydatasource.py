@@ -914,3 +914,105 @@ def test_cdf_streams_array_columns_typed(spark, tmp_path, monkeypatch):
             ct == "update_postimage" and vec == (2.0, 1.0)
             for _, vec, ct in got
         )
+
+
+def test_snapshot_diff_fallback_splits_by_key_range(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 5 — the snapshot-diff FALLBACK (no change_data)
+    sub-partitions an oversized rel diff by KEY RANGE using the
+    manifest's per-file min/max stats: under a tiny byte target the plan
+    has multiple range-bounded legs whose assigned file bytes stay near
+    the target, every key's two snapshots meet in exactly one leg, and
+    the union of the legs equals the batch table_changes row set. Under
+    the default target the same fixture plans ONE leg."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+        _CdfRelDiff,
+    )
+
+    monkeypatch.setattr(IncrementalRunner, "RETAIN_VERSIONS", 10)
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+
+    def build(n):
+        def b(sp, sfd, wm):
+            return (
+                sp.range(n)
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 10).alias("v"),
+                    F.repeat(F.format_string("blob-%06d-", F.col("id")), 8).alias("pad"),
+                )
+                .repartitionByRange(6, "k")
+            )
+
+        return b
+
+    spec = ModelSpec("t", "k", "k", build(3000))  # NO change_data
+    runner.run(spec, "x")                                           # v1
+
+    def mutate(sp, sfd, wm):
+        return (
+            sp.range(3200)
+            .select(
+                F.col("id").alias("k"),
+                F.when(F.col("id") % 2 == 0, F.col("id") * 10 + 7)
+                .otherwise(F.col("id") * 10)
+                .alias("v"),
+                F.repeat(F.format_string("blob-%06d-", F.col("id")), 8).alias("pad"),
+            )
+            .repartitionByRange(6, "k")
+        )
+
+    runner.run(ModelSpec("t", "k", "k", mutate), "x")               # v2
+
+    want = sorted(
+        tuple(row) for row in runner.table_changes("t", "k", 1, 2).collect()
+    )
+
+    target = 20_000
+    tight = ManifestCDFStreamReader({
+        "root": root, "model": "t", "key": "k",
+        "cdftasktargetbytes": str(target),
+    })
+    legs = tight.partitions({"version": 1}, {"version": 2})
+    assert all(isinstance(p, _CdfRelDiff) for p in legs)
+    assert len(legs) > 1, "fixture too small to split"
+    max_file = max(
+        os.path.getsize(f)
+        for p in legs
+        for f in (*p.old_files, *p.new_files)
+    )
+    rows: list = []
+    seen_keys: list = []
+    for p in legs:
+        assert (p.key_lo, p.key_hi) != (None, None)
+        leg_bytes = sum(
+            os.path.getsize(f) for f in (*p.old_files, *p.new_files)
+        )
+        assert leg_bytes <= target + 2 * max_file, (p.key_lo, p.key_hi)
+        leg_rows = [
+            tuple(d.values()) for b in tight.read(p) for d in b.to_pylist()
+        ]
+        rows.extend(leg_rows)
+        seen_keys.extend(r[0] for r in leg_rows)
+    assert sorted(rows) == want
+    assert len(seen_keys) == len(set(seen_keys))  # one leg per key
+
+    # default target: one whole-rel task, same rows
+    loose = ManifestCDFStreamReader({"root": root, "model": "t", "key": "k"})
+    legs2 = loose.partitions({"version": 1}, {"version": 2})
+    assert len(legs2) == 1 and legs2[0].key_lo is None
+    got2 = sorted(
+        tuple(d.values())
+        for p in legs2
+        for b in loose.read(p)
+        for d in b.to_pylist()
+    )
+    assert got2 == want
