@@ -100,6 +100,11 @@ EXTENSION_QUERIES = [
     "ann_index_retrain_recall",
     "interval_bin_join",
     "mm_image_decode",
+    # r11: the tiered (background) segment-merge lifecycle; the two
+    # other r11 entries are stream-machinery / fixture-only
+    # (streaming_ann_maintenance, cdf_schema_evolution) and stay out of
+    # the bench per the medallion rule — tracked in CORRECTNESS only
+    "bm25_index_tiered_search",
 ]
 
 # Lifecycle entries (build -> mutate -> query fixtures): their wall time
@@ -114,7 +119,16 @@ PHASED_QUERIES = [
     "bm25_index_optimize_search",
     "ann_index_append_recall",
     "ann_index_retrain_recall",
+    "bm25_index_tiered_search",
 ]
+
+# Suite split for round-over-round comparability (VERDICT r10 item 6):
+# `total`/`total_median` drift as lifecycle entries accumulate, so the
+# artifact also reports per-suite subtotals — `parity` (the reference
+# models + TPC-H extension shapes, stable since r1), `lifecycle` (the
+# build->mutate->query fixture entries, fixture-cost dominated), and
+# `extension` (everything else). Compare rounds per-suite.
+LIFECYCLE_QUERIES = PHASED_QUERIES + ["merge_multi_clause"]
 
 # Entries whose artifact numbers above are WARM-path (util.session_memo
 # memoizes the minhash pair relation per session). VERDICT r7 item 3:
@@ -261,6 +275,18 @@ def main() -> None:
         os.environ.pop("MYCARELY_SESSION_MEMO", None)
 
     total = round(sum(timings.values()), 3)
+
+    def subtotal(vals: dict[str, float]) -> dict[str, float]:
+        groups = {"parity": 0.0, "lifecycle": 0.0, "extension": 0.0}
+        for name, t in vals.items():
+            if name in BENCH_QUERIES:
+                groups["parity"] += t
+            elif name in LIFECYCLE_QUERIES:
+                groups["lifecycle"] += t
+            else:
+                groups["extension"] += t
+        return {k: round(v, 3) for k, v in groups.items()}
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -278,6 +304,11 @@ def main() -> None:
         "with MYCARELY_SESSION_MEMO=0 (every run rebuilds the memoized "
         "relation); `queries` numbers for those entries are warm-path",
         "total_median": round(sum(medians.values()), 3),
+        "subtotals": subtotal(timings),
+        "subtotals_median": subtotal(medians),
+        "subtotals_note": "per-suite min/median sums (parity = models + "
+        "TPC-H, lifecycle = fixture-building entries, extension = rest) "
+        "— compare rounds per-suite; `total` drifts as entries join",
         "sf": sf,
         "runs_per_query": N_ROUNDS,
         "aggregation": "min",

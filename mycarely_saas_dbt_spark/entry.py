@@ -224,6 +224,35 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # (3 artifacts; the tombstone-hard-delete merge path runs in-window
 # inside streaming_cdc_apply's foreachBatch sink and both CDF streaming
 # entries' tombstone-merge hops).
+#
+# Round-11 rotation (VERDICT r10 item 4): the three r11 builds take
+# first-time slots (`streaming_ann_maintenance` — the ANN index
+# following its base through the change feed with a maintenance-time
+# retrain trigger; `bm25_index_tiered_search` — the tiered merge policy
+# as a full lifecycle, distinct from the windowed forceMerge entry;
+# `cdf_schema_evolution` — the change-file feed netting across an
+# append_new_columns boundary) plus four never-artifacted picks from
+# the judge's list (`skew_salted_join`, `dml_restore_clone`,
+# `sessionize_session_window`, `lead_activities_agg_maxby` — the
+# skew-safe W2 twin, byte-identical to the windowed LA model by shared
+# oracle). Demoted, each keeping its identical DuckDB compare in
+# tests/test_microqueries.py and each shape still pinned in-window:
+# `line_dedup` (6 artifacts; the dedup family keeps six in-window
+# entries incl. the exact/minhash/simhash cores and both index
+# lifecycles), `asof_join_spend_cogroup` (6 artifacts; range/as-of join
+# semantics stay via interval_bin_join; the cogrouped-Arrow engine path
+# keeps its pytest oracle + bench slot), `repetition_filter`
+# (5 artifacts; the Gopher gates execute composed inside in-window
+# training_mix_pipeline), `graph_pagerank` (5 artifacts; the graph
+# family stays via in-window graph_triangles; pagerank keeps pytest +
+# bench), `pyds_pushdown_slice` (5 artifacts; the PyDS surface stays
+# via pyds_sink_roundtrip + medallion_multihop's stream tailing, and
+# the pushdown contract is plan-gated in pytest), `mg_heavy_hitters`
+# (4 artifacts; the mergeable-summary family stays via
+# profile_table_approx's HLL accuracy contract), `dsir_select`
+# (4 artifacts; the selection/scoring family stays via
+# training_mix_pipeline + hybrid_rrf_search; DSIR keeps pytest +
+# bench).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -251,13 +280,8 @@ DRIVER_WINDOW = [
     # structured streaming
     "streaming_sessionize",
     # r6 rotation survivors (see r8 rotation note for demotions)
-    "line_dedup",
-    "asof_join_spend_cogroup",
     "streaming_dedup_within_watermark",
     # r7 rotation (VERDICT r6 item 5 — first-time artifact coverage)
-    "repetition_filter",
-    "graph_pagerank",
-    "pyds_pushdown_slice",
     # r7 new-build first-timers (see rotation note above)
     "dedup_index_ingest",
     "ann_index_append_recall",
@@ -265,8 +289,6 @@ DRIVER_WINDOW = [
     "merge_multi_clause",
     "cdf_table_changes",
     "graph_triangles",
-    "mg_heavy_hitters",
-    "dsir_select",
     "bm25_index_search",
     "ann_pq_index_recall",
     "pyds_sink_roundtrip",
@@ -297,6 +319,15 @@ DRIVER_WINDOW = [
     "ann_index_retrain_recall",
     "mm_image_decode",
     "dv_pos_reinsert_read",
+    # r11 new builds (VERDICT r10 items 2, 3, 7)
+    "streaming_ann_maintenance",
+    "bm25_index_tiered_search",
+    "cdf_schema_evolution",
+    # r11 rotation (VERDICT r10 item 4 — never-artifacted picks)
+    "skew_salted_join",
+    "dml_restore_clone",
+    "sessionize_session_window",
+    "lead_activities_agg_maxby",
 ]
 
 

@@ -49,26 +49,24 @@ def test_driver_window_covers_llm_pipeline_surface():
         "dv_delete_read", "gen_prune_read", "merge_schema_evolution",
         "profile_table", "profile_table_approx", "medallion_multihop",
         "streaming_cdf_propagate",
-        # r6 first-time artifact coverage still windowed after r8
-        "line_dedup", "asof_join_spend_cogroup",
+        # r6 first-time artifact coverage still windowed after r11
+        # (r11 demotions: line_dedup, asof_join_spend_cogroup — dedup
+        # family keeps six in-window entries; range/as-of semantics stay
+        # via interval_bin_join; justifications in entry.py)
         "streaming_dedup_within_watermark",
-        # r7 first-time artifact coverage still windowed after r10
-        # (r10 demotions: bm25_search — bm25_index_search shares its
-        # oracle in-window; mm_audio_decode — mm_image_decode is the same
-        # decode pipeline with a harder codec; seed_roundtrip,
-        # kmv_merge_rollup, streaming_interval_full_join — shapes pinned
-        # by in-window siblings; justifications in entry.py)
-        "repetition_filter", "graph_pagerank", "pyds_pushdown_slice",
         # r7 new-build first-timers (built r7; r10: cdc_apply_changes
         # demoted — the tombstone-hard-delete merge runs in-window inside
-        # streaming_cdc_apply and both CDF streaming entries' sinks)
+        # streaming_cdc_apply and both CDF streaming entries' sinks;
+        # r11: repetition_filter, graph_pagerank, pyds_pushdown_slice,
+        # mg_heavy_hitters, dsir_select demoted — shapes pinned by
+        # in-window siblings, justifications in entry.py)
         "dedup_index_ingest", "ann_index_append_recall",
         # r8 rotation (VERDICT r7 item 4) + the r8 delete-aware build
         # (r10 demotions: pyds_manifest_stream — medallion_multihop tails
         # the same stream source in-window; bloom_point_lookup —
-        # file-skipping pinned by gen_prune_read + pyds_pushdown_slice)
+        # file-skipping pinned by gen_prune_read)
         "merge_multi_clause", "cdf_table_changes",
-        "graph_triangles", "mg_heavy_hitters", "dsir_select",
+        "graph_triangles",
         "bm25_index_search", "ann_pq_index_recall",
         "pyds_sink_roundtrip",
         "streaming_cdc_apply", "bm25_index_delete_aware",
@@ -77,6 +75,10 @@ def test_driver_window_covers_llm_pipeline_surface():
         "interval_bin_join", "streaming_ivm_aggregate",
         "bm25_index_optimize_search", "ann_index_retrain_recall",
         "mm_image_decode", "dv_pos_reinsert_read",
+        # r11 new builds + rotation (VERDICT r10 items 2-4, 7)
+        "streaming_ann_maintenance", "bm25_index_tiered_search",
+        "cdf_schema_evolution", "skew_salted_join", "dml_restore_clone",
+        "sessionize_session_window", "lead_activities_agg_maxby",
     }
     assert must_have <= first50
 
