@@ -1516,6 +1516,40 @@ class IncrementalRunner:
             "partitions_touched": files,
         }
 
+    def commit_meta(self, name: str, meta: dict) -> dict:
+        """Metadata-only commit: a new version whose data files, layout,
+        stats and deletion vector are the live snapshot's VERBATIM, with
+        ``meta`` replaced — the index-maintenance counterpart of Delta's
+        commitInfo-only transactions. A delete-only maintenance batch
+        must move its policy state (live-docs cutoffs, corpus scalars,
+        txn ledger) atomically even though no data file changes. The
+        live ``cdc`` descriptor is NOT carried (it describes the
+        PREVIOUS version's changes — copying it would double-count in a
+        netted feed); change_data tables get an EMPTY descriptor so the
+        fast-path feed stays available across this version."""
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: commit_meta needs a committed target")
+        manifest = {
+            "version": live["version"] + 1,
+            "partition_by": list(live.get("partition_by") or []),
+            "dtypes": live.get("dtypes"),
+            "partitions": live["partitions"],
+            "stats": live.get("stats") or {},
+            "meta": meta,
+        }
+        if live.get("dv") is not None:
+            manifest["dv"] = live["dv"]
+        if live.get("cdc") is not None:
+            manifest["cdc"] = {
+                "key": live["cdc"].get("key"),
+                "buckets": live["cdc"].get("buckets"),
+                "files": [],
+            }
+        manifest = self._commit_manifest(name, manifest)
+        self._vacuum(name, manifest)
+        return manifest
+
     def deleted_keys_since(
         self, name: str, key: str, from_version: int
     ) -> DataFrame | None:

@@ -2121,6 +2121,11 @@ def _bm25_seg_query(spark: SparkSession, runner) -> DataFrame:
     post = runner.read_target(BM25_SEG_INDEX_NAME).filter(
         F.col("bucket").isin(buckets)
     )
+    # live-docs mask FIRST (maintained indexes): the streaming
+    # maintainer keeps (S, N) exactly live, so df must be live too —
+    # the maintained regime grades against a FRESH build, unlike the
+    # tombstone-at-read regime below (committed stats until rebuild)
+    post = _bm25_apply_dead(post, _bm25_dead_df(spark, runner, meta))
     sl = F.broadcast(q).join(post, "term")
     # exact global df: the pruned slice holds EVERY posting of the query
     # terms, one row per (term, doc) — count per term and broadcast back.
@@ -2251,9 +2256,13 @@ def bm25_seg_index_optimize(
     # live segment count from the manifest rels (meta["segs"] is the
     # NEXT id — after a tiered merge it exceeds the live count)
     live_segs = {rel.split("/", 1)[0] for rel in cur["partitions"] if rel}
-    if len(live_segs) <= 1 and deleted is None:
+    if len(live_segs) <= 1 and deleted is None and not meta.get("dead_dirs"):
         return cur  # already optimal: zero jobs
-    live = runner.read_target(BM25_SEG_INDEX_NAME).drop("df", "seg", "bucket")
+    live = runner.read_target(BM25_SEG_INDEX_NAME)
+    # absorb the live-docs mask physically (streaming maintenance's
+    # pending marks): masked postings drop, the mark sidecars clear
+    live = _bm25_apply_dead(live, _bm25_dead_df(spark, runner, meta))
+    live = live.drop("df", "seg", "bucket")
     if deleted is not None:
         live = live.join(F.broadcast(deleted), "doc_id", "left_anti")
     from mycarely_saas_dbt_spark.util import bounded_persist, release_persists
@@ -2321,8 +2330,14 @@ def _bm25_tiered_merge(runner, cur: dict, meta: dict, max_segments: int) -> dict
     ]
     merge_rels = sorted(r for s in merge_segs for r in seg_rels[s])
     new_id = int(meta["segs"])
-    out_df = runner.read_target(
-        BM25_SEG_INDEX_NAME, rels=merge_rels
+    out_df = runner.read_target(BM25_SEG_INDEX_NAME, rels=merge_rels)
+    # live-docs mask over the FOLDED segments only, at their ORIGINAL
+    # seg ids: folding re-ids rows to new_id (>= every cutoff), so
+    # carrying masked rows forward would resurrect dead docs. Entries
+    # stay in the meta — they still mask the untouched segments; the
+    # forceMerge is what clears them.
+    out_df = _bm25_apply_dead(
+        out_df, _bm25_dead_df(runner.spark, runner, meta)
     ).withColumn("seg", F.lit(new_id))
     spec = ModelSpec(
         BM25_SEG_INDEX_NAME, "doc_id", "doc_id", None,
@@ -2425,6 +2440,321 @@ def bm25_index_optimize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotence: a second optimize is a metadata no-op (zero jobs)
     assert bm25_seg_index_optimize(spark, root)["version"] == m["version"]
     return _bm25_seg_query(spark, runner)
+
+
+def _bm25_dead_df(spark: SparkSession, runner, meta: dict):
+    """The segmented index's LIVE-DOCS mask — Lucene's per-segment .del
+    files in relational form: (doc_id, __cut) where the doc is dead in
+    every segment with ``seg < __cut``. Entries accumulate in sidecar
+    parquet dirs under `<index>/_dead/` (churn-proportional, named by
+    the manifest meta — never the meta JSON itself, so heavy churn can't
+    bloat the manifest); MAX(cutoff) per doc is the effective rule
+    because a re-added doc always lands in a segment >= its re-add
+    cutoff. Returns None when nothing is pending."""
+    import os
+
+    dirs = meta.get("dead_dirs") or []
+    if not dirs:
+        return None
+    root = os.path.join(runner.target_path(BM25_SEG_INDEX_NAME), "_dead")
+    return (
+        spark.read.parquet(*[os.path.join(root, d) for d in dirs])
+        .groupBy("doc_id")
+        .agg(F.max("cutoff").alias("__cut"))
+    )
+
+
+def _bm25_apply_dead(post: DataFrame, dead) -> DataFrame:
+    """Mask postings through the live-docs rule: a posting survives iff
+    its doc has no cutoff or sits in a segment at/after it. Broadcast
+    left-join + filter (the mask is churn-bounded), never a shuffle of
+    the postings."""
+    if dead is None:
+        return post
+    return (
+        post.join(F.broadcast(dead), "doc_id", "left")
+        .filter(F.col("__cut").isNull() | (F.col("seg") >= F.col("__cut")))
+        .drop("__cut")
+    )
+
+
+def bm25_seg_index_apply_changes(
+    spark: SparkSession, runner, batch_df: DataFrame, *,
+    app_id: str, txn_version: int,
+) -> None:
+    """Apply ONE change-feed micro-batch of the base corpus to the
+    committed segmented index — Lucene's update protocol (update =
+    delete + add, deletes as live-docs marks, merges absorb):
+
+      * inserts + update_postimages TOKENIZE the batch's row images into
+        the next ``seg=`` level (change-proportional: the corpus is
+        never re-read; zero existing files touched — the same
+        new-segment shape as the watermark append, but driven by the
+        feed so ARBITRARY doc_ids work, not just past-the-watermark);
+      * deletes + update_preimages mark (doc_id, cutoff=new_seg) in a
+        live-docs sidecar: postings in segments < cutoff are masked at
+        read, the re-added images (>= cutoff) stay live — which is what
+        makes UPDATE sound even though a doc's postings span many term
+        buckets (a by-key merge could never honor the
+        same-key-same-partition rule for term-bucketed postings);
+      * (S, N) stay EXACTLY the live corpus: the gone docs' dl is
+        recomputed from their preimage text with the same tokenizer, so
+        the maintained index's stats regime is fresh-build — the query
+        recomputes df AFTER the mask and hash-matches a fresh build over
+        the mutated corpus (a stronger contract than tombstone-at-read's
+        committed-stats rule);
+      * the base pointer advances with each batch (deletes are absorbed
+        into the mask, so the query-time ``deleted_keys_since``
+        anti-join stays the fast None path).
+
+    Data, mask reference, stats and the (app_id, txn_version) ledger
+    move in ONE commit: merge_txn for batches with additions,
+    ``commit_meta`` (the commitInfo-only shape) for delete-only batches.
+    Redelivered batches are ledger no-ops on both arms. forceMerge
+    absorbs the mask physically and clears it; the tiered merge filters
+    the segments it folds through the mask (folded rows change seg id,
+    so carrying dead rows forward would resurrect them) and keeps the
+    entries for untouched segments."""
+    import os
+    import uuid
+
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+    from mycarely_saas_dbt_spark.util import release_persists
+
+    last = runner.txn_last_version(BM25_SEG_INDEX_NAME, app_id)
+    if last is not None and txn_version <= last:
+        return  # redelivered batch: already applied
+    cur = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    if cur is None:
+        raise RuntimeError("bm25_seg_index_apply_changes: no committed index")
+    meta = cur["meta"]["bm25"]
+    seg = int(meta["segs"])
+    rows = batch_df.persist()
+    try:
+        gone = rows.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("doc_id", "text")
+        live = rows.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("doc_id", "text")
+        g = gone.agg(
+            F.coalesce(F.sum(F.size(_toks())), F.lit(0)).cast("long"),
+            F.count(F.lit(1)),
+        ).first()
+        S_gone, N_gone = int(g[0]), int(g[1])
+        has_live = live.limit(1).count() > 0
+        if not has_live and not N_gone:
+            return  # empty batch
+        S2 = N2 = 0
+        staged = None
+        if has_live:
+            postings, S2, N2 = _bm25_postings(live)
+            staged = postings.withColumn("seg", F.lit(seg))
+        dead_dirs = list(meta.get("dead_dirs") or [])
+        if N_gone:
+            droot = os.path.join(
+                runner.target_path(BM25_SEG_INDEX_NAME), "_dead"
+            )
+            os.makedirs(droot, exist_ok=True)
+            tag = f"dd-{uuid.uuid4().hex[:12]}"
+            tmp = os.path.join(droot, f".{tag}.tmp")
+            (
+                gone.select(
+                    "doc_id", F.lit(seg).cast("int").alias("cutoff")
+                ).write.mode("overwrite").parquet(tmp)
+            )
+            os.replace(tmp, os.path.join(droot, tag))
+            dead_dirs.append(tag)
+        bm25_meta = {
+            **meta,
+            "S": int(meta["S"]) - S_gone + int(S2),
+            "N": int(meta["N"]) - N_gone + int(N2),
+            "segs": seg + 1 if has_live else seg,
+            "dead_dirs": dead_dirs,
+        }
+        if meta.get("base") is not None:
+            bm25_meta["base_version"] = (
+                runner.current_manifest(meta["base"])["version"]
+            )
+        if has_live:
+            runner.merge_txn(
+                ModelSpec(
+                    BM25_SEG_INDEX_NAME, "doc_id", "doc_id", None,
+                    partition_by=["seg", "bucket"],
+                ),
+                staged,
+                app_id=app_id,
+                txn_version=txn_version,
+                meta_update={"bm25": bm25_meta},
+            )
+            release_persists("bm25index:tf")
+        else:
+            # delete-only batch: commitInfo-only commit — mask reference,
+            # stats and ledger move atomically, no data file changes
+            new_meta = dict(cur.get("meta") or {})
+            new_meta["bm25"] = bm25_meta
+            txn = dict(new_meta.get("txn") or {})
+            txn[app_id] = int(txn_version)
+            new_meta["txn"] = txn
+            runner.commit_meta(BM25_SEG_INDEX_NAME, new_meta)
+    finally:
+        rows.unpersist()
+
+
+BM25_M_BASE_NAME = "bm25_m_docs_base"
+BM25_M_DELETE_PRED = "doc_id % 13 = 5"
+BM25_M_UPDATE_PRED = "doc_id % 10 = 6"
+
+
+def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmented BM25 index FOLLOWS its base through the change-feed
+    stream — closing the index-family symmetry (signature index and ANN
+    index already maintain themselves off the CDF; the text index had
+    only the watermark append):
+
+        base (documents, change_data) --readStream (mycarely_manifest_cdf,
+          preimages)--> four-type change rows --foreachBatch-->
+          bm25_seg_index_apply_changes: new docs tokenize into the next
+          segment, deletes/updates mark live-docs cutoffs, (S, N) track
+          the live corpus exactly, base pointer advances.
+
+    Waves: bootstrap(70% of doc_ids) -> cow DELETE -> cow UPDATE (text
+    gains a token, so tf/dl/df MUST change — proving update = mask old +
+    re-add, not append) -> insert wave (the other 30%) -> replay hop
+    asserted a zero-commit no-op. The query hash-matches a FRESH BM25
+    build over the live mutated corpus — stats maintained, masks
+    applied, df recomputed post-mask; nothing carried stale."""
+    import shutil
+    import tempfile
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+    from mycarely_saas_dbt_spark.util import materialize, timed_phase
+
+    register_sources(spark, sf_dir)
+    register_manifest_cdf_source(spark)
+    root = tempfile.mkdtemp(prefix="mycarely_bm25m_")
+    runner = IncrementalRunner(spark, root)
+    docs = spark.table("documents")
+    split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
+
+    def build(sp, sfd, wm):
+        d = sp.table("documents").select("doc_id", "text")
+        if wm is None:
+            return d.filter(F.col("doc_id") < split)
+        return d.filter(F.col("doc_id") > wm)
+
+    base_spec = ModelSpec(
+        BM25_M_BASE_NAME, "doc_id", "doc_id", build, change_data=True,
+    )
+
+    with timed_phase("build"):
+        runner.run(base_spec, sf_dir)  # v1 bootstrap (70%)
+        base_v = runner.current_manifest(BM25_M_BASE_NAME)["version"]
+        bm25_seg_index_build(
+            spark, sf_dir, root, bound=split, base=BM25_M_BASE_NAME
+        )
+
+    def hop():
+        stream = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", BM25_M_BASE_NAME)
+            .option("key", "doc_id")
+            .option("preimages", "true")
+            .option("startingversion", base_v)
+            .load()
+        )
+
+        def sink(batch_df, bid):
+            bm25_seg_index_apply_changes(
+                spark, runner, batch_df,
+                app_id="bm25_maint", txn_version=bid,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_bm25m")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with timed_phase("mutate"):
+        runner.delete_where(base_spec, BM25_M_DELETE_PRED)  # cow DELETE
+        hop()
+        runner.update_where(                                 # text mutates
+            base_spec, BM25_M_UPDATE_PRED,
+            {"text": "concat(text, ' zzz')"},
+        )
+        hop()
+    with timed_phase("append"):
+        runner.run(base_spec, sf_dir)  # insert the other 30%
+        hop()
+    m = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    meta = m["meta"]["bm25"]
+    assert meta.get("dead_dirs"), "maintenance recorded no live-docs marks"
+    assert meta["N"] == runner.read_target(BM25_M_BASE_NAME).count()
+    v_idx = m["version"]
+    hop()  # replay wave: zero-commit no-op
+    assert runner.current_manifest(BM25_SEG_INDEX_NAME)["version"] == v_idx
+
+    out = materialize(_bm25_seg_query(spark, runner))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _bm25_fresh_oracle(corpus_sql: str) -> str:
+    """The full-precision integer-BM25 oracle over an arbitrary corpus
+    subquery — the grading shape shared by the maintenance and optimize
+    lifecycles (both promise fresh-build stats over the LIVE corpus)."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS S, COUNT(*) AS N FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {_BM25_VALUES}),
+scored AS (
+    SELECT q.qid, tf.doc_id,
+           CAST(SUM((2*t.N - 2*df.df + 1) * 44 * t.S * tf.tf * {BM25_SCALE}
+                    // ((2*df.df + 1) * (20*t.S*tf.tf + 6*t.S + 18*dl.dl*t.N)))
+                AS BIGINT) AS score_k,
+           COUNT(*) AS n_hit
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN tot t
+    GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, score_k, n_hit,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_k DESC, n_hit DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+def _bm25_m_oracle() -> str:
+    split = (
+        f"(SELECT CAST((MAX(doc_id) + 1) * {BM25_SEG_SPLIT} AS BIGINT)"
+        " FROM documents)"
+    )
+    return _bm25_fresh_oracle(f"""
+    SELECT doc_id,
+           CASE WHEN doc_id < {split} AND {BM25_M_UPDATE_PRED}
+                THEN text || ' zzz' ELSE text END AS text
+    FROM documents
+    WHERE NOT (doc_id < {split} AND {BM25_M_DELETE_PRED})
+    """)
 
 
 def bm25_index_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2764,6 +3094,10 @@ def register_extra(register) -> None:
         O_BM25_OPTIMIZE,
     )
     register("bm25_index_tiered_search", bm25_index_tiered_search, O_BM25)
+    register(
+        "streaming_bm25_maintenance", streaming_bm25_maintenance,
+        _bm25_m_oracle(),
+    )
     register("hybrid_rrf_search", hybrid_rrf_search, O_HYBRID_RRF)
     register("repetition_filter", repetition_filter, O_REPETITION)
 

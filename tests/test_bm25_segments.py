@@ -327,3 +327,112 @@ def test_tiered_merge_not_escalated_by_pure_base_appends(spark, tmp_path):
     assert live == {"seg=0", "seg=3"}, live  # tiered, NOT forceMerge
     for rel, fl in seg0_files.items():
         assert list(m1["partitions"][rel]) == fl, f"{rel} was rewritten"
+
+
+def _mk_batch(spark, rows):
+    """Hand-built four-type change rows (doc_id, text, _change_type)."""
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, _change_type string"
+    )
+
+
+def test_live_docs_maintenance_masks_updates_and_survives_merges(
+    spark, tmp_path
+):
+    """The live-docs protocol's merge interactions, which the streaming
+    entry can't see directly:
+
+    * update = mask old + re-add: the updated doc's postings come ONLY
+      from the new segment (old tf masked), and (S, N) track the live
+      corpus exactly;
+    * a delete-only batch commits metadata-only (no partition changes)
+      and is idempotent under redelivery (S/N must not double-subtract);
+    * the TIERED merge filters the segments it folds through the mask —
+      a dead doc must not resurrect when its segment is re-id'd above
+      its cutoff — while keeping entries for untouched segments;
+    * forceMerge absorbs the mask physically and clears dead_dirs."""
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.operators.textops import (
+        BM25_SEG_INDEX_NAME,
+        bm25_seg_index_apply_changes,
+        bm25_seg_index_build,
+        bm25_seg_index_optimize,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    hi = spark.table("documents").agg(F.max("doc_id")).first()[0] + 1
+    root = str(tmp_path / "idx")
+    runner = IncrementalRunner(spark, root)
+    runner.RETAIN_VERSIONS = 10
+    bm25_seg_index_build(spark, SF_DIR, root, bound=int(hi * 0.5))
+    m0 = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    S0, N0 = m0["meta"]["bm25"]["S"], m0["meta"]["bm25"]["N"]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").filter("doc_id < 9").collect()
+    }
+
+    # batch 0: update doc 1 (text gains a token), delete doc 2
+    batch = _mk_batch(spark, [
+        (1, docs[1], "update_preimage"),
+        (1, docs[1] + " qqq", "update_postimage"),
+        (2, docs[2], "delete"),
+    ])
+    bm25_seg_index_apply_changes(
+        spark, runner, batch, app_id="m", txn_version=0
+    )
+    m1 = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    meta1 = m1["meta"]["bm25"]
+    dl = {d: len(docs[d].split(" ")) for d in (1, 2)}
+    assert meta1["N"] == N0 - 1                      # doc2 gone, doc1 kept
+    assert meta1["S"] == S0 - dl[2] + 1              # doc1 gained ONE token
+    assert meta1["segs"] == 2 and len(meta1["dead_dirs"]) == 1
+
+    post = runner.read_target(BM25_SEG_INDEX_NAME)
+    from mycarely_saas_dbt_spark.operators.textops import (
+        _bm25_apply_dead,
+        _bm25_dead_df,
+    )
+
+    live = _bm25_apply_dead(post, _bm25_dead_df(spark, runner, meta1))
+    d1 = live.filter("doc_id = 1")
+    assert d1.filter("seg = 0").count() == 0          # old postings masked
+    assert d1.filter("term = 'qqq'").count() == 1     # new image live
+    assert live.filter("doc_id = 2").count() == 0     # deleted doc gone
+
+    # delete-only batch: metadata-only commit, idempotent on redelivery
+    batch2 = _mk_batch(spark, [(3, docs[3], "delete")])
+    bm25_seg_index_apply_changes(
+        spark, runner, batch2, app_id="m", txn_version=1
+    )
+    m2 = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    meta2 = m2["meta"]["bm25"]
+    assert m2["partitions"] == m1["partitions"]       # no data file moved
+    assert meta2["N"] == meta1["N"] - 1
+    bm25_seg_index_apply_changes(                      # redelivery
+        spark, runner, batch2, app_id="m", txn_version=1
+    )
+    m2b = runner.current_manifest(BM25_SEG_INDEX_NAME)
+    assert m2b["version"] == m2["version"]
+    assert m2b["meta"]["bm25"]["N"] == meta2["N"]      # no double-subtract
+
+    # tiered merge folds seg0+seg1 -> seg2: dead docs must NOT resurrect
+    m3 = bm25_seg_index_optimize(spark, root, max_segments=1)
+    meta3 = m3["meta"]["bm25"]
+    assert {r.split("/", 1)[0] for r in m3["partitions"]} == {"seg=2"}
+    assert meta3["dead_dirs"]                          # entries carried
+    folded = runner.read_target(BM25_SEG_INDEX_NAME)
+    assert folded.filter("doc_id IN (2, 3)").count() == 0
+    assert folded.filter("doc_id = 1 AND term = 'qqq'").count() == 1
+    assert folded.filter("doc_id = 1").count() == (
+        folded.filter("doc_id = 1").select("term").distinct().count()
+    )  # exactly one posting set for the updated doc — no stale twin
+
+    # forceMerge absorbs + clears the mask
+    m4 = bm25_seg_index_optimize(spark, root)
+    meta4 = m4["meta"]["bm25"]
+    assert not meta4.get("dead_dirs")
+    assert meta4["N"] == meta2["N"] and meta4["S"] == meta2["S"]
