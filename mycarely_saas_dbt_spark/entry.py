@@ -252,7 +252,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # profile_table_approx's HLL accuracy contract), `dsir_select`
 # (4 artifacts; the selection/scoring family stays via
 # training_mix_pipeline + hybrid_rrf_search; DSIR keeps pytest +
-# bench).
+# bench). An eighth first-timer joins for the late r11 build:
+# `streaming_bm25_maintenance` (live-docs maintenance off the change
+# feed — update/delete support for the text index, graded against a
+# FRESH build over the mutated corpus) in the slot of
+# `cdf_table_changes` (4 artifacts; the batch feed is a strict
+# sub-shape of the in-window `cdf_schema_evolution`, which nets the
+# same table_changes read across a schema-evolution boundary).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -287,7 +293,6 @@ DRIVER_WINDOW = [
     "ann_index_append_recall",
     # r8 rotation (VERDICT r7 item 4 — first-time artifact coverage)
     "merge_multi_clause",
-    "cdf_table_changes",
     "graph_triangles",
     "bm25_index_search",
     "ann_pq_index_recall",
@@ -319,7 +324,9 @@ DRIVER_WINDOW = [
     "ann_index_retrain_recall",
     "mm_image_decode",
     "dv_pos_reinsert_read",
-    # r11 new builds (VERDICT r10 items 2, 3, 7)
+    # r11 new builds (VERDICT r10 items 2, 3, 7 + the index-family
+    # symmetry: BM25 live-docs maintenance)
+    "streaming_bm25_maintenance",
     "streaming_ann_maintenance",
     "bm25_index_tiered_search",
     "cdf_schema_evolution",

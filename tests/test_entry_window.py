@@ -65,7 +65,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         # (r10 demotions: pyds_manifest_stream — medallion_multihop tails
         # the same stream source in-window; bloom_point_lookup —
         # file-skipping pinned by gen_prune_read)
-        "merge_multi_clause", "cdf_table_changes",
+        "merge_multi_clause",
         "graph_triangles",
         "bm25_index_search", "ann_pq_index_recall",
         "pyds_sink_roundtrip",
@@ -77,6 +77,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         "mm_image_decode", "dv_pos_reinsert_read",
         # r11 new builds + rotation (VERDICT r10 items 2-4, 7)
         "streaming_ann_maintenance", "bm25_index_tiered_search",
+        "streaming_bm25_maintenance",
         "cdf_schema_evolution", "skew_salted_join", "dml_restore_clone",
         "sessionize_session_window", "lead_activities_agg_maxby",
     }
