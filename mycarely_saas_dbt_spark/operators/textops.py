@@ -2618,12 +2618,14 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
           segment, deletes/updates mark live-docs cutoffs, (S, N) track
           the live corpus exactly, base pointer advances.
 
-    Waves: bootstrap(70% of doc_ids) -> cow DELETE -> cow UPDATE (text
-    gains a token, so tf/dl/df MUST change — proving update = mask old +
-    re-add, not append) -> insert wave (the other 30%) -> replay hop
-    asserted a zero-commit no-op. The query hash-matches a FRESH BM25
-    build over the live mutated corpus — stats maintained, masks
-    applied, df recomputed post-mask; nothing carried stale."""
+    Waves: bootstrap(70% of doc_ids) -> cow DELETE then cow UPDATE as two
+    separate base commits caught up by ONE hop (the netting task folds the
+    two-version range; text gains a token on update, so tf/dl/df MUST
+    change — proving update = mask old + re-add, not append) -> insert
+    wave (the other 30%) -> replay hop asserted a zero-commit no-op. The
+    query hash-matches a FRESH BM25 build over the live mutated corpus —
+    stats maintained, masks applied, df recomputed post-mask; nothing
+    carried stale."""
     import shutil
     import tempfile
 
@@ -2637,6 +2639,10 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_manifest_cdf_source(spark)
     root = tempfile.mkdtemp(prefix="mycarely_bm25m_")
     runner = IncrementalRunner(spark, root)
+    # the maintenance stream catches up TWO base commits in one hop, so
+    # retention must cover that window (Delta's delta.logRetentionDuration
+    # contract: a CDF consumer may lag only as far as the log is retained)
+    runner.RETAIN_VERSIONS = 4
     docs = spark.table("documents")
     split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
 
@@ -2684,12 +2690,11 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with timed_phase("mutate"):
         runner.delete_where(base_spec, BM25_M_DELETE_PRED)  # cow DELETE
-        hop()
         runner.update_where(                                 # text mutates
             base_spec, BM25_M_UPDATE_PRED,
             {"text": "concat(text, ' zzz')"},
         )
-        hop()
+        hop()  # one catch-up over BOTH mutation versions (netted range)
     with timed_phase("append"):
         runner.run(base_spec, sf_dir)  # insert the other 30%
         hop()
