@@ -37,6 +37,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import functools
 import hashlib
@@ -45,6 +46,7 @@ import logging
 import re
 import os
 import shutil
+import threading
 import time
 import uuid
 from collections.abc import Callable, Mapping
@@ -59,6 +61,39 @@ EPOCH_FALLBACK = dt.date(1900, 1, 1)
 
 # build(spark, sf_dir, watermark) -> DataFrame
 BuildFn = Callable[[SparkSession, str, dt.date | None], DataFrame]
+
+# --- commit provenance (DESCRIBE HISTORY / timestampAsOf support) ---------
+# Every manifest commit is stamped with a wall-clock `ts` and the USER-level
+# operation that caused it. The operation is recorded at the public API
+# boundary via a thread-local scope so the shared writers
+# (_partitioned_merge_write / _atomic_write / _commit_file_rewrite) don't
+# need an extra parameter threaded through every layer — and so a compound
+# operation (e.g. OPTIMIZE internally committing via replace_rels) is
+# labeled with the OUTERMOST user intent, exactly like Delta's commitInfo.
+_OP_TL = threading.local()
+
+
+@contextlib.contextmanager
+def _op_scope(op: str):
+    prev = getattr(_OP_TL, "op", None)
+    if prev is None:  # outermost public call wins
+        _OP_TL.op = op
+    try:
+        yield
+    finally:
+        _OP_TL.op = prev
+
+
+def _records_op(op: str):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            with _op_scope(op):
+                return fn(*a, **k)
+
+        return wrapper
+
+    return deco
 
 
 # ---------------------------------------------------------------------------
@@ -885,6 +920,7 @@ class IncrementalRunner:
         name: str,
         *,
         version: int | None = None,
+        timestamp_as_of: float | None = None,
         prune: dict | None = None,
         rels: list[str] | None = None,
         point: dict | None = None,
@@ -892,11 +928,20 @@ class IncrementalRunner:
         """Read the committed target. ``version`` time-travels to an older
         committed snapshot (within the vacuum retention horizon — see
         ``_vacuum``): the manifest IS the snapshot, so reading v(N-1) is
-        just resolving its file list instead of CURRENT's. ``prune``
-        applies manifest-stats data skipping (see ``resolved_files``);
-        callers must still apply the actual row filter — pruning only
-        bounds WHICH FILES are opened, exactly like lakehouse file
-        skipping."""
+        just resolving its file list instead of CURRENT's.
+        ``timestamp_as_of`` is Delta's ``timestampAsOf``: it resolves to
+        the latest retained commit stamped at or before the given
+        wall-clock time (``version_at_timestamp``) and reads that
+        snapshot. ``prune`` applies manifest-stats data skipping (see
+        ``resolved_files``); callers must still apply the actual row
+        filter — pruning only bounds WHICH FILES are opened, exactly like
+        lakehouse file skipping."""
+        if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError(
+                    f"{name}: pass version OR timestamp_as_of, not both"
+                )
+            version = self.version_at_timestamp(name, timestamp_as_of)
         path = self.target_path(name)
         manifest = (
             self._manifest_at(name, version)
@@ -1433,6 +1478,7 @@ class IncrementalRunner:
         v = txn.get(app_id)
         return int(v) if v is not None else None
 
+    @_records_op("STREAMING UPDATE")
     def merge_txn(
         self,
         spec: ModelSpec,
@@ -1516,6 +1562,7 @@ class IncrementalRunner:
             "partitions_touched": files,
         }
 
+    @_records_op("SET TBLPROPERTIES")
     def commit_meta(self, name: str, meta: dict) -> dict:
         """Metadata-only commit: a new version whose data files, layout,
         stats and deletion vector are the live snapshot's VERBATIM, with
@@ -1600,6 +1647,7 @@ class IncrementalRunner:
                     os.path.join(self._manifest_dir(name), f"v{v:06d}.json")
                 )
 
+    @_records_op("WRITE")
     def run(
         self,
         spec: ModelSpec,
@@ -2028,6 +2076,14 @@ class IncrementalRunner:
                 # pointer a beat to land before re-reading
                 time.sleep(0.01 * (attempt + 1))
                 continue
+            # commit provenance: FORCE-set (never inherit) — manifests are
+            # frequently built by copying an older version's dict (RESTORE,
+            # CLONE, commit_meta), and the stamp must describe THIS commit
+            manifest["ts"] = time.time()
+            manifest.pop("op", None)
+            cur_op = getattr(_OP_TL, "op", None)
+            if cur_op is not None:
+                manifest["op"] = cur_op
             with os.fdopen(fd, "w") as fh:
                 # segments (if any) are written BEFORE the version JSON and
                 # the JSON before the pointer swap — a crash at any point
@@ -2859,6 +2915,7 @@ class IncrementalRunner:
             shutil.rmtree(tmp, ignore_errors=True)
         return manifest
 
+    @_records_op("REPLACE")
     def replace_rels(
         self,
         spec: ModelSpec,
@@ -2901,6 +2958,7 @@ class IncrementalRunner:
             meta_out=meta,
         )
 
+    @_records_op("DELETE")
     def delete_where(
         self,
         spec: ModelSpec,
@@ -3212,6 +3270,7 @@ class IncrementalRunner:
         result.update(rows_matched=int(n), version=manifest["version"])
         return result
 
+    @_records_op("REORG")
     def absorb_deletion_vectors(self, spec: ModelSpec) -> dict:
         """Rewrite the files that contain DV-deleted keys and commit with
         the vector CLEARED (Delta's compaction-absorbs-DVs). Same two-job
@@ -3344,6 +3403,7 @@ class IncrementalRunner:
         )
         return result
 
+    @_records_op("UPDATE")
     def update_where(
         self,
         spec: ModelSpec,
@@ -3383,6 +3443,7 @@ class IncrementalRunner:
             spec, condition, transform, prune=prune, op="update"
         )
 
+    @_records_op("MERGE")
     def merge_into(
         self,
         spec: ModelSpec,
@@ -3789,6 +3850,70 @@ class IncrementalRunner:
         )
         return result
 
+    def history(self, name: str) -> list[dict]:
+        """``DESCRIBE HISTORY`` analogue: newest-first commit records from
+        the RETAINED manifest versions (vacuum trims history with the
+        snapshots it reclaims — the same availability bound Delta places
+        on its log). Metadata-only at any table size: counts come from the
+        version JSON / segment refs, no data file or segment is opened.
+        Each record: version, commit wall-clock ``ts``, the USER-level
+        ``op`` that produced it (None for pre-provenance manifests),
+        live partition/file counts, and pending DV / change-data flags."""
+        mdir = self._manifest_dir(name)
+        if not os.path.isdir(mdir):
+            return []
+        out: list[dict] = []
+        for fn in sorted(os.listdir(mdir), reverse=True):
+            if not re.fullmatch(r"v\d{6}\.json", fn):
+                continue
+            try:
+                m = load_manifest_file(os.path.join(mdir, fn))
+            except (OSError, ValueError):
+                continue  # racing vacuum unlinked it between list and read
+            parts = m.get("partitions") or {}
+            if isinstance(parts, SegmentedMap):
+                n_files = sum(
+                    parts._refs[r]["n"]
+                    if r in parts._refs
+                    else len(parts._inline[r])
+                    for r in parts
+                )
+            else:
+                n_files = sum(len(v) for v in parts.values())
+            out.append(
+                {
+                    "version": m["version"],
+                    "ts": m.get("ts"),
+                    "op": m.get("op"),
+                    "n_partitions": len(parts),
+                    "n_files": n_files,
+                    "has_dv": bool((m.get("dv") or {}).get("files")),
+                    "has_cdc": m.get("cdc") is not None,
+                    "txn": dict((m.get("meta") or {}).get("txn") or {}),
+                }
+            )
+        return out
+
+    def version_at_timestamp(self, name: str, ts: float) -> int:
+        """Resolve ``timestampAsOf`` to a version: the LATEST retained
+        commit whose wall-clock stamp is <= ``ts`` (Delta's rule). Raises
+        when ``ts`` precedes every retained commit — reading further back
+        would silently serve the wrong snapshot."""
+        best = None
+        for rec in self.history(name):
+            if rec["ts"] is None or rec["ts"] > ts:
+                continue
+            if best is None or rec["version"] > best:
+                best = rec["version"]
+        if best is None:
+            raise RuntimeError(
+                f"{name}: no committed version at or before timestamp "
+                f"{ts} (earliest retained commit is newer, or the table "
+                "predates commit provenance)"
+            )
+        return best
+
+    @_records_op("RESTORE")
     def restore(self, name: str, version: int) -> dict:
         """``RESTORE TABLE ... TO VERSION`` (Delta): commit a NEW version
         whose file set IS the old snapshot's — metadata-only, no data
@@ -3818,6 +3943,7 @@ class IncrementalRunner:
         self._vacuum(name, new)
         return {"restored_to": version, "version": new["version"]}
 
+    @_records_op("CLONE")
     def clone_shallow(
         self, src: str, dst: str, *, version: int | None = None
     ) -> dict:
@@ -3906,6 +4032,7 @@ class IncrementalRunner:
         stats = self.run(dataclasses.replace(spec, build=observed_build), sf_dir, **kw)
         return stats, dict(obs.get)
 
+    @_records_op("WRITE")
     def backfill(
         self,
         spec: ModelSpec,
@@ -4016,6 +4143,7 @@ class IncrementalRunner:
             "partitions_rewritten": swapped,
         }
 
+    @_records_op("OPTIMIZE")
     def compact(
         self,
         name: str,

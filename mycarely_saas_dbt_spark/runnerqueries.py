@@ -1628,6 +1628,56 @@ ORDER BY o_orderkey
 """
 
 
+def time_travel_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timestampAsOf`` time travel + ``DESCRIBE HISTORY`` (r11): every
+    manifest commit is stamped with wall-clock ts and the USER-level
+    operation at the public API boundary (Delta's commitInfo analogue —
+    recorded thread-locally so shared writers stay parameter-free and
+    compound operations label the outermost intent). Bootstrap (WRITE),
+    capture t1, then cow UPDATE and cow DELETE; the returned frame is the
+    ``timestamp_as_of=t1`` read — Delta's resolution rule (latest retained
+    commit at-or-before the timestamp) must land on v1, so a travel path
+    that reads the current snapshot flips the hash on both the updated
+    prices and the deleted keys. History is asserted in-entry: newest-first
+    [DELETE, UPDATE, WRITE] with nondecreasing stamps, resolved
+    metadata-only (version JSONs, no data file opened)."""
+    import time as _time
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_ttravel_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        # history/time travel reach only as far as the retained log —
+        # keep every version of this three-commit fixture readable
+        runner.RETAIN_VERSIONS = 10
+        spec = _dml_boot_spec("tt_orders")
+        runner.run(spec, sf_dir)
+        t1 = _time.time()
+        _time.sleep(0.02)  # commits stamp sub-ms apart; separate them
+        runner.update_where(
+            spec, "o_orderkey % 10 = 3", {"o_totalprice": "o_totalprice + 1000"}
+        )
+        runner.delete_where(spec, "o_orderkey % 7 = 2")
+        h = runner.history("tt_orders")
+        assert [r["op"] for r in h] == ["DELETE", "UPDATE", "WRITE"], h
+        assert h[0]["ts"] >= h[1]["ts"] >= h[2]["ts"]
+        assert runner.version_at_timestamp("tt_orders", t1) == 1
+        return materialize(
+            runner.read_target("tt_orders", timestamp_as_of=t1)
+            .orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_TIME_TRAVEL_HISTORY = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def streaming_admission_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion admission control (r7): stateless quality gate
     + per-source quota via one-counter GroupState, drained with
@@ -1828,6 +1878,7 @@ def register_queries(register) -> None:
     register("merge_schema_evolution", merge_schema_evolution, O_MERGE_EVOLUTION)
     register("cdf_schema_evolution", cdf_schema_evolution, O_CDF_EVOLUTION)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
+    register("time_travel_history", time_travel_history, O_TIME_TRAVEL_HISTORY)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(
         "streaming_admission_quota",

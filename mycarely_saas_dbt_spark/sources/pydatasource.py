@@ -1841,6 +1841,207 @@ FROM live GROUP BY day ORDER BY day
 """
 
 
+def q_streaming_ivm_join(spark, sf_dir: str):
+    """Exact INCREMENTAL VIEW MAINTENANCE of a two-table JOIN (r11) —
+    the delta-join algebra (ΔJ = ΔF ⋈ D' ∪ F' ⋈ ΔD) on top of the
+    four-type change feed, completing the IVM story past additive
+    aggregates (`streaming_ivm_aggregate`): a materialized view
+    `mv = fact ⋈ dim` keyed by the fact key follows BOTH base tables
+    through ONE streaming query — the two `mycarely_manifest_cdf`
+    sources union into a single tagged feed, so a microbatch carries
+    either side's (or both sides') netted changes.
+
+    Per batch the sink recomputes exactly the AFFECTED SLICE:
+
+        K = keys(ΔF) ∪ keys(F' ⋉ cks(ΔD))     -- fact keys whose MV row
+                                                -- could have changed
+        new = (F' ⋉ K) ⋈ D'                     -- fresh rows for K
+        apply = K ⟕ new                          -- unmatched → tombstone
+
+    and merges it with the idempotent txn ledger. Both probe sets (ΔF
+    keys, ΔD keys) are change-proportional and broadcast; the one
+    base-side read the algebra genuinely requires (F' ⋉ ΔD — Delta/DBSP
+    pay it too) is a semi-join a ck-partitioned fact or secondary index
+    would prune further. MV rows whose dim row disappears tombstone via
+    the merge's delete split — the view never keeps a dangling join row.
+
+    Waves: bootstrap both tables -> dim cow UPDATE (seg re-labels flow
+    to every joined row) -> fact cow UPDATE (amt AND the join key ck
+    move) + fact cow DELETE caught up by ONE hop (netted two-version
+    range; rows hit by both net to a delete) -> dim cow DELETE (ck=3)
+    and a fact insert wave landing in the SAME microbatch (existing
+    ck=3 join rows tombstone while the simultaneous ck=3 inserts find
+    no dim and stay out) -> replay hop asserted a zero-commit no-op. Final MV hash-matches the join over the final live states of
+    both tables, derived arithmetically in the oracle — integer-exact,
+    so one stale or dangling row flips the hash."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+    from ..util import materialize
+
+    root = tempfile.mkdtemp(prefix="mycarely_ivmj_")
+    runner = IncrementalRunner(spark, root)
+    # the mutate hop catches up TWO fact commits at once — retention must
+    # cover the consumer's deepest lag (Delta's log-retention contract)
+    runner.RETAIN_VERSIONS = 4
+    register_manifest_cdf_source(spark)
+
+    def fact_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 20).alias("ck"),
+                ((F.col("id") * F.col("id")) % 1000).alias("amt"),
+                (F.col("id") % 8).alias("kb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        return b
+
+    def dim_build(sp, sfd, wm):
+        rows = sp.range(20).select(
+            F.col("id").alias("ck"), (F.col("id") % 5).alias("seg")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("ck") > F.lit(wm))
+        return rows
+
+    fact_spec = ModelSpec(
+        "ivmj_fact", "k", "k", fact_build(300), partition_by=["kb"],
+        change_data=True,
+    )
+    dim_spec = ModelSpec("ivmj_dim", "ck", "ck", dim_build, change_data=True)
+    mv_spec = ModelSpec(
+        "ivmj_mv", "k", "k", None, partition_by=["kb"], tombstone_col="__del",
+    )
+
+    def cdf(model):
+        return (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", model)
+            .option("key", "k" if model == "ivmj_fact" else "ck")
+            .option("preimages", "true")
+            .load()
+        )
+
+    def hop():
+        fs = cdf("ivmj_fact").select(
+            "k", "ck", F.lit("fact").alias("_src"), "_change_type"
+        )
+        ds = cdf("ivmj_dim").select(
+            F.lit(None).cast("long").alias("k"), "ck",
+            F.lit("dim").alias("_src"), "_change_type",
+        )
+        stream = fs.unionByName(ds)
+
+        def sink(batch_df, bid):
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                fc_keys = (
+                    rows.filter(F.col("_src") == "fact")
+                    .select("k").distinct()
+                )
+                d_cks = (
+                    rows.filter(F.col("_src") == "dim")
+                    .select("ck").distinct()
+                )
+                fact = runner.read_target("ivmj_fact")
+                dim = runner.read_target("ivmj_dim")
+                k_dim = fact.join(F.broadcast(d_cks), "ck", "semi").select("k")
+                keys = fc_keys.unionByName(k_dim).distinct()
+                new = (
+                    fact.join(F.broadcast(keys), "k", "semi")
+                    .join(dim, "ck", "inner")
+                    .select("k", "ck", "amt", "seg")
+                )
+                apply = keys.join(new, "k", "left").select(
+                    "k", "ck", "amt", "seg",
+                    (F.col("k") % 8).alias("kb"),
+                    F.col("ck").isNull().alias("__del"),
+                )
+                runner.merge_txn(
+                    mv_spec, apply, app_id="ivmj", txn_version=bid
+                )
+            finally:
+                rows.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_ivmj")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    runner.run(fact_spec, sf_dir)                        # bootstrap both
+    runner.run(dim_spec, sf_dir)
+    hop()                                                # MV = full join
+    runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
+    hop()                                                # F' ⋈ ΔD arm
+    runner.update_where(                                 # join key MOVES
+        fact_spec, "k % 9 = 2",
+        {"amt": "amt + 5000", "ck": "(ck + 7) % 20"},
+    )
+    runner.delete_where(fact_spec, "k % 13 = 4")         # cow DELETE
+    hop()                                                # one netted catch-up
+    runner.delete_where(dim_spec, "ck = 3")              # dangling rows out
+    runner.run(                                          # insert wave 2
+        dataclasses.replace(fact_spec, build=fact_build(600)), sf_dir
+    )
+    hop()  # BOTH sources in one microbatch: existing ck=3 rows tombstone
+    #        and the simultaneous ck=3 inserts find no dim and stay out
+    v_mv = runner.current_manifest("ivmj_mv")["version"]
+    hop()                                                # replay: no-op
+    assert runner.current_manifest("ivmj_mv")["version"] == v_mv
+
+    out = materialize(
+        runner.read_target("ivmj_mv")
+        .select("k", "ck", "amt", "seg")
+        .orderBy("k")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_IVM_JOIN = """
+WITH f0 AS (
+    SELECT i AS k, i % 20 AS ck, (i * i) % 1000 AS amt
+    FROM UNNEST(range(0, 600)) AS u(i)
+),
+f1 AS (
+    -- the cow UPDATE then cow DELETE hit only the bootstrap rows (k<300);
+    -- wave-2 inserts (k>=300) arrived after both and are raw
+    SELECT k,
+           CASE WHEN k < 300 AND k % 9 = 2 THEN (ck + 7) % 20 ELSE ck END
+               AS ck,
+           CASE WHEN k < 300 AND k % 9 = 2 THEN amt + 5000 ELSE amt END
+               AS amt
+    FROM f0
+    WHERE NOT (k < 300 AND k % 13 = 4)
+),
+d1 AS (
+    SELECT ck,
+           CASE WHEN ck % 4 = 1 THEN seg + 10 ELSE seg END AS seg
+    FROM (
+        SELECT i AS ck, i % 5 AS seg FROM UNNEST(range(0, 20)) AS u(i)
+    )
+    WHERE ck <> 3
+)
+SELECT f1.k AS k, f1.ck AS ck, f1.amt AS amt, d1.seg AS seg
+FROM f1 JOIN d1 USING (ck)
+ORDER BY k
+"""
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
@@ -1858,3 +2059,4 @@ def register_queries(register) -> None:
     register(
         "streaming_ivm_aggregate", q_streaming_ivm_aggregate, O_IVM_AGG
     )
+    register("streaming_ivm_join", q_streaming_ivm_join, O_IVM_JOIN)

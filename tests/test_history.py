@@ -1,0 +1,133 @@
+"""Commit provenance (``DESCRIBE HISTORY`` analogue) and ``timestampAsOf``
+time travel.
+
+Contracts under test:
+  * every manifest commit is stamped with a wall-clock ``ts`` and the
+    USER-level operation recorded at the public API boundary (thread-local
+    scope — shared writers stay parameter-free, compound operations label
+    the OUTERMOST intent, like Delta's commitInfo);
+  * stamps are FORCE-set at the commit chokepoint, so manifests built by
+    copying an older version (RESTORE, CLONE, commit_meta) describe their
+    OWN commit, never the one they copied;
+  * ``history()`` is metadata-only (version JSONs / segment refs, no data
+    file opened) and newest-first;
+  * ``read_target(timestamp_as_of=)`` resolves Delta's rule — the latest
+    retained commit at or before the timestamp — and refuses timestamps
+    that precede every retained commit.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def target_root(tmp_path):
+    p = str(tmp_path / "target")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _spec(name="hist_t"):
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    def build(sp, sfd, wm):
+        rows = sp.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    return ModelSpec(name, "k", "k", build)
+
+
+def _runner(spark, root, retain=10):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    r = IncrementalRunner(spark, root)
+    r.RETAIN_VERSIONS = retain  # keep full history for the assertions
+    return r
+
+
+def test_history_records_ops_newest_first(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+    assert r.history("hist_t") == []  # no table yet
+    r.run(spec, SF_DIR)
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 100"})
+    r.delete_where(spec, "k % 9 = 4")
+    h = r.history("hist_t")
+    assert [rec["version"] for rec in h] == [3, 2, 1]
+    assert [rec["op"] for rec in h] == ["DELETE", "UPDATE", "WRITE"]
+    ts = [rec["ts"] for rec in h]
+    assert all(t is not None for t in ts)
+    assert ts[0] >= ts[1] >= ts[2]
+    assert all(rec["n_files"] > 0 for rec in h)
+    assert not any(rec["has_dv"] for rec in h)
+
+
+def test_timestamp_as_of_resolves_delta_rule(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)
+    t1 = time.time()
+    time.sleep(0.02)  # commits stamp sub-ms apart; separate them
+    r.delete_where(spec, "k >= 50")
+    # at-or-before t1 -> v1 snapshot, byte-identical to version=1
+    old = r.read_target("hist_t", timestamp_as_of=t1)
+    assert old.count() == 100
+    v1 = r.read_target("hist_t", version=1)
+    assert sorted(old.collect()) == sorted(v1.collect())
+    # far future clamps to the current snapshot
+    now = r.read_target("hist_t", timestamp_as_of=time.time() + 3600)
+    assert now.count() == 50
+    # before the first retained commit: refuse, never serve a wrong snapshot
+    with pytest.raises(RuntimeError, match="at or before timestamp"):
+        r.read_target("hist_t", timestamp_as_of=t1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        r.read_target("hist_t", version=1, timestamp_as_of=t1)
+
+
+def test_copied_manifests_stamp_their_own_commit(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)
+    r.delete_where(spec, "k >= 80")
+    before = time.time()
+    r.restore("hist_t", 1)
+    h = r.history("hist_t")
+    assert h[0]["op"] == "RESTORE"
+    assert h[0]["ts"] >= before  # fresh stamp, not v1's copied one
+    r.clone_shallow("hist_t", "hist_clone")
+    hc = r.history("hist_clone")
+    assert [rec["op"] for rec in hc] == ["CLONE"]
+    # metadata-only commit labels itself too
+    r.commit_meta("hist_t", {**(r.current_manifest("hist_t")["meta"] or {})}
+                  if r.current_manifest("hist_t").get("meta") else {})
+    assert r.history("hist_t")[0]["op"] == "SET TBLPROPERTIES"
+
+
+def test_compound_op_labels_outermost_intent(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)
+    r.compact("hist_t")  # internally commits through shared writers
+    assert r.history("hist_t")[0]["op"] == "OPTIMIZE"
+    r.merge_txn(
+        spec,
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit(999).alias("v")
+        ),
+        app_id="hist_app",
+        txn_version=1,
+    )
+    h = r.history("hist_t")
+    assert h[0]["op"] == "STREAMING UPDATE"
+    assert h[0]["txn"] == {"hist_app": 1}
