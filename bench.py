@@ -100,11 +100,14 @@ EXTENSION_QUERIES = [
     "ann_index_retrain_recall",
     "interval_bin_join",
     "mm_image_decode",
-    # r11: the tiered (background) segment-merge lifecycle; the two
-    # other r11 entries are stream-machinery / fixture-only
-    # (streaming_ann_maintenance, cdf_schema_evolution) and stay out of
-    # the bench per the medallion rule — tracked in CORRECTNESS only
+    # r11: the tiered (background) segment-merge lifecycle and the
+    # timestampAsOf/history fixture (DML + metadata-only resolution);
+    # the streaming r11 entries (streaming_ann_maintenance,
+    # streaming_bm25_maintenance, streaming_ivm_join,
+    # cdf_schema_evolution) are stream-machinery wall time and stay out
+    # of the bench per the medallion rule — tracked in CORRECTNESS only
     "bm25_index_tiered_search",
+    "time_travel_history",
 ]
 
 # Lifecycle entries (build -> mutate -> query fixtures): their wall time

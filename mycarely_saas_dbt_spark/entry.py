@@ -259,6 +259,17 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # `cdf_table_changes` (4 artifacts; the batch feed is a strict
 # sub-shape of the in-window `cdf_schema_evolution`, which nets the
 # same table_changes read across a schema-evolution boundary).
+# Two more r11 builds join late: `streaming_ivm_join` (exact delta-join
+# maintenance of a fact⋈dim MV over a UNION of both tables' change
+# feeds — the IVM story past additive aggregates) in the slot of
+# `profile_table` (2 artifacts r9+r10; its approx sibling
+# profile_table_approx stays in-window and the exact profiler keeps
+# pytest + the full-sweep oracle), and `time_travel_history`
+# (timestampAsOf resolution + DESCRIBE HISTORY provenance — a travel
+# path that reads the current snapshot flips the hash) in the slot of
+# `dv_delete_read` (2 artifacts r9+r10; the DV family stays in-window
+# via the strictly harder dv_pos_reinsert_read, and key-mode DV keeps
+# its writer matrix + oracle in pytest/full sweep).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -302,12 +313,10 @@ DRIVER_WINDOW = [
     "bm25_index_delete_aware",
     # r9 rotation (VERDICT r8 item 4 — the seven never-artifacted r8
     # entries; hybrid_rrf_search enters POST the committed-prior fix)
-    "dv_delete_read",
     "gen_prune_read",
     "merge_schema_evolution",
     "semdedup",
     "hybrid_rrf_search",
-    "profile_table",
     "medallion_multihop",
     # r9 new builds (VERDICT r8 items 3, 5, 7)
     "ann_index_delete_aware",
@@ -335,6 +344,9 @@ DRIVER_WINDOW = [
     "dml_restore_clone",
     "sessionize_session_window",
     "lead_activities_agg_maxby",
+    # r11 late builds (IVM past aggregates; commit provenance)
+    "streaming_ivm_join",
+    "time_travel_history",
 ]
 
 

@@ -45,9 +45,12 @@ def test_driver_window_covers_llm_pipeline_surface():
         "incremental_two_batch_upsert", "incremental_td_two_batch",
         "incremental_la_two_batch",
         "streaming_sessionize",
-        # r9 lakehouse + profiling first-timers
-        "dv_delete_read", "gen_prune_read", "merge_schema_evolution",
-        "profile_table", "profile_table_approx", "medallion_multihop",
+        # r9 lakehouse + profiling first-timers (r11: dv_delete_read and
+        # profile_table demoted — the DV family stays via the strictly
+        # harder dv_pos_reinsert_read, the profiler via its approx
+        # sibling; justifications in entry.py)
+        "gen_prune_read", "merge_schema_evolution",
+        "profile_table_approx", "medallion_multihop",
         "streaming_cdf_propagate",
         # r6 first-time artifact coverage still windowed after r11
         # (r11 demotions: line_dedup, asof_join_spend_cogroup — dedup
@@ -80,6 +83,8 @@ def test_driver_window_covers_llm_pipeline_surface():
         "streaming_bm25_maintenance",
         "cdf_schema_evolution", "skew_salted_join", "dml_restore_clone",
         "sessionize_session_window", "lead_activities_agg_maxby",
+        # r11 late builds: delta-join IVM and commit provenance
+        "streaming_ivm_join", "time_travel_history",
     }
     assert must_have <= first50
 
