@@ -164,6 +164,34 @@ def _manifest_json(root: str, model: str, version: int) -> dict | None:
     return load_manifest_file(p)
 
 
+def _version_before_timestamp(root: str, model: str, ts: float) -> int:
+    """Delta's CDF ``startingTimestamp`` rule: stream every change
+    committed AT OR AFTER ``ts`` — i.e. start one version BEFORE the
+    first commit whose provenance stamp is >= ts. When ts is later than
+    every retained commit, start at CURRENT (only future commits
+    stream). When the whole retained history qualifies, this resolves to
+    the version before the earliest retained commit: 0 means the
+    snapshot bootstrap (correct — nothing preceded it), while a vacuumed
+    intermediate anchor raises the existing retention error in
+    partitions(), Delta's changes-no-longer-available behavior."""
+    import os
+    import re as _re
+
+    mdir = os.path.join(root, model, "_manifest")
+    if not os.path.isdir(mdir):
+        return 0
+    vers = sorted(
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := _re.fullmatch(r"v(\d{6})\.json", f))
+    )
+    for v in vers:
+        m = _manifest_json(root, model, v)
+        if m is not None and m.get("ts") is not None and m["ts"] >= ts:
+            return v - 1
+    return _manifest_current_version(root, model)
+
+
 def _manifest_current_version(root: str, model: str) -> int:
     import os
 
@@ -477,6 +505,16 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         super().__init__(options)
         self.key = options["key"]
         self.start_version = int(options.get("startingversion", 0))
+        st = options.get("startingtimestamp")
+        if st is not None:
+            if options.get("startingversion") is not None:
+                raise ValueError(
+                    f"{self.model}: pass startingversion OR "
+                    "startingtimestamp, not both"
+                )
+            self.start_version = _version_before_timestamp(
+                self.root, self.model, float(st)
+            )
         # cap on one netting task's change-file bytes (the packer groups
         # whole buckets up to this); option `cdfTaskTargetBytes`
         self.task_target_bytes = int(

@@ -577,6 +577,55 @@ def test_manifest_cdf_startingversion_skips_history(spark, tmp_path):
     assert _cdf_rows(r, 1, 2) == [(2, d1, 2, "delete")]
 
 
+def test_manifest_cdf_startingtimestamp_resolves_delta_rule(spark, tmp_path):
+    """`startingTimestamp` (Delta CDF): stream every change committed AT
+    OR AFTER the timestamp — resolved against the commit-provenance
+    stamps to one version BEFORE the first qualifying commit. Earlier
+    than all history -> snapshot bootstrap (version 0); later than all
+    history -> CURRENT (only future commits); both options refuse."""
+    import datetime as dt
+    import time
+
+    import pytest
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    root = str(tmp_path / "tgt")
+    runner = IncrementalRunner(spark, root)
+    d1 = dt.date(2024, 1, 1)
+    spec = ModelSpec(
+        "t",
+        "k",
+        "day",
+        lambda sp, sfd, wm: _mk_kdv(sp, [(i, d1, i) for i in range(6)]),
+        partition_by=["day"],
+    )
+    runner.run(spec, "x")  # v1
+    t_mid = time.time()
+    time.sleep(0.02)
+    runner.delete_where(spec, "k = 2")  # v2
+
+    def rd(**extra):
+        return ManifestCDFStreamReader(
+            {"root": root, "model": "t", "key": "k", **extra}
+        )
+
+    r = rd(startingtimestamp=t_mid)  # first qualifying commit is v2
+    assert r.initialOffset() == {"version": 1}
+    assert _cdf_rows(r, 1, 2) == [(2, d1, 2, "delete")]
+    # earlier than every commit: whole history incl. the v1 bootstrap
+    assert rd(startingtimestamp=t_mid - 3600).initialOffset() == {"version": 0}
+    # later than every commit: only future commits stream
+    assert rd(startingtimestamp=time.time() + 3600).initialOffset() == {
+        "version": 2
+    }
+    with pytest.raises(ValueError, match="not both"):
+        rd(startingtimestamp=t_mid, startingversion=1)
+
+
 def test_manifest_cdf_handles_schema_evolution(spark, tmp_path, monkeypatch):
     """A CDF batch spanning a MERGE schema evolution must NULL-fill the
     evolved column for pre-evolution row images (the reader reindexes
