@@ -270,6 +270,15 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # `dv_delete_read` (2 artifacts r9+r10; the DV family stays in-window
 # via the strictly harder dv_pos_reinsert_read, and key-mode DV keeps
 # its writer matrix + oracle in pytest/full sweep).
+# And a third: `rename_column_lifecycle` (column mapping — metadata-only
+# RENAME, refusal-while-pending, compact absorption, post-absorb DML all
+# hash-gated in one entry) in the slot of `medallion_multihop`
+# (2 artifacts r9+r10, ~40s of stream machinery; its constituent shapes
+# stay in-window — manifest tailing via streaming_cdf_propagate and the
+# three index-maintenance streams, idempotent txn-ledger sinks via every
+# merge_txn-based maintenance sink, multi-hop change propagation via
+# streaming_ivm_join's two-source feed — and it keeps pytest + the full
+# sweep oracle).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -317,7 +326,6 @@ DRIVER_WINDOW = [
     "merge_schema_evolution",
     "semdedup",
     "hybrid_rrf_search",
-    "medallion_multihop",
     # r9 new builds (VERDICT r8 items 3, 5, 7)
     "ann_index_delete_aware",
     "streaming_cdf_propagate",
@@ -344,9 +352,11 @@ DRIVER_WINDOW = [
     "dml_restore_clone",
     "sessionize_session_window",
     "lead_activities_agg_maxby",
-    # r11 late builds (IVM past aggregates; commit provenance)
+    # r11 late builds (IVM past aggregates; commit provenance; column
+    # mapping)
     "streaming_ivm_join",
     "time_travel_history",
+    "rename_column_lifecycle",
 ]
 
 

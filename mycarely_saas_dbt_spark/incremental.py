@@ -848,6 +848,11 @@ class IncrementalRunner:
             # whitelist), so day=CAST(ts AS DATE) partitions statically
             # prune from a ts range without the caller knowing the layout
             bounds = _translate_generated_bounds(bounds, gen_meta)
+        colmap = manifest.get("colmap") or {}
+        if colmap and bounds:
+            # column mapping: stats stay keyed by the PHYSICAL names the
+            # files were written with — translate logical prune bounds
+            bounds = {colmap.get(c, c): b for c, b in bounds.items()}
 
         def after(a, b) -> bool:
             """a strictly after b. ISO strings are compared on their COMMON
@@ -1079,10 +1084,21 @@ class IncrementalRunner:
                 suffix = os.sep + rel + suffix
             base = fp[: -len(suffix)] if fp.endswith(suffix) else os.path.dirname(fp)
             groups.setdefault(base, []).append(fp)
+        # column mapping (RENAME COLUMN without rewrite): the files carry
+        # PHYSICAL names — read under the physical schema, then alias to
+        # the logical names at this one chokepoint. Partition columns are
+        # never mapped (rename_column refuses them), so hive-path
+        # resolution is untouched.
+        colmap = manifest.get("colmap") or {}
         reader = self.spark.read
         if dtypes:
+            sch = (
+                [(colmap.get(n, n), t) for n, t in dtypes]
+                if colmap
+                else dtypes
+            )
             reader = reader.schema(
-                ", ".join(f"`{n}` {t}" for n, t in dtypes)
+                ", ".join(f"`{n}` {t}" for n, t in sch)
             )
         dfs = [
             reader.option("basePath", base).parquet(*fps)
@@ -1091,6 +1107,10 @@ class IncrementalRunner:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
+        if colmap and dtypes:
+            out = out.select(
+                *[F.col(colmap.get(n, n)).alias(n) for n, _t in dtypes]
+            )
         return out
 
     @staticmethod
@@ -1398,6 +1418,15 @@ class IncrementalRunner:
         m_from = self._manifest_at(name, from_version)
         if m_from is None:
             raise RuntimeError(f"{name}: no committed version {from_version}")
+        if m_from.get("colmap"):
+            # the snapshot diff reads files under the CURRENT logical
+            # dtypes — physical-named files would misalign (NULL-fill the
+            # renamed column, fabricate updates); Delta likewise blocks
+            # feeds across column-mapping changes without schema tracking
+            raise RuntimeError(
+                f"{name}: change feed over a column-mapped table is not "
+                "supported — absorb the mapping (compact) first"
+            )
         m_to = (
             self._manifest_at(name, to_version)
             if to_version is not None
@@ -1405,6 +1434,11 @@ class IncrementalRunner:
         )
         if m_to is None:
             raise RuntimeError(f"{name}: no committed target")
+        if m_to.get("colmap"):
+            raise RuntimeError(
+                f"{name}: change feed over a column-mapped table is not "
+                "supported — absorb the mapping (compact) first"
+            )
         fast = self._table_changes_from_files(
             name, key, m_from, m_to, preimages=preimages
         )
@@ -1674,6 +1708,13 @@ class IncrementalRunner:
             _run_hooks(spec.pre_hook)
 
         incremental = self.target_exists(spec.name) and not full_refresh
+        if incremental:
+            # (a FULL REFRESH is allowed: it rewrites every file under the
+            # logical names and its fresh manifest absorbs the mapping)
+            self._require_no_colmap(
+                spec.name, self.current_manifest(spec.name),
+                "incremental merge",
+            )
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None
         new = spec.build(self.spark, sf_dir, wm)
         tomb = None
@@ -2476,6 +2517,10 @@ class IncrementalRunner:
         vector forward and rewritten partitions absorb their share of it
         (target read is through the vector), which the read-time anti-join
         then no-ops over."""
+        self._require_no_colmap(
+            spec.name, self.current_manifest(spec.name),
+            "partition-scoped merge",
+        )
         final = self.target_path(spec.name)
         depth = len(spec.partition_by)
         stage = f"{final}.stage-{uuid.uuid4().hex[:8]}"
@@ -2694,6 +2739,7 @@ class IncrementalRunner:
             raise RuntimeError(
                 f"{name}: row-level {op} needs a manifest-committed target"
             )
+        self._require_no_colmap(name, live, f"row-level {op}")
         # positional vector: CoW DML proceeds — the candidate scan and
         # the rewrite read THROUGH the vector, so rewritten files absorb
         # their share physically; carried entries over the replaced
@@ -2831,6 +2877,7 @@ class IncrementalRunner:
         (compaction, DV absorption) with an empty change descriptor, so
         change-feed readers skip them without diffing anything."""
         name = spec.name
+        self._require_no_colmap(name, live, "copy-on-write file rewrite")
         root = self.target_path(name)
         dtypes = dtypes_out if dtypes_out is not None else live.get("dtypes")
         part_by = list(live.get("partition_by") or [])
@@ -2943,6 +2990,7 @@ class IncrementalRunner:
         if live is None:
             raise RuntimeError(f"{name}: replace_rels needs a committed target")
         self._require_no_dv(name, live, "replace_rels")
+        self._require_no_colmap(name, live, "replace_rels")
         root = self.target_path(name)
         touched = set(
             self.resolved_files(name, rels=list(rels), manifest=live)
@@ -3075,6 +3123,23 @@ class IncrementalRunner:
             .drop("__dv_f", "__dv_p")
         )
 
+    def _require_no_colmap(
+        self, name: str, manifest: dict | None, op: str
+    ) -> None:
+        """Partition/file-scoped writers refuse while a column mapping is
+        pending: they would rewrite SOME files with logical column names
+        while untouched files keep physical names, and the manifest's one
+        GLOBAL mapping cannot describe a mixed layout (Delta's field-id
+        mode can; this is name mode). Full rewrites are safe and ABSORB
+        the mapping — compact() or a full refresh is the documented
+        materialization path."""
+        if manifest and manifest.get("colmap"):
+            raise RuntimeError(
+                f"{name}: {op} refused while a column mapping is pending — "
+                "it would mix physical column names across files; run "
+                "compact() (or a full refresh) to absorb the mapping first"
+            )
+
     def _require_no_dv(
         self,
         name: str,
@@ -3150,6 +3215,7 @@ class IncrementalRunner:
         live = self.current_manifest(name)
         if live is None:
             raise RuntimeError(f"{name}: DV delete needs a manifest-committed target")
+        self._require_no_colmap(name, live, "deletion-vector DELETE")
         if not spec.unique_key:
             raise RuntimeError(f"{name}: DV delete needs a unique_key (row identity)")
         key = spec.unique_key
@@ -3507,6 +3573,7 @@ class IncrementalRunner:
         live = self.current_manifest(name)
         if live is None:
             raise RuntimeError(f"{name}: MERGE needs a manifest-committed target")
+        self._require_no_colmap(name, live, "MERGE INTO")
         # Pending deletion vector (VERDICT r8 item 6): INSERT-ONLY merges
         # compose safely — dead rows are invisible to the match (the
         # anti-join reads through the vector, Delta's position-DV
@@ -3894,6 +3961,77 @@ class IncrementalRunner:
             )
         return out
 
+    @_records_op("RENAME COLUMN")
+    def rename_column(self, name: str, old: str, new: str) -> dict:
+        """``ALTER TABLE ... RENAME COLUMN`` without rewriting a byte of
+        data — Delta's columnMapping in name mode: the commit updates the
+        LOGICAL schema and records a logical->physical name map
+        (``colmap``); every data file carries forward BY NAME with its
+        physical column names intact. Readers translate at the one scan
+        chokepoint (``_read_files``: read under the physical schema,
+        alias to logical) and stats stay keyed by physical name with
+        pruning bounds translated (``resolved_files``). Renaming back to
+        the physical name drops the identity entry — an unmapped table
+        stays unmapped.
+
+        Refusals (each a contract, not a gap): partition columns (the
+        dir names ARE the physical layout), pending deletion vectors,
+        change-data tables (committed change files carry physical names
+        the feed readers would misalign), and columns referenced by
+        generated-column definitions. While a mapping pends,
+        partition/file-scoped writers refuse (``_require_no_colmap``);
+        ``compact()`` or a full refresh absorbs it. Callers own renaming
+        any ModelSpec fields (unique_key/watermark_col) they pass to
+        later operations — the manifest records table state, not specs."""
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: rename needs a committed target")
+        dtypes = [list(p) for p in (live.get("dtypes") or [])]
+        if not dtypes:
+            raise RuntimeError(f"{name}: rename needs a committed schema")
+        names = [n for n, _ in dtypes]
+        if old not in names:
+            raise RuntimeError(f"{name}: unknown column {old!r}")
+        if new in names:
+            raise RuntimeError(f"{name}: column {new!r} already exists")
+        if old in (live.get("partition_by") or []):
+            raise RuntimeError(
+                f"{name}: cannot rename partition column {old!r} — the "
+                "hive dir names are the physical layout"
+            )
+        self._require_no_dv(name, live, "rename column")
+        if live.get("cdc") is not None:
+            raise RuntimeError(
+                f"{name}: cannot rename a column on a change-data table — "
+                "its committed change files carry physical column names"
+            )
+        gen = (live.get("meta") or {}).get("generated_columns") or {}
+        touched_gen = [
+            g for g, d in gen.items()
+            if old == g or old in str(d)
+        ]
+        if touched_gen:
+            raise RuntimeError(
+                f"{name}: column {old!r} is referenced by generated "
+                f"column(s) {touched_gen} — drop or rewrite them first"
+            )
+        colmap = dict(live.get("colmap") or {})
+        colmap[new] = colmap.pop(old, old)
+        colmap = {l: p for l, p in colmap.items() if l != p}
+        manifest = {k: v for k, v in live.items() if k not in ("version", "colmap")}
+        manifest["version"] = live["version"] + 1
+        manifest["dtypes"] = [
+            [new if n == old else n, t] for n, t in dtypes
+        ]
+        if colmap:
+            manifest["colmap"] = colmap
+        self._commit_manifest(name, manifest)
+        return {
+            "renamed": [old, new],
+            "version": manifest["version"],
+            "mapped": len(colmap),
+        }
+
     def version_at_timestamp(self, name: str, ts: float) -> int:
         """Resolve ``timestampAsOf`` to a version: the LATEST retained
         commit whose wall-clock stamp is <= ``ts`` (Delta's rule). Raises
@@ -3997,6 +4135,10 @@ class IncrementalRunner:
         }
         if m.get("meta") is not None:
             manifest["meta"] = m["meta"]
+        if m.get("colmap"):
+            # the clone references the SAME physical files — the mapping
+            # must travel with it or its reads misalign
+            manifest["colmap"] = m["colmap"]
         os.makedirs(self.target_path(dst), exist_ok=True)
         self._commit_manifest(dst, manifest)
         return {
@@ -4062,6 +4204,9 @@ class IncrementalRunner:
             )
         pcol = spec.partition_by[0]
         self._recover_orphan_versions(spec.name)
+        self._require_no_colmap(
+            spec.name, self.current_manifest(spec.name), "backfill"
+        )
         if not (self.target_exists(spec.name) and self._layout_is_partitioned(spec)):
             raise RuntimeError(
                 f"{spec.name}: backfill needs an existing partitioned target"

@@ -1678,6 +1678,57 @@ ORDER BY o_orderkey
 """
 
 
+def rename_column_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (r11) — ``RENAME COLUMN`` without rewriting data
+    (Delta columnMapping, name mode), exercised as a full lifecycle:
+    bootstrap -> rename o_totalprice->price METADATA-ONLY (asserted: the
+    committed file entries are identical BY NAME) -> a row-level UPDATE
+    refuses while the mapping pends (it would mix physical names across
+    files) -> compact() absorbs the mapping into logical-named files ->
+    the same UPDATE now lands against the renamed column. The final read
+    must show BOTH the rename and the post-absorb update, so a broken
+    translation, a silently-ignored refusal, or a lost mapping across
+    the compaction all flip the hash."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    root = tempfile.mkdtemp(prefix="mycarely_q_rename_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        spec = _dml_boot_spec("cm_orders")
+        runner.run(spec, sf_dir)
+        m1 = runner.current_manifest("cm_orders")
+        runner.rename_column("cm_orders", "o_totalprice", "price")
+        m2 = runner.current_manifest("cm_orders")
+        assert dict(m2["partitions"]) == dict(m1["partitions"])  # zero rewrite
+        try:
+            runner.update_where(
+                spec, "o_orderkey % 10 = 3", {"price": "price + 1000"}
+            )
+            raise AssertionError("pending column mapping must refuse DML")
+        except RuntimeError as e:
+            assert "column mapping is pending" in str(e)
+        runner.compact("cm_orders")  # absorb: files now carry logical names
+        assert "colmap" not in runner.current_manifest("cm_orders")
+        runner.update_where(
+            spec, "o_orderkey % 10 = 3", {"price": "price + 1000"}
+        )
+        return materialize(
+            runner.read_target("cm_orders").orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_RENAME_COLUMN = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+            ELSE o_totalprice END AS price,
+       o_orderdate, o_orderstatus
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def streaming_admission_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion admission control (r7): stateless quality gate
     + per-source quota via one-counter GroupState, drained with
@@ -1879,6 +1930,7 @@ def register_queries(register) -> None:
     register("cdf_schema_evolution", cdf_schema_evolution, O_CDF_EVOLUTION)
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
     register("time_travel_history", time_travel_history, O_TIME_TRAVEL_HISTORY)
+    register("rename_column_lifecycle", rename_column_lifecycle, O_RENAME_COLUMN)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(
         "streaming_admission_quota",

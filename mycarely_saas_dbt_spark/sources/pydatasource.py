@@ -230,6 +230,14 @@ class ManifestStreamReader(DataSourceStreamReader):
         cur = _manifest_json(
             self.root, self.model, _manifest_current_version(self.root, self.model)
         )
+        if (cur or {}).get("colmap"):
+            # column mapping: the files carry PHYSICAL names the stream
+            # would misalign against these logical dtypes — Delta likewise
+            # blocks streaming reads across column-mapping changes
+            raise RuntimeError(
+                f"{self.model}: streaming a column-mapped table is not "
+                "supported — absorb the mapping (compact) and restart"
+            )
         self.dtypes = (cur or {}).get("dtypes") or []
         self.partition_by = (cur or {}).get("partition_by") or []
 
@@ -544,6 +552,13 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         m_e = self._manifest_at(end["version"])
         if m_e is None:
             return [_CdfRelDiff("", [], [], [], [])]
+        if (m_e.get("colmap") or (m_s or {}).get("colmap")):
+            # a RENAME COLUMN landed mid-stream: the batch's files carry
+            # physical names these logical dtypes would misalign against
+            raise RuntimeError(
+                f"{self.model}: the change stream crossed a column-mapping "
+                "change — absorb the mapping (compact) and restart"
+            )
         dvk = ((m_e.get("dv") or {}).get("key"))
         if dvk is not None and dvk != self.key:
             raise RuntimeError(

@@ -1,0 +1,187 @@
+"""Column mapping (``ALTER TABLE ... RENAME COLUMN`` without rewriting
+data) — Delta's columnMapping in name mode over the manifest protocol.
+
+Contracts under test:
+  * rename is a metadata-only commit: every data file carries forward BY
+    NAME; readers translate at the one scan chokepoint (physical schema
+    in, logical aliases out);
+  * stats stay keyed by physical names and pruning translates bounds, so
+    file skipping on the renamed column keeps working;
+  * partition/file-scoped writers REFUSE while the mapping pends (they
+    would mix physical names across files); compact() absorbs it and
+    unfreezes them; renaming back to the physical name drops the map;
+  * shallow clones carry the mapping (same physical files); time travel
+    to a pre-rename version serves the old logical schema;
+  * change feeds and streams refuse over a mapped table (Delta's rule).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def target_root(tmp_path):
+    p = str(tmp_path / "target")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _spec(name="cm_t", partition_by=None, **kw):
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    def build(sp, sfd, wm):
+        rows = sp.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+            (F.col("id") % 4).alias("p"),
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    return ModelSpec(
+        name, "k", "k", build, partition_by=partition_by or [], **kw
+    )
+
+
+def _runner(spark, root):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    r = IncrementalRunner(spark, root)
+    r.RETAIN_VERSIONS = 10
+    return r
+
+
+def test_rename_is_metadata_only_and_reads_translate(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)
+    m1 = r.current_manifest("cm_t")
+    r.rename_column("cm_t", "v", "val")
+    m2 = r.current_manifest("cm_t")
+    # zero data movement: identical file entries, BY NAME
+    assert dict(m2["partitions"]) == dict(m1["partitions"])
+    assert [n for n, _ in m2["dtypes"]] == ["k", "val", "p"]
+    assert m2["colmap"] == {"val": "v"}
+    assert r.history("cm_t")[0]["op"] == "RENAME COLUMN"
+    df = r.read_target("cm_t")
+    assert df.columns == ["k", "val", "p"]
+    assert df.filter(F.col("val") == 3).count() == 14  # 3,10,...,94
+    # time travel to the pre-rename version serves the OLD logical schema
+    assert r.read_target("cm_t", version=1).columns == ["k", "v", "p"]
+
+
+def test_prune_translates_bounds_to_physical_stats(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+
+    def build(sp, sfd, wm):
+        # several files with disjoint k ranges so stats pruning bites
+        return (
+            sp.range(100)
+            .select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+                (F.col("id") % 4).alias("p"),
+            )
+            .repartitionByRange(4, "k")
+            .sortWithinPartitions("k")
+        )
+
+    import dataclasses
+
+    r.run(dataclasses.replace(spec, build=build), SF_DIR)
+    all_files = r.resolved_files("cm_t")
+    pruned_before = r.resolved_files("cm_t", prune={"k": (0, 10)})
+    assert len(pruned_before) < len(all_files)
+    r.rename_column("cm_t", "k", "key")
+    pruned_after = r.resolved_files("cm_t", prune={"key": (0, 10)})
+    assert sorted(pruned_after) == sorted(pruned_before)
+
+
+def test_writers_refuse_then_compact_absorbs(spark, target_root):
+    import dataclasses
+
+    r = _runner(spark, target_root)
+    spec = _spec(partition_by=["p"])
+    r.run(spec, SF_DIR)
+    r.rename_column("cm_t", "v", "val")
+    with pytest.raises(RuntimeError, match="column mapping is pending"):
+        r.update_where(spec, "k % 10 = 3", {"val": "val + 100"})
+    with pytest.raises(RuntimeError, match="column mapping is pending"):
+        r.delete_where(spec, "k % 9 = 4")
+    with pytest.raises(RuntimeError, match="column mapping is pending"):
+        r.run(spec, SF_DIR)  # partition-scoped incremental merge
+    with pytest.raises(RuntimeError, match="column mapping is pending"):
+        r.delete_where(spec, "k % 9 = 4", mode="dv")
+    r.compact("cm_t")  # full rewrite materializes logical names
+    m = r.current_manifest("cm_t")
+    assert "colmap" not in m
+    assert r.history("cm_t")[0]["op"] == "OPTIMIZE"
+    # unfrozen: DML works against the renamed column
+    r.update_where(spec, "k % 10 = 3", {"val": "val + 100"})
+    assert (
+        r.read_target("cm_t").filter(F.col("val") >= 100).count() == 10
+    )
+
+
+def test_rename_back_drops_mapping(spark, target_root):
+    r = _runner(spark, target_root)
+    r.run(_spec(), SF_DIR)
+    r.rename_column("cm_t", "v", "val")
+    r.rename_column("cm_t", "val", "v")
+    m = r.current_manifest("cm_t")
+    assert "colmap" not in m
+    assert [n for n, _ in m["dtypes"]] == ["k", "v", "p"]
+    # unmapped again: writers are free without any absorb
+    r.update_where(_spec(), "k = 1", {"v": "v + 1"})
+
+
+def test_clone_carries_mapping(spark, target_root):
+    r = _runner(spark, target_root)
+    r.run(_spec(), SF_DIR)
+    r.rename_column("cm_t", "v", "val")
+    r.clone_shallow("cm_t", "cm_clone")
+    df = r.read_target("cm_clone")
+    assert df.columns == ["k", "val", "p"]
+    assert df.count() == 100
+
+
+def test_rename_refusals(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec(partition_by=["p"])
+    r.run(spec, SF_DIR)
+    with pytest.raises(RuntimeError, match="partition column"):
+        r.rename_column("cm_t", "p", "bucket")
+    with pytest.raises(RuntimeError, match="unknown column"):
+        r.rename_column("cm_t", "nope", "x")
+    with pytest.raises(RuntimeError, match="already exists"):
+        r.rename_column("cm_t", "v", "k")
+    cd = _spec(name="cm_cd", change_data=True)
+    r.run(cd, SF_DIR)
+    # v1 bootstrap writes no change descriptor (its feed is served from
+    # the snapshot); the refusal keys on COMMITTED change files
+    r.delete_where(cd, "k = 5")
+    with pytest.raises(RuntimeError, match="change-data table"):
+        r.rename_column("cm_cd", "v", "val")
+
+
+def test_feeds_and_streams_refuse_over_mapping(spark, target_root):
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    r = _runner(spark, target_root)
+    r.run(_spec(), SF_DIR)
+    r.rename_column("cm_t", "v", "val")
+    with pytest.raises(RuntimeError, match="column-mapped table"):
+        r.table_changes("cm_t", "k", 1)
+    with pytest.raises(RuntimeError, match="column-mapped table"):
+        ManifestCDFStreamReader(
+            {"root": target_root, "model": "cm_t", "key": "k"}
+        )

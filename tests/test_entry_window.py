@@ -49,8 +49,12 @@ def test_driver_window_covers_llm_pipeline_surface():
         # profile_table demoted — the DV family stays via the strictly
         # harder dv_pos_reinsert_read, the profiler via its approx
         # sibling; justifications in entry.py)
+        # (r11 late: medallion_multihop demoted — manifest tailing, txn
+        # sinks and multi-hop propagation all run in-window inside the
+        # streaming maintenance/CDF/IVM entries; justification in
+        # entry.py)
         "gen_prune_read", "merge_schema_evolution",
-        "profile_table_approx", "medallion_multihop",
+        "profile_table_approx",
         "streaming_cdf_propagate",
         # r6 first-time artifact coverage still windowed after r11
         # (r11 demotions: line_dedup, asof_join_spend_cogroup — dedup
@@ -83,8 +87,10 @@ def test_driver_window_covers_llm_pipeline_surface():
         "streaming_bm25_maintenance",
         "cdf_schema_evolution", "skew_salted_join", "dml_restore_clone",
         "sessionize_session_window", "lead_activities_agg_maxby",
-        # r11 late builds: delta-join IVM and commit provenance
+        # r11 late builds: delta-join IVM, commit provenance, column
+        # mapping
         "streaming_ivm_join", "time_travel_history",
+        "rename_column_lifecycle",
     }
     assert must_have <= first50
 
