@@ -1715,8 +1715,21 @@ class IncrementalRunner:
                 spec.name, self.current_manifest(spec.name),
                 "incremental merge",
             )
+
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None
         new = spec.build(self.spark, sf_dir, wm)
+        if incremental:
+            dropped_hist = set(
+                (self.current_manifest(spec.name) or {}).get("dropped") or []
+            )
+            bad = [c for c in new.columns if c in dropped_hist]
+            if bad:
+                raise RuntimeError(
+                    f"{spec.name}: column(s) {bad} were DROPPED but old "
+                    "files still hold bytes under those names — re-adding "
+                    "would resurrect stale data (name-mode column mapping); "
+                    "run compact() or a full refresh first"
+                )
         tomb = None
         if spec.tombstone_col is not None and spec.tombstone_col in new.columns:
             flag = F.coalesce(
@@ -2621,6 +2634,11 @@ class IncrementalRunner:
                     # disjoint-keys guard, so re-applying it at read is
                     # correct — and a no-op on every rewritten partition)
                     manifest["dv"] = base["dv"]
+                if base.get("dropped"):
+                    # untouched files still hold bytes under the dropped
+                    # physical names — the resurrection guard must ride
+                    # until a FULL rewrite clears it
+                    manifest["dropped"] = base["dropped"]
                 if cdc is not None:
                     manifest["cdc"] = cdc
                 manifest = self._commit_manifest(
@@ -2949,6 +2967,10 @@ class IncrementalRunner:
                 # (insert-only merge with disjoint keys); absorb/DML
                 # rely on the default DROPPING the vector
                 manifest["dv"] = live["dv"]
+            if live.get("dropped"):
+                # untouched files still hold bytes under the dropped
+                # physical names — carry the resurrection guard forward
+                manifest["dropped"] = live["dropped"]
             if cdc is not None:
                 manifest["cdc"] = cdc
             manifest = self._commit_manifest(
@@ -3709,6 +3731,15 @@ class IncrementalRunner:
                     "'append_new_columns' or run the model full-refresh"
                 )
             if mode == "append_new_columns":
+                dropped_hist = set(live.get("dropped") or [])
+                bad = [c for c in new_cols if c in dropped_hist]
+                if bad:
+                    raise RuntimeError(
+                        f"{name}: column(s) {bad} were DROPPED but old "
+                        "files still hold bytes under those names — "
+                        "re-adding would resurrect stale data; run "
+                        "compact() or a full refresh first"
+                    )
                 # existing rows (keep / by-source) NULL-backfill; the
                 # rewrite-only-touched-files economics are unchanged —
                 # untouched files simply lack the column and the reader
@@ -4030,6 +4061,74 @@ class IncrementalRunner:
             "renamed": [old, new],
             "version": manifest["version"],
             "mapped": len(colmap),
+        }
+
+    @_records_op("DROP COLUMN")
+    def drop_column(self, name: str, col: str) -> dict:
+        """``ALTER TABLE ... DROP COLUMN`` without rewriting a byte of
+        data: the commit removes the column from the logical schema, and
+        because every read is under the explicit committed dtypes, the
+        files' stale bytes for that column are simply never scanned
+        (parquet column pruning — Delta's name-mode drop). Unlike RENAME,
+        writers stay FREE: new files just lack the column, and the
+        explicit-schema read never references it in any file.
+
+        The one name-mode hazard is RESURRECTION: re-adding a same-named
+        column later would read the old files' stale bytes as live data.
+        The physical name is therefore recorded in the manifest's
+        ``dropped`` list; schema evolution (run + MERGE) refuses to
+        re-add a listed name, partial rewrites carry the list forward
+        (untouched files still hold the bytes), and compact() or a full
+        refresh — which rewrite every file — clear it. Partition columns
+        and the DV key refuse; generated-column references refuse;
+        dropping a RENAMED column retires its mapping entry with it."""
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: drop needs a committed target")
+        dtypes = [list(p) for p in (live.get("dtypes") or [])]
+        if not dtypes:
+            raise RuntimeError(f"{name}: drop needs a committed schema")
+        names = [n for n, _ in dtypes]
+        if col not in names:
+            raise RuntimeError(f"{name}: unknown column {col!r}")
+        if len(names) == 1:
+            raise RuntimeError(f"{name}: cannot drop the last column")
+        if col in (live.get("partition_by") or []):
+            raise RuntimeError(
+                f"{name}: cannot drop partition column {col!r} — the hive "
+                "dir names are the physical layout"
+            )
+        dv = live.get("dv") or {}
+        if dv.get("files") and dv.get("key") == col:
+            raise RuntimeError(
+                f"{name}: column {col!r} keys the pending deletion vector "
+                "— absorb_deletion_vectors() first"
+            )
+        gen = (live.get("meta") or {}).get("generated_columns") or {}
+        touched_gen = [g for g, d in gen.items() if col == g or col in str(d)]
+        if touched_gen:
+            raise RuntimeError(
+                f"{name}: column {col!r} is referenced by generated "
+                f"column(s) {touched_gen} — drop or rewrite them first"
+            )
+        colmap = dict(live.get("colmap") or {})
+        phys = colmap.pop(col, col)
+        dropped = sorted(set(live.get("dropped") or []) | {phys})
+        manifest = {
+            k: v
+            for k, v in live.items()
+            if k not in ("version", "colmap", "dropped")
+        }
+        manifest["version"] = live["version"] + 1
+        manifest["dtypes"] = [p for p in dtypes if p[0] != col]
+        if colmap:
+            manifest["colmap"] = colmap
+        manifest["dropped"] = dropped
+        self._commit_manifest(name, manifest)
+        return {
+            "dropped": col,
+            "physical": phys,
+            "version": manifest["version"],
         }
 
     def version_at_timestamp(self, name: str, ts: float) -> int:

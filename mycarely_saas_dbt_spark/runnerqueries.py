@@ -1688,7 +1688,9 @@ def rename_column_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same UPDATE now lands against the renamed column. The final read
     must show BOTH the rename and the post-absorb update, so a broken
     translation, a silently-ignored refusal, or a lost mapping across
-    the compaction all flip the hash."""
+    the compaction all flip the hash. A metadata-only DROP COLUMN
+    (o_orderdate) plus a post-drop DELETE then prove writers stay free
+    after a drop and the stale bytes never resurface."""
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner
 
     root = tempfile.mkdtemp(prefix="mycarely_q_rename_")
@@ -1712,6 +1714,13 @@ def rename_column_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         runner.update_where(
             spec, "o_orderkey % 10 = 3", {"price": "price + 1000"}
         )
+        # DROP COLUMN is metadata-only too, and writers stay FREE after
+        # it (explicit-schema reads never touch the stale bytes); the
+        # dropped name is fenced against re-add until a full rewrite
+        runner.drop_column("cm_orders", "o_orderdate")
+        m = runner.current_manifest("cm_orders")
+        assert m["dropped"] == ["o_orderdate"]
+        runner.delete_where(spec, "o_orderkey % 1000 = 7")  # still unfrozen
         return materialize(
             runner.read_target("cm_orders").orderBy("o_orderkey")
         )
@@ -1723,8 +1732,9 @@ O_RENAME_COLUMN = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
             ELSE o_totalprice END AS price,
-       o_orderdate, o_orderstatus
+       o_orderstatus
 FROM orders
+WHERE o_orderkey % 1000 <> 7
 ORDER BY o_orderkey
 """
 

@@ -185,3 +185,87 @@ def test_feeds_and_streams_refuse_over_mapping(spark, target_root):
         ManifestCDFStreamReader(
             {"root": target_root, "model": "cm_t", "key": "k"}
         )
+
+
+def test_drop_column_is_metadata_only_and_writers_stay_free(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec(partition_by=["p"])
+    r.run(spec, SF_DIR)
+    m1 = r.current_manifest("cm_t")
+    r.drop_column("cm_t", "v")
+    m2 = r.current_manifest("cm_t")
+    assert dict(m2["partitions"]) == dict(m1["partitions"])  # zero rewrite
+    assert [n for n, _ in m2["dtypes"]] == ["k", "p"]
+    assert m2["dropped"] == ["v"]
+    assert r.history("cm_t")[0]["op"] == "DROP COLUMN"
+    df = r.read_target("cm_t")
+    assert df.columns == ["k", "p"]
+    assert df.count() == 100
+    # writers stay FREE after a drop (unlike rename): a row-level DELETE
+    # works, and the dropped list rides the partial rewrite forward
+    r.delete_where(spec, "k % 9 = 4")  # 11 keys: 4, 13, ..., 94
+    assert r.current_manifest("cm_t")["dropped"] == ["v"]
+    assert r.read_target("cm_t").count() == 89
+
+
+def test_drop_then_readd_refuses_until_rewrite(spark, target_root):
+    import dataclasses
+
+    r = _runner(spark, target_root)
+    spec = _spec(partition_by=["p"])
+    r.run(spec, SF_DIR)
+    r.drop_column("cm_t", "v")
+    # the model still emits `v`: the incremental merge must refuse —
+    # old files hold stale bytes under that name
+    with pytest.raises(RuntimeError, match="resurrect"):
+        r.run(spec, SF_DIR)
+
+    def build_no_v(sp, sfd, wm):
+        rows = sp.range(150).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    slim = dataclasses.replace(spec, build=build_no_v)
+    r.run(slim, SF_DIR)  # v-free merge is fine
+    assert r.read_target("cm_t").count() == 150
+    r.compact("cm_t")  # full rewrite purges the stale bytes
+    assert "dropped" not in r.current_manifest("cm_t")
+
+    def build_v2(sp, sfd, wm):
+        rows = sp.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+            F.lit(9).alias("v"),
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    readd = dataclasses.replace(
+        spec, build=build_v2, on_schema_change="append_new_columns"
+    )
+    r.run(readd, SF_DIR)  # re-add is legal AFTER the rewrite
+    df = r.read_target("cm_t")
+    # pre-re-add rows NULL-fill v; no stale bytes resurrect
+    assert df.filter(F.col("v").isNull()).count() == 150
+    assert df.filter(F.col("v") == 9).count() == 50
+
+
+def test_drop_refusals_and_renamed_drop(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec(partition_by=["p"])
+    r.run(spec, SF_DIR)
+    with pytest.raises(RuntimeError, match="partition column"):
+        r.drop_column("cm_t", "p")
+    with pytest.raises(RuntimeError, match="unknown column"):
+        r.drop_column("cm_t", "nope")
+    # dropping a RENAMED column records the PHYSICAL name and retires
+    # the mapping entry with it
+    r.rename_column("cm_t", "v", "val")
+    r.drop_column("cm_t", "val")
+    m = r.current_manifest("cm_t")
+    assert m["dropped"] == ["v"]
+    assert "colmap" not in m
+    assert r.read_target("cm_t").columns == ["k", "p"]
