@@ -108,6 +108,7 @@ EXTENSION_QUERIES = [
     # of the bench per the medallion rule — tracked in CORRECTNESS only
     "bm25_index_tiered_search",
     "time_travel_history",
+    "rename_column_lifecycle",
 ]
 
 # Lifecycle entries (build -> mutate -> query fixtures): their wall time
