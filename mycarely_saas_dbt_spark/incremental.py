@@ -4238,6 +4238,10 @@ class IncrementalRunner:
             # the clone references the SAME physical files — the mapping
             # must travel with it or its reads misalign
             manifest["colmap"] = m["colmap"]
+        if m.get("dropped"):
+            # same reason: the clone's files still hold stale bytes under
+            # the dropped names — the re-add fence must travel too
+            manifest["dropped"] = m["dropped"]
         os.makedirs(self.target_path(dst), exist_ok=True)
         self._commit_manifest(dst, manifest)
         return {

@@ -269,3 +269,13 @@ def test_drop_refusals_and_renamed_drop(spark, target_root):
     assert m["dropped"] == ["v"]
     assert "colmap" not in m
     assert r.read_target("cm_t").columns == ["k", "p"]
+
+
+def test_clone_carries_dropped_fence(spark, target_root):
+    r = _runner(spark, target_root)
+    r.run(_spec(), SF_DIR)
+    r.drop_column("cm_t", "v")
+    r.clone_shallow("cm_t", "cm_clone")
+    m = r.current_manifest("cm_clone")
+    assert m["dropped"] == ["v"]  # same physical files, same hazard
+    assert r.read_target("cm_clone").columns == ["k", "p"]
