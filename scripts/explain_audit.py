@@ -93,6 +93,18 @@ AUDIT = [
     "interval_bin_join",
     "mm_image_decode",
     "dv_pos_reinsert_read",
+    # round 11 additions: the tiered-merge BM25 read (same bucket-pruned
+    # slice, tiered policy), the timestampAsOf snapshot read (resolution
+    # is metadata; the read is the plain pruned scan), and the
+    # column-mapped lifecycle's final read (post-absorb logical-named
+    # scan; the pre-absorb translated read is pinned in
+    # tests/test_colmap.py). The streaming maintenance entries
+    # (ANN/BM25/IVM-join) materialize through stream checkpoints + the
+    # commit protocol — their change-proportional task shapes are pinned
+    # in tests/test_pydatasource.py and the entries' replay asserts.
+    "bm25_index_tiered_search",
+    "time_travel_history",
+    "rename_column_lifecycle",
 ]
 
 
