@@ -1439,6 +1439,23 @@ class IncrementalRunner:
                 f"{name}: change feed over a column-mapped table is not "
                 "supported — absorb the mapping (compact) first"
             )
+        # a RENAME inside the range can leave BOTH endpoints clean (rename
+        # then absorb): pre-rename snapshots would diff under the new
+        # logical dtypes and fabricate changes — walk the range's retained
+        # manifests and refuse on any rename commit (provenance op /
+        # colmap); a vacuumed intermediate can hide nothing the endpoints
+        # still reference
+        for v in range(from_version + 1, m_to["version"] + 1):
+            try:
+                mi = self._manifest_at(name, v)
+            except RuntimeError:
+                continue
+            if mi.get("colmap") or mi.get("op") == "RENAME COLUMN":
+                raise RuntimeError(
+                    f"{name}: the change-feed range crosses a column "
+                    f"rename (version {v}) — restart the feed from a "
+                    "post-rename version"
+                )
         fast = self._table_changes_from_files(
             name, key, m_from, m_to, preimages=preimages
         )
@@ -1708,12 +1725,15 @@ class IncrementalRunner:
             _run_hooks(spec.pre_hook)
 
         incremental = self.target_exists(spec.name) and not full_refresh
-        if incremental:
-            # (a FULL REFRESH is allowed: it rewrites every file under the
-            # logical names and its fresh manifest absorbs the mapping)
+        if incremental and spec.partition_by:
+            # only the PARTITION-SCOPED merge refuses under a pending
+            # column mapping (it would mix physical names across files);
+            # the unpartitioned merge and a full refresh both dispatch to
+            # _atomic_write — a full rewrite whose fresh manifest ABSORBS
+            # the mapping (all files re-land under logical names)
             self._require_no_colmap(
                 spec.name, self.current_manifest(spec.name),
-                "incremental merge",
+                "partition-scoped incremental merge",
             )
 
         wm = self.watermark(spec.name, spec.watermark_col) if incremental else None

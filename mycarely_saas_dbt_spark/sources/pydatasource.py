@@ -552,9 +552,21 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         m_e = self._manifest_at(end["version"])
         if m_e is None:
             return [_CdfRelDiff("", [], [], [], [])]
+        for v in range(start["version"] + 1, end["version"] + 1):
+            mi = _manifest_json(self.root, self.model, v)
+            if mi is not None and (
+                mi.get("colmap") or mi.get("op") == "RENAME COLUMN"
+            ):
+                # a RENAME landed inside the batch range (even if later
+                # absorbed): pre-rename files/rows would misalign against
+                # these logical dtypes — Delta blocks streaming across
+                # column-mapping changes the same way
+                raise RuntimeError(
+                    f"{self.model}: the change stream crossed a column "
+                    f"rename (version {v}) — restart the stream from a "
+                    "post-rename version"
+                )
         if (m_e.get("colmap") or (m_s or {}).get("colmap")):
-            # a RENAME COLUMN landed mid-stream: the batch's files carry
-            # physical names these logical dtypes would misalign against
             raise RuntimeError(
                 f"{self.model}: the change stream crossed a column-mapping "
                 "change — absorb the mapping (compact) and restart"

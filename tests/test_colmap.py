@@ -279,3 +279,50 @@ def test_clone_carries_dropped_fence(spark, target_root):
     m = r.current_manifest("cm_clone")
     assert m["dropped"] == ["v"]  # same physical files, same hazard
     assert r.read_target("cm_clone").columns == ["k", "p"]
+
+
+def test_unpartitioned_merge_absorbs_mapping(spark, target_root):
+    """run() on an UNPARTITIONED column-mapped table is allowed: the
+    unpartitioned merge dispatches to the full-rewrite writer, whose
+    fresh manifest absorbs the mapping — all files re-land under logical
+    names. (The partition-scoped merge still refuses.)"""
+    import dataclasses
+
+    r = _runner(spark, target_root)
+    spec = _spec()  # unpartitioned
+    r.run(spec, SF_DIR)
+    r.rename_column("cm_t", "v", "val")
+
+    def build2(sp, sfd, wm):
+        rows = sp.range(150).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("val"),
+            (F.col("id") % 4).alias("p"),
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    r.run(dataclasses.replace(spec, build=build2), SF_DIR)
+    m = r.current_manifest("cm_t")
+    assert "colmap" not in m  # absorbed by the full rewrite
+    df = r.read_target("cm_t")
+    assert df.columns == ["k", "val", "p"]
+    assert df.count() == 150
+    # and DML is free again without any explicit compact
+    r.update_where(dataclasses.replace(spec, build=build2), "k = 1",
+                   {"val": "val + 100"})
+
+
+def test_feed_refuses_range_crossing_a_rename(spark, target_root):
+    """A rename INSIDE the feed range with clean endpoints (rename then
+    absorb) must still refuse: pre-rename snapshots would diff under the
+    new logical dtypes and fabricate changes."""
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)           # v1 (physical names)
+    r.rename_column("cm_t", "v", "val")  # v2 (colmap)
+    r.compact("cm_t")             # v3 (absorbed — endpoint clean)
+    with pytest.raises(RuntimeError, match="crosses a column rename"):
+        r.table_changes("cm_t", "k", 1)
+    # a post-rename range is fine
+    assert r.table_changes("cm_t", "k", 3) is not None
