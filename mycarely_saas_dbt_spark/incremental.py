@@ -4083,6 +4083,40 @@ class IncrementalRunner:
             "mapped": len(colmap),
         }
 
+    @_records_op("ADD COLUMN")
+    def add_column(self, name: str, col: str, dtype: str) -> dict:
+        """``ALTER TABLE ... ADD COLUMN`` without touching a file: the
+        commit appends the column to the logical dtypes; every read is
+        under the explicit committed schema, so existing files NULL-fill
+        it per file exactly like a schema-evolving merge's history rows
+        (parquet missing-column semantics). Writers whose batch carries
+        the column land real values thereafter; writers that don't are a
+        schema drift handled by the usual on_schema_change contract.
+        Refuses a name in the ``dropped`` fence (old files still hold
+        stale bytes under it — the resurrection hazard ADD exists to
+        avoid) and a name already present, logical or physical."""
+        live = self.current_manifest(name)
+        if live is None:
+            raise RuntimeError(f"{name}: add needs a committed target")
+        dtypes = [list(p) for p in (live.get("dtypes") or [])]
+        if not dtypes:
+            raise RuntimeError(f"{name}: add needs a committed schema")
+        names = [n for n, _ in dtypes]
+        phys = set((live.get("colmap") or {}).values())
+        if col in names or col in phys:
+            raise RuntimeError(f"{name}: column {col!r} already exists")
+        if col in (live.get("dropped") or []):
+            raise RuntimeError(
+                f"{name}: column {col!r} was DROPPED but old files still "
+                "hold bytes under that name — re-adding would resurrect "
+                "stale data; run compact() or a full refresh first"
+            )
+        manifest = {k: v for k, v in live.items() if k != "version"}
+        manifest["version"] = live["version"] + 1
+        manifest["dtypes"] = [*dtypes, [col, dtype]]
+        self._commit_manifest(name, manifest)
+        return {"added": [col, dtype], "version": manifest["version"]}
+
     @_records_op("DROP COLUMN")
     def drop_column(self, name: str, col: str) -> dict:
         """``ALTER TABLE ... DROP COLUMN`` without rewriting a byte of

@@ -1721,6 +1721,15 @@ def rename_column_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = runner.current_manifest("cm_orders")
         assert m["dropped"] == ["o_orderdate"]
         runner.delete_where(spec, "o_orderkey % 1000 = 7")  # still unfrozen
+        # metadata-only ADD COLUMN: every existing file NULL-fills it at
+        # read (explicit-schema semantics); re-adding the dropped name
+        # refuses (the fence) — both gated by the oracle's NULL column
+        runner.add_column("cm_orders", "note", "bigint")
+        try:
+            runner.add_column("cm_orders", "o_orderdate", "date")
+            raise AssertionError("dropped-name re-add must refuse")
+        except RuntimeError as e:
+            assert "resurrect" in str(e)
         return materialize(
             runner.read_target("cm_orders").orderBy("o_orderkey")
         )
@@ -1732,7 +1741,7 @@ O_RENAME_COLUMN = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
             ELSE o_totalprice END AS price,
-       o_orderstatus
+       o_orderstatus, CAST(NULL AS BIGINT) AS note
 FROM orders
 WHERE o_orderkey % 1000 <> 7
 ORDER BY o_orderkey

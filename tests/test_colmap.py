@@ -326,3 +326,42 @@ def test_feed_refuses_range_crossing_a_rename(spark, target_root):
         r.table_changes("cm_t", "k", 1)
     # a post-rename range is fine
     assert r.table_changes("cm_t", "k", 3) is not None
+
+
+def test_add_column_is_metadata_only(spark, target_root):
+    import dataclasses
+
+    r = _runner(spark, target_root)
+    spec = _spec(partition_by=["p"])
+    r.run(spec, SF_DIR)
+    m1 = r.current_manifest("cm_t")
+    r.add_column("cm_t", "w", "bigint")
+    m2 = r.current_manifest("cm_t")
+    assert dict(m2["partitions"]) == dict(m1["partitions"])  # zero rewrite
+    assert [n for n, _ in m2["dtypes"]] == ["k", "v", "p", "w"]
+    assert r.history("cm_t")[0]["op"] == "ADD COLUMN"
+    df = r.read_target("cm_t")
+    assert df.columns == ["k", "v", "p", "w"]
+    assert df.filter(F.col("w").isNull()).count() == 100  # NULL-filled
+    with pytest.raises(RuntimeError, match="already exists"):
+        r.add_column("cm_t", "v", "bigint")
+    # the dropped fence blocks metadata re-adds too
+    r.drop_column("cm_t", "v")
+    with pytest.raises(RuntimeError, match="resurrect"):
+        r.add_column("cm_t", "v", "bigint")
+
+    # a later merge whose batch carries w lands real values; history
+    # rows stay NULL — the schema-evolution read contract
+    def build_w(sp, sfd, wm):
+        rows = sp.range(120).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+            (F.col("id") * 2).alias("w"),
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    r.run(dataclasses.replace(spec, build=build_w), SF_DIR)
+    df = r.read_target("cm_t")
+    assert df.filter(F.col("w") == 238).count() == 1  # k=119 inserted
+    assert df.filter(F.col("w").isNull()).count() == 100
