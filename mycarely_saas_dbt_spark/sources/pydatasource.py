@@ -552,7 +552,12 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         m_e = self._manifest_at(end["version"])
         if m_e is None:
             return [_CdfRelDiff("", [], [], [], [])]
-        for v in range(start["version"] + 1, end["version"] + 1):
+        # (bootstrap batches — start 0 — plan snapshot-insert legs from the
+        # END manifest only, so interior renames that were later absorbed
+        # cannot misalign anything; the walk applies to DIFF ranges)
+        for v in range(start["version"] + 1, end["version"] + 1) if (
+            start["version"] > 0
+        ) else ():
             mi = _manifest_json(self.root, self.model, v)
             if mi is not None and (
                 mi.get("colmap") or mi.get("op") == "RENAME COLUMN"

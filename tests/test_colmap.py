@@ -365,3 +365,27 @@ def test_add_column_is_metadata_only(spark, target_root):
     df = r.read_target("cm_t")
     assert df.filter(F.col("w") == 238).count() == 1  # k=119 inserted
     assert df.filter(F.col("w").isNull()).count() == 100
+
+
+def test_stream_bootstrap_allowed_after_absorbed_rename(spark, target_root):
+    """A FRESH stream on a renamed-then-absorbed table must NOT refuse:
+    the bootstrap batch plans snapshot-insert legs from the END manifest
+    only, so the interior rename cannot misalign anything. A DIFF range
+    crossing the rename still refuses."""
+    import pytest
+
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    r = _runner(spark, target_root)
+    r.run(_spec(), SF_DIR)               # v1
+    r.rename_column("cm_t", "v", "val")  # v2
+    r.compact("cm_t")                    # v3 absorbed
+    rd = ManifestCDFStreamReader(
+        {"root": target_root, "model": "cm_t", "key": "k"}
+    )
+    legs = rd.partitions({"version": 0}, {"version": 3})  # bootstrap: OK
+    assert legs
+    with pytest.raises(RuntimeError, match="crossed a column rename"):
+        rd.partitions({"version": 1}, {"version": 3})  # diff range: refuse
