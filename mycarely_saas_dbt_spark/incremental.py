@@ -309,6 +309,70 @@ def _changes_between(
     return _emit_change_rows(j, cols, preimages=preimages)
 
 
+def _rename_ops(mans: list[tuple[int, dict]]) -> list[tuple] | None:
+    """Ordered name-affecting ops ``(version, kind, old, new)`` — kind
+    ``rename`` (old -> new) or ``drop`` (old) — reconstructed from
+    consecutive manifests' dtypes plus commit provenance. Additions
+    (ADD COLUMN, append_new_columns evolution) are name-neutral. This is
+    what lets the change-file feed read across a RENAME: change files
+    carry the LOGICAL names of their commit's schema, and composing the
+    later renames maps them onto the range-end names exactly (physical
+    names are stable under the colmap, so the chain is lossless —
+    Delta's field-id mapping expressed over the provenance log).
+    Returns None when a transition can't be classified (a multi-column
+    swap, corrupt provenance) — callers fall back to the snapshot diff
+    and its honest refusals."""
+    ops: list[tuple] = []
+    prev = [n for n, _ in (mans[0][1].get("dtypes") or [])]
+    for v, m in mans[1:]:
+        names = [n for n, _ in (m.get("dtypes") or [])]
+        gone = [n for n in prev if n not in set(names)]
+        added = [n for n in names if n not in set(prev)]
+        if not gone and not added:
+            pass
+        elif (
+            m.get("op") == "RENAME COLUMN"
+            and len(gone) == 1
+            and len(added) == 1
+        ):
+            ops.append((v, "rename", gone[0], added[0]))
+        elif not gone:
+            pass  # pure additions are name-neutral
+        elif m.get("op") == "DROP COLUMN" and len(gone) == 1 and not added:
+            ops.append((v, "drop", gone[0], None))
+        else:
+            return None
+        prev = names
+    return ops
+
+
+def _feed_column_sources(
+    names_at_v: list[str], v: int, ops: list[tuple], out_names: list[str]
+) -> dict[str, str]:
+    """For change files written at version ``v``: map each RANGE-END
+    output column to the name it carried in those files, by composing
+    the rename chain at versions > v (``_rename_ops``). A column absent
+    from the map either did not exist at ``v`` (added later — the
+    reader NULL-fills it) or died on the way (dropped — its era bytes
+    must NEVER be read, or a later same-named re-add would resurrect
+    them: the name-mode fence applied at the feed level)."""
+    out = set(out_names)
+    src: dict[str, str] = {}
+    for s in names_at_v:
+        cur, alive = s, True
+        for r, kind, old, new in ops:
+            if r <= v:
+                continue
+            if kind == "rename" and cur == old:
+                cur = new
+            elif kind == "drop" and cur == old:
+                alive = False
+                break
+        if alive and cur in out:
+            src[cur] = s
+    return src
+
+
 def load_manifest_file(path: str) -> dict:
     """Parse a committed manifest version. Inline manifests return as-is;
     checkpointed ones get lazy SegmentedMap views for partitions/stats."""
@@ -1289,60 +1353,103 @@ class IncrementalRunner:
         (fall back to the snapshot diff). Netting: per key, the FIRST
         version's pre-state and the LAST version's post-state decide the
         net event — identical to diffing the two snapshots, because each
-        version's preimage is exactly the prior version's live image."""
-        metas: list[tuple[int, dict]] = []
+        version's preimage is exactly the prior version's live image.
+
+        RENAME-AWARE (r12): change files written before a RENAME COLUMN
+        carry the old logical names. The rename chain between each
+        version and the range end is reconstructed from the retained
+        manifests (``_rename_ops`` — a pure metadata walk the loop below
+        already pays) and each version's files are read under their own
+        era schema, aliased to the range-end names. Versions sharing a
+        naming epoch share ONE scan, so a rename-free history keeps the
+        single-scan plan and a history with R renames reads at most R+1
+        scans — never per-version. Columns whose chain dies at a DROP
+        are excluded from the era read entirely (reading them by name
+        would resurrect stale bytes after a post-compact re-add)."""
+        mans: list[tuple[int, dict]] = [(m_from["version"], m_from)]
+        metas: list[tuple[int, dict, dict]] = []
         for v in range(m_from["version"] + 1, m_to["version"] + 1):
             m = self._manifest_at(name, v)
             cdc = (m or {}).get("cdc")
             if cdc is None:
                 return None
-            metas.append((v, cdc))
-        nonempty = [(v, c) for v, c in metas if c.get("files")]
-        if any(c.get("key") != key for _, c in nonempty):
+            mans.append((v, m))
+            metas.append((v, m, cdc))
+        ops = _rename_ops(mans)
+        if ops is None:
             return None
         dtypes = m_to.get("dtypes")
         if not dtypes or key not in {n for n, _ in dtypes}:
             return None
         cols = [n for n, _ in dtypes]
+        tmap = dict(dtypes)
         ddl = (
             ", ".join(f"`{n}` {t}" for n, t in dtypes)
             + ", `_change_type` string"
         )
+        infos: list[tuple[int, dict, dict]] = []  # (v, cdc, src map)
+        for v, m, cdc in metas:
+            if not cdc.get("files"):
+                continue
+            src = _feed_column_sources(
+                [n for n, _ in (m.get("dtypes") or [])], v, ops, cols
+            )
+            if cdc.get("key") != src.get(key):
+                return None  # era feed keyed on an untraceable column
+            infos.append((v, cdc, src))
         root = os.path.join(self.target_path(name), self._CDC_DIR)
-        paths = [
-            os.path.join(root, c["dir"], f)
-            for _, c in nonempty
-            for f in c["files"]
-        ]
-        if not paths:
+        if not infos:
             return (
                 self.spark.createDataFrame([], schema=ddl)
                 .select(*cols, "_change_type")
             )
-        # ONE scan over every version's change files (a per-version union
-        # would grow the plan O(versions) on a deep catch-up); the commit
-        # version rides back in via a broadcast (dir -> version) map keyed
-        # on the uuid dir segment of the file path — metadata scale.
-        vmap = self.spark.createDataFrame(
-            [(c["dir"], v) for v, c in nonempty], "__cdir string, __v int"
-        )
-        raw = (
-            # explicit schema => files from pre-evolution versions
-            # NULL-fill evolved columns, same as the snapshot reader
-            self.spark.read.schema(ddl)
-            .parquet(*paths)
-            .select(
-                *cols,
-                "_change_type",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"),
-                    f"{self._CDC_DIR}/([^/]+)/",
-                    1,
-                ).alias("__cdir"),
+        # ONE scan per NAMING EPOCH over its versions' change files (a
+        # per-version union would grow the plan O(versions) on a deep
+        # catch-up); the commit version rides back in via a broadcast
+        # (dir -> version) map keyed on the uuid dir segment of the file
+        # path — metadata scale.
+        groups: dict[tuple, dict] = {}
+        for v, cdc, src in infos:
+            sig = tuple(sorted(src.items()))
+            g = groups.setdefault(sig, {"src": src, "paths": []})
+            g["paths"].extend(
+                os.path.join(root, cdc["dir"], f) for f in cdc["files"]
             )
-            .join(F.broadcast(vmap), "__cdir")
-            .drop("__cdir")
+        vmap = self.spark.createDataFrame(
+            [(c["dir"], v) for v, c, _ in infos], "__cdir string, __v int"
         )
+        scans = []
+        for g in groups.values():
+            src = g["src"]
+            # explicit ERA schema => only traced columns are read by
+            # name (pre-evolution files NULL-fill, dropped-era bytes
+            # stay unread), then aliased to the range-end names
+            era_ddl = (
+                ", ".join(f"`{src[c]}` {tmap[c]}" for c in cols if c in src)
+                + ", `_change_type` string"
+            )
+            scans.append(
+                self.spark.read.schema(era_ddl)
+                .parquet(*g["paths"])
+                .select(
+                    *[
+                        F.col(src[c]).alias(c)
+                        if c in src
+                        else F.lit(None).cast(tmap[c]).alias(c)
+                        for c in cols
+                    ],
+                    "_change_type",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        f"{self._CDC_DIR}/([^/]+)/",
+                        1,
+                    ).alias("__cdir"),
+                )
+            )
+        raw = scans[0]
+        for s in scans[1:]:
+            raw = raw.unionByName(s)
+        raw = raw.join(F.broadcast(vmap), "__cdir").drop("__cdir")
         vcols = sorted(c for c in cols if c != key)
         img = F.struct(*cols)
         pre = F.col("_change_type").isin("update_preimage", "delete")
@@ -1418,15 +1525,6 @@ class IncrementalRunner:
         m_from = self._manifest_at(name, from_version)
         if m_from is None:
             raise RuntimeError(f"{name}: no committed version {from_version}")
-        if m_from.get("colmap"):
-            # the snapshot diff reads files under the CURRENT logical
-            # dtypes — physical-named files would misalign (NULL-fill the
-            # renamed column, fabricate updates); Delta likewise blocks
-            # feeds across column-mapping changes without schema tracking
-            raise RuntimeError(
-                f"{name}: change feed over a column-mapped table is not "
-                "supported — absorb the mapping (compact) first"
-            )
         m_to = (
             self._manifest_at(name, to_version)
             if to_version is not None
@@ -1434,17 +1532,33 @@ class IncrementalRunner:
         )
         if m_to is None:
             raise RuntimeError(f"{name}: no committed target")
-        if m_to.get("colmap"):
+        # the change-file fast path composes renames itself (r12 —
+        # era-schema reads aliased to the range-end names), so it is
+        # tried FIRST; only the snapshot-diff fallback below carries the
+        # column-mapping refusals (a pre-rename snapshot diffed under
+        # the new logical dtypes would fabricate changes — Delta's
+        # name-mode has the same restriction without field ids)
+        fast = self._table_changes_from_files(
+            name, key, m_from, m_to, preimages=preimages
+        )
+        if fast is not None:
+            return fast
+        if m_from.get("colmap") or m_to.get("colmap"):
+            # the snapshot diff reads files under the CURRENT logical
+            # dtypes — physical-named files would misalign (NULL-fill the
+            # renamed column, fabricate updates); Delta likewise blocks
+            # feeds across column-mapping changes without schema tracking.
+            # Tables with spec.change_data serve this feed from their
+            # change files instead (the fast path above).
             raise RuntimeError(
                 f"{name}: change feed over a column-mapped table is not "
-                "supported — absorb the mapping (compact) first"
+                "supported without write-time change files — absorb the "
+                "mapping (compact) first, or enable spec.change_data"
             )
         # a RENAME inside the range can leave BOTH endpoints clean (rename
-        # then absorb): pre-rename snapshots would diff under the new
-        # logical dtypes and fabricate changes — walk the range's retained
-        # manifests and refuse on any rename commit (provenance op /
-        # colmap); a vacuumed intermediate can hide nothing the endpoints
-        # still reference
+        # then absorb): walk the range's retained manifests and refuse on
+        # any rename commit (provenance op / colmap); a vacuumed
+        # intermediate can hide nothing the endpoints still reference
         for v in range(from_version + 1, m_to["version"] + 1):
             try:
                 mi = self._manifest_at(name, v)
@@ -1454,13 +1568,9 @@ class IncrementalRunner:
                 raise RuntimeError(
                     f"{name}: the change-feed range crosses a column "
                     f"rename (version {v}) — restart the feed from a "
-                    "post-rename version"
+                    "post-rename version, or enable spec.change_data "
+                    "(write-time change files net across renames)"
                 )
-        fast = self._table_changes_from_files(
-            name, key, m_from, m_to, preimages=preimages
-        )
-        if fast is not None:
-            return fast
         changed = sorted(
             _rels_differing(m_from["partitions"], m_to["partitions"])
         )
@@ -1586,6 +1696,7 @@ class IncrementalRunner:
             tomb = new.filter(flag).drop(spec.tombstone_col)
             new = new.filter(~flag).drop(spec.tombstone_col)
         if self.target_exists(name):
+            self._require_spec_columns(spec2)
             if spec.partition_by:
                 n, files = self._partitioned_merge_write(
                     spec2, self.read_target(name), new, tomb
@@ -1725,6 +1836,8 @@ class IncrementalRunner:
             _run_hooks(spec.pre_hook)
 
         incremental = self.target_exists(spec.name) and not full_refresh
+        if incremental:
+            self._require_spec_columns(spec)
         if incremental and spec.partition_by:
             # only the PARTITION-SCOPED merge refuses under a pending
             # column mapping (it would mix physical names across files);
@@ -2389,6 +2502,20 @@ class IncrementalRunner:
     # retention-period knob, expressed in versions.
     RETAIN_VERSIONS = 2
 
+    # AGE-based retention (r12 — Delta's `delta.logRetentionDuration` /
+    # `deletedFileRetentionDuration` shape, default 30 days there): when
+    # set, every commit younger than this many seconds is ALSO retained,
+    # however many versions that is — commit age comes from the
+    # provenance `ts` every manifest already carries, so the floor is a
+    # pure metadata decision. This is what makes DESCRIBE HISTORY /
+    # timestampAsOf useful in practice (a deep age-governed history) and
+    # lets streaming consumers cover their catch-up lag by CONFIGURATION
+    # ("readers may lag up to an hour") instead of hand-sizing
+    # RETAIN_VERSIONS to an expected commit count. None = pure
+    # count-based retention (the pre-r12 behavior). The two compose as
+    # a union: the last RETAIN_VERSIONS commits are always retained.
+    RETENTION_SECONDS: float | None = None
+
     # Delta's deletedFileRetentionDuration shape: vacuum NEVER reclaims a
     # data file younger than this, whatever the manifests say. A concurrent
     # partition-scoped writer ingests its files BEFORE its manifest commit
@@ -2400,6 +2527,27 @@ class IncrementalRunner:
     # the same caveat Delta documents for sub-default retention.
     VACUUM_GRACE_SECONDS = 600.0
 
+    def _retention_floor(self, name: str, manifest: dict) -> int:
+        """Oldest RETAINED version: the count floor (last RETAIN_VERSIONS
+        commits), lowered to the oldest commit still inside the
+        RETENTION_SECONDS age window when age retention is on. Reads at
+        most the sub-count-floor version JSONs' top-level ``ts`` —
+        metadata-scale, no segment hydrated, no data file opened."""
+        floor = manifest["version"] - self.RETAIN_VERSIONS + 1
+        if self.RETENTION_SECONDS is None:
+            return floor
+        cut = time.time() - self.RETENTION_SECONDS
+        for v in self.list_versions(name):
+            if v >= floor:
+                break
+            try:
+                ts = self._manifest_at(name, v).get("ts")
+            except RuntimeError:
+                continue
+            if ts is not None and ts >= cut:
+                return v
+        return floor
+
     def _vacuum(self, name: str, manifest: dict) -> None:
         """Delete data files not referenced by any RETAINED manifest
         (superseded versions, crash orphans) and prune emptied partition
@@ -2410,7 +2558,7 @@ class IncrementalRunner:
         final = self.target_path(name)
         now = time.time()
         retained = [manifest]
-        floor = manifest["version"] - self.RETAIN_VERSIONS + 1
+        floor = self._retention_floor(name, manifest)
         for v in self.list_versions(name):
             if floor <= v < manifest["version"]:
                 retained.append(self._manifest_at(name, v))
@@ -2797,7 +2945,11 @@ class IncrementalRunner:
         if not cand:
             return result
         cond = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
-        raw = self._read_files(root, live, cand).select(
+        # explicit committed schema: files written before a metadata-only
+        # ADD COLUMN lack the new column and must NULL-fill it here just
+        # like the snapshot read — footer inference would leave the
+        # rewrite's declared-schema cast unresolvable
+        raw = self._read_files(root, live, cand, dtypes=dtypes).select(
             "*",
             F.col("_metadata.file_path").alias("__fp"),
             *(
@@ -2825,7 +2977,8 @@ class IncrementalRunner:
         result["rows_matched"] = sum(r["count"] for r in hits)
         emap = self._entry_lookup(name, root, live, touched)
         tdf = self._apply_dv_positions(
-            self._read_files(root, live, sorted(touched)), dv_pos
+            self._read_files(root, live, sorted(touched), dtypes=dtypes),
+            dv_pos,
         )
         if dtypes and {n for n, _ in dtypes} == set(tdf.columns):
             tdf = tdf.select(*[F.col(n).cast(t).alias(n) for n, t in dtypes])
@@ -3181,6 +3334,48 @@ class IncrementalRunner:
                 "it would mix physical column names across files; run "
                 "compact() (or a full refresh) to absorb the mapping first"
             )
+
+    def _require_spec_columns(self, spec: ModelSpec) -> None:
+        """Fail FAST when the committed target's logical schema no longer
+        contains the spec's unique_key / watermark_col — the
+        rename-ergonomics hazard (VERDICT r11 item 7): ``rename_column``
+        records table state only, so a caller who renames the key column
+        but keeps merging with the stale ModelSpec would otherwise die
+        somewhere deep inside the merge with an unresolved-column error.
+        Name the cause instead."""
+        live = self.current_manifest(spec.name)
+        dtypes = (live or {}).get("dtypes")
+        if not dtypes:
+            return  # legacy / sidecar-schema target: nothing to check
+        names = {n for n, _ in dtypes}
+        missing = [
+            c
+            for c in dict.fromkeys((spec.unique_key, spec.watermark_col))
+            if c and c not in names
+        ]
+        if missing:
+            raise RuntimeError(
+                f"{spec.name}: spec column(s) {missing} are not in the "
+                f"committed schema {sorted(names)} — was the column "
+                "renamed? rename_column updates table state only; update "
+                "the ModelSpec (unique_key/watermark_col) to the new name"
+            )
+
+    @staticmethod
+    def _carry_empty_cdc(live: dict, manifest: dict) -> None:
+        """Metadata-only commits (RENAME/ADD/DROP COLUMN, commit_meta) on
+        a change-data table stamp an EMPTY change descriptor: they change
+        no row, and carrying the LIVE descriptor forward would
+        double-count the previous commit's change files in a netted
+        feed, while omitting the key entirely would knock every range
+        crossing the commit back to the snapshot diff (which refuses
+        across renames). Same contract as ``commit_meta``."""
+        if live.get("cdc") is not None:
+            manifest["cdc"] = {
+                "key": live["cdc"].get("key"),
+                "buckets": live["cdc"].get("buckets"),
+                "files": [],
+            }
 
     def _require_no_dv(
         self,
@@ -4027,13 +4222,19 @@ class IncrementalRunner:
 
         Refusals (each a contract, not a gap): partition columns (the
         dir names ARE the physical layout), pending deletion vectors,
-        change-data tables (committed change files carry physical names
-        the feed readers would misalign), and columns referenced by
-        generated-column definitions. While a mapping pends,
-        partition/file-scoped writers refuse (``_require_no_colmap``);
-        ``compact()`` or a full refresh absorbs it. Callers own renaming
-        any ModelSpec fields (unique_key/watermark_col) they pass to
-        later operations — the manifest records table state, not specs."""
+        and columns referenced by generated-column definitions. While a
+        mapping pends, partition/file-scoped writers refuse
+        (``_require_no_colmap``); ``compact()`` or a full refresh
+        absorbs it. CHANGE-DATA tables rename freely (r12): committed
+        change files keep their era names and both feed readers compose
+        the rename chain from the provenance log (``_rename_ops``), so
+        `table_changes` and the streaming CDF source net correctly
+        across the rename; the commit stamps an EMPTY change descriptor
+        (it changes no row) so the fast path stays available. Callers
+        own renaming any ModelSpec fields (unique_key/watermark_col)
+        they pass to later operations — the manifest records table
+        state, not specs (a stale spec fails fast: see the
+        rename-aware unique_key guard in ``run``)."""
         live = self.current_manifest(name)
         if live is None:
             raise RuntimeError(f"{name}: rename needs a committed target")
@@ -4051,11 +4252,6 @@ class IncrementalRunner:
                 "hive dir names are the physical layout"
             )
         self._require_no_dv(name, live, "rename column")
-        if live.get("cdc") is not None:
-            raise RuntimeError(
-                f"{name}: cannot rename a column on a change-data table — "
-                "its committed change files carry physical column names"
-            )
         gen = (live.get("meta") or {}).get("generated_columns") or {}
         touched_gen = [
             g for g, d in gen.items()
@@ -4069,13 +4265,18 @@ class IncrementalRunner:
         colmap = dict(live.get("colmap") or {})
         colmap[new] = colmap.pop(old, old)
         colmap = {l: p for l, p in colmap.items() if l != p}
-        manifest = {k: v for k, v in live.items() if k not in ("version", "colmap")}
+        manifest = {
+            k: v
+            for k, v in live.items()
+            if k not in ("version", "colmap", "cdc")
+        }
         manifest["version"] = live["version"] + 1
         manifest["dtypes"] = [
             [new if n == old else n, t] for n, t in dtypes
         ]
         if colmap:
             manifest["colmap"] = colmap
+        self._carry_empty_cdc(live, manifest)
         self._commit_manifest(name, manifest)
         return {
             "renamed": [old, new],
@@ -4111,9 +4312,12 @@ class IncrementalRunner:
                 "hold bytes under that name — re-adding would resurrect "
                 "stale data; run compact() or a full refresh first"
             )
-        manifest = {k: v for k, v in live.items() if k != "version"}
+        manifest = {
+            k: v for k, v in live.items() if k not in ("version", "cdc")
+        }
         manifest["version"] = live["version"] + 1
         manifest["dtypes"] = [*dtypes, [col, dtype]]
+        self._carry_empty_cdc(live, manifest)
         self._commit_manifest(name, manifest)
         return {"added": [col, dtype], "version": manifest["version"]}
 
@@ -4171,13 +4375,14 @@ class IncrementalRunner:
         manifest = {
             k: v
             for k, v in live.items()
-            if k not in ("version", "colmap", "dropped")
+            if k not in ("version", "colmap", "dropped", "cdc")
         }
         manifest["version"] = live["version"] + 1
         manifest["dtypes"] = [p for p in dtypes if p[0] != col]
         if colmap:
             manifest["colmap"] = colmap
         manifest["dropped"] = dropped
+        self._carry_empty_cdc(live, manifest)
         self._commit_manifest(name, manifest)
         return {
             "dropped": col,

@@ -1748,6 +1748,185 @@ ORDER BY o_orderkey
 """
 
 
+def colmap_cdf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping COMPOSED with the change-data feed (r12 — VERDICT
+    r11 item 1, the top functional refusal a lakehouse user hits): a
+    CDF-enabled table is renamed mid-history WITHOUT a rewrite and both
+    feed paths net correctly across the rename.
+
+    History: v1 bootstrap (keys k%4!=3) -> v2 cow UPDATE (+1000 on
+    k%10=0; change files carry the OLD name `v`) -> v3 RENAME v->amount
+    (asserted metadata-only: identical file entries, EMPTY change
+    descriptor) -> v4 incremental merge in the NEW names (updates
+    k%6=4, inserts k%4=3, tombstone deletes k%12=2; the unpartitioned
+    full rewrite absorbs the mapping). While the mapping PENDS,
+    `table_changes(1 -> 3)` already serves the feed under the new
+    logical names (asserted in-entry). Then ONE availableNow hop
+    streams the feed (startingversion=1) across the rename into a
+    tombstone-merge sink seeded with the v1 snapshot — reaching a
+    result at all PROVES the change-file legs ran, because the
+    snapshot-diff fallback refuses rename-crossing ranges by contract.
+    Retention is AGE-based (RETENTION_SECONDS — r12 item 5): the
+    consumer's 3-version lag is covered by configuration, with
+    RETAIN_VERSIONS left at the engine default of 2.
+
+    The returned frame is the SINK's final state, which must equal the
+    base table's live state (asserted in-entry) and the oracle's
+    arithmetic replay — a stale-byte read, a misaligned era column, a
+    double-netted change file, or a lost tombstone all flip the hash."""
+    import dataclasses
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    register_manifest_cdf_source(spark)
+    root = tempfile.mkdtemp(prefix="mycarely_q_cmcdf_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        runner.RETENTION_SECONDS = 3600.0  # age window covers the lag
+        o = spark.table("orders")
+
+        def boot(sp, sfd, wm):
+            rows = o.filter(F.col("o_orderkey") % 4 != 3).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("v"),
+                F.col("o_orderstatus").alias("s"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        spec = ModelSpec("cm_cdf", "k", "k", boot, change_data=True)
+        runner.run(spec, sf_dir)                                    # v1
+        runner.update_where(spec, "k % 10 = 0", {"v": "v + 1000"})  # v2
+        m2 = runner.current_manifest("cm_cdf")
+        runner.rename_column("cm_cdf", "v", "amount")               # v3
+        m3 = runner.current_manifest("cm_cdf")
+        assert dict(m3["partitions"]) == dict(m2["partitions"])  # 0 rewrite
+        assert m3["cdc"]["files"] == []  # metadata-only commit, empty cdc
+        # the feed is live while the mapping PENDS — new logical names
+        pend = runner.table_changes("cm_cdf", "k", 1, 3)
+        assert set(pend.columns) == {"k", "amount", "s", "_change_type"}
+        n_bumped = pend.filter(
+            F.col("_change_type") == "update_postimage"
+        ).count()
+        assert n_bumped == o.filter(
+            (F.col("o_orderkey") % 4 != 3) & (F.col("o_orderkey") % 10 == 0)
+        ).count(), n_bumped
+
+        def wave(sp, sfd, wm):
+            upd = o.filter(
+                (F.col("o_orderkey") % 6 == 4) & (F.col("o_orderkey") % 4 != 3)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                (
+                    F.col("o_totalprice")
+                    + F.when(F.col("o_orderkey") % 10 == 0, 1000.0).otherwise(0.0)
+                    + 50.0
+                ).alias("amount"),
+                F.col("o_orderstatus").alias("s"),
+                F.lit(False).alias("__del"),
+            )
+            ins = o.filter(F.col("o_orderkey") % 4 == 3).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("amount"),
+                F.col("o_orderstatus").alias("s"),
+                F.lit(False).alias("__del"),
+            )
+            dels = o.filter(F.col("o_orderkey") % 12 == 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("amount"),
+                F.col("o_orderstatus").alias("s"),
+                F.lit(True).alias("__del"),
+            )
+            return upd.unionByName(ins).unionByName(dels)
+
+        runner.run(
+            dataclasses.replace(spec, build=wave, tombstone_col="__del"),
+            sf_dir,
+        )                                                           # v4
+        assert "colmap" not in runner.current_manifest("cm_cdf")  # absorbed
+
+        # sink seeded with the v1 snapshot (served under ITS OWN logical
+        # schema — time travel), renamed into the post-rename naming
+        sink_spec = ModelSpec(
+            "cm_sink", "k", "k", None, tombstone_col="__del"
+        )
+
+        def sink_boot(sp, sfd, wm):
+            return runner.read_target("cm_cdf", version=1).select(
+                "k", F.col("v").alias("amount"), "s"
+            )
+
+        runner.run(dataclasses.replace(sink_spec, build=sink_boot), sf_dir)
+
+        feed = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", "cm_cdf")
+            .option("key", "k")
+            .option("startingversion", 1)
+            .load()
+        )
+
+        def apply_batch(batch_df, bid):
+            rows = batch_df.withColumn(
+                "__del", F.col("_change_type") == "delete"
+            ).drop("_change_type")
+            runner.merge_txn(
+                sink_spec, rows, app_id="cm_cdf_sink", txn_version=bid
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{root}/_ckpt_cm")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        base = runner.read_target("cm_cdf").select("k", "amount", "s")
+        sink = runner.read_target("cm_sink").select("k", "amount", "s")
+        assert sink.count() == base.count()
+        assert sink.exceptAll(base).count() == 0
+        return materialize(sink.orderBy("k"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_COLMAP_CDF = """
+WITH boot AS (
+    SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 4 <> 3
+),
+upd AS (
+    SELECT o_orderkey AS k,
+           o_totalprice
+             + CASE WHEN o_orderkey % 10 = 0 THEN 1000.0 ELSE 0.0 END
+             + 50.0 AS amount,
+           o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey % 4 <> 3
+),
+ins AS (
+    SELECT o_orderkey AS k, o_totalprice AS amount, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 4 = 3
+)
+SELECT k, amount, s FROM upd WHERE k % 12 <> 2
+UNION ALL
+SELECT b.k,
+       CASE WHEN b.k % 10 = 0 THEN b.v + 1000.0 ELSE b.v END AS amount,
+       b.s
+FROM boot b
+WHERE b.k NOT IN (SELECT k FROM upd) AND b.k % 12 <> 2
+UNION ALL
+SELECT k, amount, s FROM ins WHERE k % 12 <> 2
+ORDER BY k
+"""
+
+
 def streaming_admission_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion admission control (r7): stateless quality gate
     + per-source quota via one-counter GroupState, drained with
@@ -1950,6 +2129,7 @@ def register_queries(register) -> None:
     register("dml_restore_clone", dml_restore_clone, O_DML_RESTORE_CLONE)
     register("time_travel_history", time_travel_history, O_TIME_TRAVEL_HISTORY)
     register("rename_column_lifecycle", rename_column_lifecycle, O_RENAME_COLUMN)
+    register("colmap_cdf_lifecycle", colmap_cdf_lifecycle, O_COLMAP_CDF)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(
         "streaming_admission_quota",

@@ -230,7 +230,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         cur = _manifest_json(
             self.root, self.model, _manifest_current_version(self.root, self.model)
         )
-        if (cur or {}).get("colmap"):
+        if (cur or {}).get("colmap") and not self._colmap_ok(cur):
             # column mapping: the files carry PHYSICAL names the stream
             # would misalign against these logical dtypes — Delta likewise
             # blocks streaming reads across column-mapping changes
@@ -240,6 +240,14 @@ class ManifestStreamReader(DataSourceStreamReader):
             )
         self.dtypes = (cur or {}).get("dtypes") or []
         self.partition_by = (cur or {}).get("partition_by") or []
+
+    def _colmap_ok(self, cur: dict) -> bool:
+        """May this reader serve a table with a PENDING column mapping?
+        The raw file stream never can (it reads committed files, which
+        carry physical names). The change-feed subclass can when the
+        table writes change files (its legs translate per version) —
+        see the override."""
+        return False
 
     def initialOffset(self) -> dict:
         self._last_end = 0
@@ -447,9 +455,14 @@ class _CdfSnapshotInsert(InputPartition):
     as inserts — the initial load never concatenates a whole partition
     into one task."""
 
-    def __init__(self, path, rel, dv_new, positional=False):
+    def __init__(self, path, rel, dv_new, positional=False, ren=None):
         self.path, self.rel, self.dv_new = path, rel, dv_new
         self.positional = positional
+        # PENDING column mapping at the end manifest: committed files
+        # carry physical names; `ren` (physical -> logical) aliases them
+        # at read — a single-manifest translation, the streaming twin of
+        # the batch reader's `_read_files` chokepoint
+        self.ren = ren or None
 
 
 class _CdfChangeBucket(InputPartition):
@@ -460,11 +473,19 @@ class _CdfChangeBucket(InputPartition):
     buckets' CHANGE rows — never a snapshot. The planner packs whole
     buckets into one leg by on-disk byte size (VERDICT r10 item 1:
     write-fine, group-coarse), so the cap holds regardless of churn or
-    catch-up depth while each key's events stay within one task."""
+    catch-up depth while each key's events stay within one task.
 
-    def __init__(self, buckets, files):
+    ``srcs`` (r12 — rename-aware feeds): per VERSION, declared output
+    column -> the name it carries in that version's change files (the
+    rename chain composed from commit provenance by the planner). A
+    declared column absent from its version's map did not exist then
+    (NULL-fill) or was dropped on the way (its era bytes must never be
+    read — the resurrection fence at the feed level)."""
+
+    def __init__(self, buckets, files, srcs=None):
         self.buckets = tuple(buckets)
         self.files = files  # [(version, abs path), ...] version-ordered
+        self.srcs = srcs or {}
 
 
 def _dv_key_set(paths) -> set:
@@ -510,6 +531,11 @@ CDF_TASK_TARGET_BYTES = 32 * 1024 * 1024
 
 class ManifestCDFStreamReader(ManifestStreamReader):
     def __init__(self, options):
+        # the declared output schema is the stream-start logical schema;
+        # rename translation composes per-era chains up to this version
+        self._init_version = _manifest_current_version(
+            options["root"], options["model"]
+        )
         super().__init__(options)
         self.key = options["key"]
         self.start_version = int(options.get("startingversion", 0))
@@ -533,6 +559,14 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         # view maintenance consumes (subtract old, add new)
         self.preimages = str(options.get("preimages", "false")).lower() == "true"
 
+    def _colmap_ok(self, cur: dict) -> bool:
+        # a change-data table with a PENDING mapping still streams: the
+        # change-file legs translate per version (`srcs`) and a
+        # bootstrap batch aliases physical->logical from the one end
+        # manifest; only the snapshot-diff fallback refuses (see
+        # `partitions`). Tables without change files keep the refusal.
+        return cur.get("cdc") is not None
+
     def initialOffset(self) -> dict:
         self._last_end = self.start_version
         return {"version": self.start_version}
@@ -552,30 +586,6 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         m_e = self._manifest_at(end["version"])
         if m_e is None:
             return [_CdfRelDiff("", [], [], [], [])]
-        # (bootstrap batches — start 0 — plan snapshot-insert legs from the
-        # END manifest only, so interior renames that were later absorbed
-        # cannot misalign anything; the walk applies to DIFF ranges)
-        for v in range(start["version"] + 1, end["version"] + 1) if (
-            start["version"] > 0
-        ) else ():
-            mi = _manifest_json(self.root, self.model, v)
-            if mi is not None and (
-                mi.get("colmap") or mi.get("op") == "RENAME COLUMN"
-            ):
-                # a RENAME landed inside the batch range (even if later
-                # absorbed): pre-rename files/rows would misalign against
-                # these logical dtypes — Delta blocks streaming across
-                # column-mapping changes the same way
-                raise RuntimeError(
-                    f"{self.model}: the change stream crossed a column "
-                    f"rename (version {v}) — restart the stream from a "
-                    "post-rename version"
-                )
-        if (m_e.get("colmap") or (m_s or {}).get("colmap")):
-            raise RuntimeError(
-                f"{self.model}: the change stream crossed a column-mapping "
-                "change — absorb the mapping (compact) and restart"
-            )
         dvk = ((m_e.get("dv") or {}).get("key"))
         if dvk is not None and dvk != self.key:
             raise RuntimeError(
@@ -598,9 +608,14 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         if m_s is None:
             # bootstrap (startingversion 0): everything live at `end`
             # arrives as inserts — one task per committed FILE, each
-            # reading that file plus the KB-scale vector sidecars
+            # reading that file plus the KB-scale vector sidecars. Plans
+            # from the END manifest only, so interior renames that were
+            # later absorbed cannot misalign anything; a PENDING mapping
+            # translates physical->logical per file from this one
+            # manifest (the streaming twin of `_read_files`).
+            ren = {p: l for l, p in (m_e.get("colmap") or {}).items()}
             legs = [
-                _CdfSnapshotInsert(absf(rel, f), rel, dv_new, positional)
+                _CdfSnapshotInsert(absf(rel, f), rel, dv_new, positional, ren)
                 for rel, fl in sorted(parts_e.items())
                 for f in fl
             ]
@@ -609,8 +624,31 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         if legs is not None:
             # every version in the batch committed write-time change
             # files: NO base data file is opened — one netting task per
-            # key bucket (DV deletes are already IN the change files)
+            # key bucket (DV deletes are already IN the change files;
+            # renames translate per version via the legs' `srcs` maps)
             return legs or [_CdfRelDiff("", [], [], [], [])]
+        # ---- snapshot-diff fallback: it reads BASE files under the
+        # declared logical dtypes, which genuinely cannot represent a
+        # rename inside the range (pre-rename rows would misalign and
+        # fabricate changes) — refuse, Delta's streaming restriction.
+        # Change-data tables never reach here for rename ranges (the
+        # change-file legs above serve them).
+        for v in range(start["version"] + 1, end["version"] + 1):
+            mi = _manifest_json(self.root, self.model, v)
+            if mi is not None and (
+                mi.get("colmap") or mi.get("op") == "RENAME COLUMN"
+            ):
+                raise RuntimeError(
+                    f"{self.model}: the change stream crossed a column "
+                    f"rename (version {v}) — restart the stream from a "
+                    "post-rename version, or enable spec.change_data "
+                    "(write-time change files net across renames)"
+                )
+        if (m_e.get("colmap") or (m_s or {}).get("colmap")):
+            raise RuntimeError(
+                f"{self.model}: the change stream crossed a column-mapping "
+                "change — absorb the mapping (compact) and restart"
+            )
         if positional and set((m_e.get("dv") or {}).get("files") or []) != set(
             ((m_s or {}).get("dv") or {}).get("files") or []
         ):
@@ -759,19 +797,59 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         fallback — full refresh, RESTORE, tables that never opted in).
         All non-empty versions must agree on the bucket count and key, or
         a key's events would straddle tasks and netting would be wrong —
-        disagreement falls back to the diff."""
+        disagreement falls back to the diff.
+
+        RENAME-AWARE (r12): the rename/drop chain between each version
+        and the stream's DECLARED schema is reconstructed from the
+        retained manifests (the same metadata walk this planner already
+        pays) and rides into each leg as a per-version column-source
+        map, so change files written under pre-rename names net
+        correctly. Bucket assignment hashes key VALUES, not names, so
+        buckets stay aligned across the rename. A rename landing AFTER
+        the stream started makes the declared schema stale — that
+        raises a restart error, Delta's schema-change rule."""
         import os
 
-        metas = []
-        for v in range(s + 1, e + 1):
-            m = self._manifest_at(v)
-            cdc = (m or {}).get("cdc")
-            if cdc is None:
-                return None
-            metas.append((v, cdc))
-        nonempty = [(v, c) for v, c in metas if c.get("files")]
-        if any(c.get("key") != self.key for _, c in nonempty):
+        from ..incremental import _feed_column_sources, _rename_ops
+
+        m_s = self._manifest_at(s)
+        if m_s is None:
             return None
+        mans = [(s, m_s)]
+        metas = []
+        # walk to at least the stream-start version: era files need every
+        # rename between them and the DECLARED schema, including renames
+        # in (e, init] when an admission-controlled batch ends early
+        for v in range(s + 1, max(e, self._init_version) + 1):
+            m = self._manifest_at(v)
+            mans.append((v, m or {}))
+            if v <= e:
+                cdc = (m or {}).get("cdc")
+                if cdc is None:
+                    return None
+                metas.append((v, m or {}, cdc))
+        ops = _rename_ops(mans)
+        if ops is None:
+            return None
+        if any(r > self._init_version for r, *_ in ops):
+            raise RuntimeError(
+                f"{self.model}: a column rename/drop landed after this "
+                "stream started — the declared schema is stale; restart "
+                "the stream"
+            )
+        declared = [n for n, _ in self.dtypes]
+        srcs: dict[int, dict] = {}
+        nonempty = []
+        for v, m, c in metas:
+            if not c.get("files"):
+                continue
+            src = _feed_column_sources(
+                [n for n, _ in (m.get("dtypes") or [])], v, ops, declared
+            )
+            if c.get("key") != src.get(self.key):
+                return None  # era feed keyed on an untraceable column
+            srcs[v] = src
+            nonempty.append((v, c))
         if len({int(c["buckets"]) for _, c in nonempty}) > 1:
             return None
         base = os.path.join(self.root, self.model, "_change_data")
@@ -803,13 +881,13 @@ class ManifestCDFStreamReader(ManifestStreamReader):
                 except OSError:
                     sz += target  # unstat-able: isolate conservatively
             if cur_files and cur_bytes + sz > target:
-                legs.append(_CdfChangeBucket(cur_buckets, sorted(cur_files)))
+                legs.append(_CdfChangeBucket(cur_buckets, sorted(cur_files), srcs))
                 cur_buckets, cur_files, cur_bytes = [], [], 0
             cur_buckets.append(b)
             cur_files.extend(fl)
             cur_bytes += sz
         if cur_files:
-            legs.append(_CdfChangeBucket(cur_buckets, sorted(cur_files)))
+            legs.append(_CdfChangeBucket(cur_buckets, sorted(cur_files), srcs))
         return legs
 
     def _pa_type(self, tname: str):
@@ -945,6 +1023,15 @@ class ManifestCDFStreamReader(ManifestStreamReader):
         frames = []
         for v, path in part.files:
             t = pq.read_table(path).to_pandas()
+            src = part.srcs.get(v) if getattr(part, "srcs", None) else None
+            if src is not None:
+                # rename-aware read: keep ONLY the columns the planner
+                # traced to the declared schema (a stale dropped-era
+                # column must never be read — it could shadow a
+                # post-compact re-add) and alias era names to declared
+                keep = {src[c]: c for c in src}
+                t = t[[c for c in t.columns if c in keep or c == "_change_type"]]
+                t = t.rename(columns=keep)
             # schema evolution: pre-evolution change files NULL-fill
             t = t.reindex(columns=[*allc, "_change_type"])
             t["__v"] = v
@@ -974,7 +1061,7 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             c for c, _ in self.dtypes if c not in set(self.partition_by)
         ]
 
-        def load(files, pmap=None) -> "pd.DataFrame":
+        def load(files, pmap=None, ren=None) -> "pd.DataFrame":
             frames = []
             for f in files:
                 t = pq.read_table(f).to_pandas()
@@ -987,16 +1074,22 @@ class ManifestCDFStreamReader(ManifestStreamReader):
             if not frames:
                 return pd.DataFrame(columns=data_cols)
             df = pd.concat(frames, ignore_index=True)
+            if ren:
+                # pending column mapping (bootstrap leg): committed files
+                # carry physical names — alias to logical before the
+                # declared-schema reindex
+                df = df.rename(columns=ren)
             # schema evolution: older files may lack evolved columns —
             # NULL-fill via reindex against the committed dtypes
             return df.reindex(columns=data_cols)
 
         k = self.key
         if isinstance(part, _CdfSnapshotInsert):
+            ren = getattr(part, "ren", None)
             if part.positional:
-                df = load([part.path], _dv_pos_map(part.dv_new))
+                df = load([part.path], _dv_pos_map(part.dv_new), ren)
             else:
-                df = load([part.path])
+                df = load([part.path], None, ren)
                 dv = _dv_key_set(part.dv_new)
                 if dv:
                     df = df[~df[k].isin(dv)]

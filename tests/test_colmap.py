@@ -162,13 +162,17 @@ def test_rename_refusals(spark, target_root):
         r.rename_column("cm_t", "nope", "x")
     with pytest.raises(RuntimeError, match="already exists"):
         r.rename_column("cm_t", "v", "k")
+    # r12: change-data tables rename freely — the feed readers compose
+    # the rename chain from provenance; the rename commit itself stamps
+    # an EMPTY change descriptor (it changes no row), keeping the
+    # change-file fast path available across it
     cd = _spec(name="cm_cd", change_data=True)
     r.run(cd, SF_DIR)
-    # v1 bootstrap writes no change descriptor (its feed is served from
-    # the snapshot); the refusal keys on COMMITTED change files
     r.delete_where(cd, "k = 5")
-    with pytest.raises(RuntimeError, match="change-data table"):
-        r.rename_column("cm_cd", "v", "val")
+    r.rename_column("cm_cd", "v", "val")
+    m = r.current_manifest("cm_cd")
+    assert m["colmap"] == {"val": "v"}
+    assert m["cdc"] == {"key": "k", "buckets": 256, "files": []}
 
 
 def test_feeds_and_streams_refuse_over_mapping(spark, target_root):
@@ -389,3 +393,200 @@ def test_stream_bootstrap_allowed_after_absorbed_rename(spark, target_root):
     assert legs
     with pytest.raises(RuntimeError, match="crossed a column rename"):
         rd.partitions({"version": 1}, {"version": 3})  # diff range: refuse
+
+
+# ---------------------------------------------------------------------------
+# r12 — column mapping composed with CHANGE-DATA tables: the feed readers
+# reconstruct the rename chain from commit provenance (_rename_ops) and
+# read each version's change files under its own era schema, aliased to
+# the range-end names. The snapshot-diff fallback keeps its refusals.
+# ---------------------------------------------------------------------------
+
+
+def _cd_history(r, name="cd"):
+    """v1 boot (k 0..99: v=k%7, p=k%4) -> v2 update (era names) ->
+    v3 RENAME v->val (empty cdc) -> v4 merge of inserts 100..104 (the
+    unpartitioned full rewrite absorbs the mapping, new-name change
+    files). Returns the spec under the POST-rename naming."""
+    import dataclasses
+
+    spec = _spec(name=name, change_data=True)
+    r.run(spec, SF_DIR)                                   # v1
+    r.update_where(spec, "k % 10 = 0", {"v": "v + 100"})  # v2
+    r.rename_column(name, "v", "val")                     # v3
+
+    def b2(sp, sfd, wm):
+        rows = sp.range(100, 105).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("val"),
+            (F.col("id") % 4).alias("p"),
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    r.run(dataclasses.replace(spec, build=b2), SF_DIR)    # v4 (absorbs)
+    assert "colmap" not in r.current_manifest(name)
+    return spec
+
+
+def test_batch_feed_nets_across_rename_on_change_data(spark, target_root):
+    r = _runner(spark, target_root)
+    _cd_history(r)
+    # endpoint under a PENDING mapping: output carries the new names
+    ch = r.table_changes("cd", "k", 1, 3, preimages=True)
+    assert set(ch.columns) == {"k", "val", "p", "_change_type"}
+    got = sorted(
+        (x["k"], x["val"], x["_change_type"]) for x in ch.collect()
+    )
+    want = sorted(
+        [(k, k % 7, "update_preimage") for k in range(0, 100, 10)]
+        + [(k, k % 7 + 100, "update_postimage") for k in range(0, 100, 10)]
+    )
+    assert got == want
+    # full range ACROSS the rename (era v2 files carry `v`, era v4
+    # files carry `val`): one netted feed under the end names
+    ch = r.table_changes("cd", "k", 1, 4, preimages=True)
+    got = sorted(
+        (x["k"], x["val"], x["p"], x["_change_type"]) for x in ch.collect()
+    )
+    want = sorted(
+        [(k, k % 7, k % 4, "update_preimage") for k in range(0, 100, 10)]
+        + [
+            (k, k % 7 + 100, k % 4, "update_postimage")
+            for k in range(0, 100, 10)
+        ]
+        + [(k, k % 7, k % 4, "insert") for k in range(100, 105)]
+    )
+    assert got == want
+
+
+def test_streaming_feed_nets_across_rename_on_change_data(spark, target_root):
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+        _CdfChangeBucket,
+    )
+
+    r = _runner(spark, target_root)
+    _cd_history(r)
+    rd = ManifestCDFStreamReader(
+        {"root": target_root, "model": "cd", "key": "k", "preimages": "true"}
+    )
+    legs = rd.partitions({"version": 1}, {"version": 4})
+    assert all(isinstance(p, _CdfChangeBucket) for p in legs)
+    got = sorted(
+        tuple(b.to_pylist()[i].values())
+        for p in legs
+        for b in rd.read(p)
+        for i in range(b.num_rows)
+    )
+    want = sorted(
+        tuple(row)
+        for row in r.table_changes("cd", "k", 1, 4, preimages=True).collect()
+    )
+    assert got == want
+    # a batch ending BEFORE the rename (admission-controlled catch-up)
+    # still emits under the DECLARED (post-rename) schema: the planner
+    # walks the chain past the batch end up to the stream-start version
+    legs = rd.partitions({"version": 1}, {"version": 2})
+    got = sorted(
+        (d["k"], d["val"], d["_change_type"])
+        for p in legs
+        for b in rd.read(p)
+        for d in b.to_pylist()
+    )
+    want = sorted(
+        [(k, k % 7, "update_preimage") for k in range(0, 100, 10)]
+        + [(k, k % 7 + 100, "update_postimage") for k in range(0, 100, 10)]
+    )
+    assert got == want
+
+
+def test_stream_bootstrap_under_pending_colmap(spark, target_root):
+    """A fresh CDF stream on a change-data table with a PENDING mapping
+    bootstraps by aliasing physical->logical from the end manifest."""
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+        _CdfSnapshotInsert,
+    )
+
+    r = _runner(spark, target_root)
+    spec = _spec(name="cd", change_data=True)
+    r.run(spec, SF_DIR)                                   # v1
+    r.update_where(spec, "k % 10 = 0", {"v": "v + 100"})  # v2
+    r.rename_column("cd", "v", "val")                     # v3 pending
+    rd = ManifestCDFStreamReader(
+        {"root": target_root, "model": "cd", "key": "k"}
+    )
+    legs = rd.partitions({"version": 0}, {"version": 3})
+    assert legs and all(isinstance(p, _CdfSnapshotInsert) for p in legs)
+    got = sorted(
+        (d["k"], d["val"], d["_change_type"])
+        for p in legs
+        for b in rd.read(p)
+        for d in b.to_pylist()
+    )
+    want = sorted(
+        (k, k % 7 + (100 if k % 10 == 0 else 0), "insert")
+        for k in range(100)
+    )
+    assert got == want
+
+
+def test_rename_after_stream_start_requires_restart(spark, target_root):
+    """A rename landing AFTER the stream started makes the declared
+    schema stale — the change-file planner raises a restart error
+    instead of emitting misaligned rows (Delta's schema-change rule)."""
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+    )
+
+    r = _runner(spark, target_root)
+    spec = _spec(name="cd", change_data=True)
+    r.run(spec, SF_DIR)                                   # v1
+    r.update_where(spec, "k % 10 = 0", {"v": "v + 100"})  # v2
+    rd = ManifestCDFStreamReader(
+        {"root": target_root, "model": "cd", "key": "k"}
+    )  # declared schema: (k, v, p) @ v2
+    r.rename_column("cd", "v", "val")                     # v3
+    with pytest.raises(RuntimeError, match="restart the stream"):
+        rd.partitions({"version": 1}, {"version": 3})
+
+
+def test_feed_dropped_era_column_never_resurrects(spark, target_root):
+    """The resurrection fence at the FEED level: change files written
+    before a DROP carry the dropped column's bytes; after compact clears
+    the fence and the name is re-added, a feed crossing the whole
+    history must emit NULL for the era images — never the stale bytes."""
+    r = _runner(spark, target_root)
+    spec = _spec(name="cd", change_data=True)
+    r.run(spec, SF_DIR)                                   # v1
+    r.update_where(spec, "k % 10 = 0", {"v": "v + 100"})  # v2: files carry p
+    r.drop_column("cd", "p")                              # v3 (fence)
+    r.compact("cd")                                       # v4 (clears fence)
+    r.add_column("cd", "p", "bigint")                     # v5 (re-add)
+    r.update_where(spec, "k % 10 = 5", {"v": "v + 7"})    # v6
+    ch = r.table_changes("cd", "k", 1, 6, preimages=True)
+    rows = ch.collect()
+    assert rows and all(x["p"] is None for x in rows)
+    got = sorted((x["k"], x["v"], x["_change_type"]) for x in rows)
+    want = sorted(
+        [(k, k % 7, "update_preimage") for k in range(0, 100, 10)]
+        + [(k, k % 7 + 100, "update_postimage") for k in range(0, 100, 10)]
+        + [(k, k % 7, "update_preimage") for k in range(5, 100, 10)]
+        + [(k, k % 7 + 7, "update_postimage") for k in range(5, 100, 10)]
+    )
+    assert got == want
+
+
+def test_run_with_stale_spec_after_rename_fails_fast(spark, target_root):
+    """VERDICT r11 item 7: rename_column records table state only — a
+    run()/merge against a target whose committed dtypes no longer
+    contain the spec's unique_key must fail with a rename-aware
+    message, not an unresolved-column error deep in the merge."""
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)
+    r.rename_column("cm_t", "k", "kk")
+    with pytest.raises(RuntimeError, match="was the column renamed"):
+        r.run(spec, SF_DIR)

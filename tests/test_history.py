@@ -131,3 +131,77 @@ def test_compound_op_labels_outermost_intent(spark, target_root):
     h = r.history("hist_t")
     assert h[0]["op"] == "STREAMING UPDATE"
     assert h[0]["txn"] == {"hist_app": 1}
+
+
+# ---------------------------------------------------------------------------
+# r12 — AGE-based retention (Delta's retentionDuration shape): commits
+# younger than RETENTION_SECONDS are retained beyond the RETAIN_VERSIONS
+# count floor, from the provenance ts alone (metadata-only decision).
+# ---------------------------------------------------------------------------
+
+
+def test_age_retention_keeps_young_versions_beyond_count(spark, target_root):
+    r = _runner(spark, target_root, retain=1)
+    r.RETENTION_SECONDS = 3600.0
+    r.VACUUM_GRACE_SECONDS = 0.0
+    spec = _spec()
+    r.run(spec, SF_DIR)                                    # v1
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 100"})   # v2
+    r.update_where(spec, "k % 10 = 4", {"v": "v + 7"})     # v3
+    r.delete_where(spec, "k = 99")                         # v4
+    # with count-only retain=1 only v4 would survive; the age window
+    # keeps every commit: full history + deep time travel both work
+    assert [h["version"] for h in r.history("hist_t")] == [4, 3, 2, 1]
+    assert r.read_target("hist_t", version=1).count() == 100
+    assert r.read_target("hist_t", version=3).count() == 100
+    assert r.read_target("hist_t").count() == 99
+    # timestampAsOf reaches across the whole retained age window
+    t1 = r.history("hist_t")[-1]["ts"]
+    assert r.version_at_timestamp("hist_t", t1) == 1
+
+
+def test_age_retention_expired_falls_back_to_count_floor(spark, target_root):
+    r = _runner(spark, target_root, retain=2)
+    r.RETENTION_SECONDS = 0.0  # every commit is immediately "too old"
+    r.VACUUM_GRACE_SECONDS = 0.0
+    spec = _spec()
+    r.run(spec, SF_DIR)                                    # v1
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 100"})   # v2
+    r.update_where(spec, "k % 10 = 4", {"v": "v + 7"})     # v3
+    # the count floor is unconditional: last 2 versions stay readable
+    assert [h["version"] for h in r.history("hist_t")] == [3, 2]
+    assert r.read_target("hist_t", version=2).count() == 100
+    with pytest.raises(RuntimeError, match="no committed version 1"):
+        r.read_target("hist_t", version=1)
+
+
+def test_age_retention_covers_streaming_lag_by_config(spark, target_root):
+    """A CDF consumer that lags several commits catches up through ONE
+    availableNow-style range because age retention (not a hand-bumped
+    RETAIN_VERSIONS) keeps the intermediate versions' change files."""
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    def build(sp, sfd, wm):
+        rows = sp.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    spec = ModelSpec("lag_t", "k", "k", build, change_data=True)
+    r = _runner(spark, target_root, retain=2)
+    r.RETENTION_SECONDS = 3600.0
+    r.VACUUM_GRACE_SECONDS = 0.0
+    r.run(spec, SF_DIR)                                    # v1
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 100"})   # v2
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 1"})     # v3
+    r.delete_where(spec, "k = 7")                          # v4
+    ch = r.table_changes("lag_t", "k", 1, preimages=True)
+    got = sorted((x["k"], x["v"], x["_change_type"]) for x in ch.collect())
+    want = sorted(
+        [(k, k % 7, "update_preimage") for k in range(3, 50, 10)]
+        + [(k, k % 7 + 101, "update_postimage") for k in range(3, 50, 10)]
+        + [(7, 0, "delete")]
+    )
+    assert got == want
