@@ -2765,16 +2765,18 @@ def _bm25_m_oracle() -> str:
 def bm25_index_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIERED-merge lifecycle (VERDICT r10 item 3 — the background merge
     policy, distinct from bm25_index_optimize_search's forceMerge):
-    bootstrap segment 0 over 70% of doc_ids, three bounded appends make
-    four segments, then ``bm25_seg_index_optimize(max_segments=2)``
-    folds the smallest three into one new level. Asserted in-entry:
-    exactly 2 live segments remain, the LARGEST segment's files ride
-    forward byte-identical ((name, size, mtime) recorded before the
-    merge — copy-on-write never rewrites in place), and a repeat call
-    within policy is a zero-commit no-op. The query across the merged
-    layout must hash-match the full-corpus fresh-build oracle — a pure
-    re-layout changes no answer (per-doc stats are segment-local and
-    final; query-time df never trusted a stored column)."""
+    bootstrap segment 0 over 70% of doc_ids, two bounded appends make
+    three segments (r12 bench hygiene: the K-fold assertion needs only
+    3 — the third append was ~6s of pure fixture cost per artifact),
+    then ``bm25_seg_index_optimize(max_segments=2)`` folds the smallest
+    two into one new level. Asserted in-entry: exactly 2 live segments
+    remain, the LARGEST segment's files ride forward byte-identical
+    ((name, size, mtime) recorded before the merge — copy-on-write
+    never rewrites in place), and a repeat call within policy is a
+    zero-commit no-op. The query across the merged layout must
+    hash-match the full-corpus fresh-build oracle — a pure re-layout
+    changes no answer (per-doc stats are segment-local and final;
+    query-time df never trusted a stored column)."""
     import os
     import tempfile
 
@@ -2790,12 +2792,12 @@ def bm25_index_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with timed_phase("build"):
         bm25_seg_index_build(spark, sf_dir, root, bound=int(hi * 0.7))
     with timed_phase("append"):
-        for frac in (0.8, 0.9, 1.0):
+        for frac in (0.85, 1.0):
             bm25_seg_index_append(
                 spark, sf_dir, root, bound=int(hi * frac) + 1
             )
     m0 = runner.current_manifest(BM25_SEG_INDEX_NAME)
-    assert m0["meta"]["bm25"]["segs"] == 4, m0["meta"]["bm25"]
+    assert m0["meta"]["bm25"]["segs"] == 3, m0["meta"]["bm25"]
     idx_root = runner.target_path(BM25_SEG_INDEX_NAME)
 
     def fstate(m, seg):
@@ -2813,7 +2815,7 @@ def bm25_index_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with timed_phase("optimize"):
         m1 = bm25_seg_index_optimize(spark, root, max_segments=2)
     live = {rel.split("/", 1)[0] for rel in m1["partitions"] if rel}
-    assert live == {"seg=0", "seg=4"}, live
+    assert live == {"seg=0", "seg=3"}, live
     assert fstate(m1, "seg=0") == seg0_before, "seg=0 was rewritten"
     # within policy now: a repeat call is a zero-commit no-op
     assert (

@@ -2205,6 +2205,209 @@ ORDER BY k
 """
 
 
+def q_streaming_ivm_join_pruned(spark, sf_dir: str):
+    """The IVM-join with its base-side probes PARTITION-PRUNED (r12 —
+    VERDICT r11 item 4): `q_streaming_ivm_join` partitions the fact by
+    a k-derived bucket, so the F' ⋉ cks(ΔD) probe scans the WHOLE fact
+    on every dim-churn batch — fine at sf0.1, dominant at 100 TB under
+    a high-churn dim. Here the fact is partitioned by the JOIN-KEY
+    bucket `ckb = ck % 4` (the ck-partitioned fact the r11 docstring
+    named), and the sink derives the touched bucket set from the
+    CHANGE ROWS themselves — a pure metadata decision:
+
+        dim probe:  rels = {ckb=ck%4 : ck ∈ ΔD}      (change-proportional)
+        key probe:  rels = buckets of every ck seen in ΔF images
+                    ∪ the dim-probe slice's buckets   (exact: the netted
+                    post-image IS the key's F' state, so its bucket is
+                    known without reading F')
+
+    Both reads go through `read_target(rels=...)` — the manifest
+    resolves ONLY matching hive partitions' files, asserted in-entry on
+    the dim-only wave: the probe opened exactly the one `ckb=1` rel
+    (cks 1,5,9,13,17 all ≡ 1 mod 4) of the 4 committed, every input
+    file path under it. The fact UPDATE wave moves ck AND ckb, proving
+    copy-on-write DML migrates rows across hive partitions. Same waves,
+    same final state, same oracle as the unpruned entry — layout is not
+    allowed to change semantics."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+    from ..util import materialize
+
+    root = tempfile.mkdtemp(prefix="mycarely_ivmjp_")
+    runner = IncrementalRunner(spark, root)
+    # consumer lag covered by AGE retention (r12 item 5) — no per-entry
+    # RETAIN_VERSIONS hand-bump
+    runner.RETENTION_SECONDS = 3600.0
+    register_manifest_cdf_source(spark)
+
+    def fact_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 20).alias("ck"),
+                ((F.col("id") * F.col("id")) % 1000).alias("amt"),
+                ((F.col("id") % 20) % 4).alias("ckb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        return b
+
+    def dim_build(sp, sfd, wm):
+        rows = sp.range(20).select(
+            F.col("id").alias("ck"), (F.col("id") % 5).alias("seg")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("ck") > F.lit(wm))
+        return rows
+
+    fact_spec = ModelSpec(
+        "ivmjp_fact", "k", "k", fact_build(300), partition_by=["ckb"],
+        change_data=True,
+    )
+    dim_spec = ModelSpec("ivmjp_dim", "ck", "ck", dim_build, change_data=True)
+    mv_spec = ModelSpec(
+        "ivmjp_mv", "k", "k", None, partition_by=["kb"], tombstone_col="__del",
+    )
+    pruned_log: list = []  # (n_rels_read, n_rels_committed, files_ok)
+
+    def cdf(model):
+        return (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", model)
+            .option("key", "k" if model == "ivmjp_fact" else "ck")
+            .option("preimages", "true")
+            .load()
+        )
+
+    def hop():
+        fs = cdf("ivmjp_fact").select(
+            "k", "ck", F.lit("fact").alias("_src"), "_change_type"
+        )
+        ds = cdf("ivmjp_dim").select(
+            F.lit(None).cast("long").alias("k"), "ck",
+            F.lit("dim").alias("_src"), "_change_type",
+        )
+        stream = fs.unionByName(ds)
+
+        def sink(batch_df, bid):
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                # change-proportional driver-side key/bucket sets (the
+                # dim is broadcast-scale; fact keys are this batch's
+                # netted changes)
+                f_rows = rows.filter(F.col("_src") == "fact")
+                d_cks = [
+                    r["ck"]
+                    for r in rows.filter(F.col("_src") == "dim")
+                    .select("ck").distinct().collect()
+                ]
+                f_cks = [
+                    r["ck"]
+                    for r in f_rows.select("ck").distinct().collect()
+                ]
+                fc_keys = f_rows.select("k").distinct()
+                dim = runner.read_target("ivmjp_dim")
+                committed = sorted(
+                    runner.current_manifest("ivmjp_fact")["partitions"]
+                )
+                # dim-churn probe: only the partitions that can hold a
+                # changed ck — resolved from the manifest, no scan
+                d_rels = sorted({f"ckb={ck % 4}" for ck in d_cks})
+                if d_cks:
+                    fslice = runner.read_target("ivmjp_fact", rels=d_rels)
+                    if not f_cks:  # dim-only batch: pin the pruning
+                        files = fslice.inputFiles()
+                        pruned_log.append((
+                            len(d_rels),
+                            len(committed),
+                            bool(files)
+                            and all(
+                                any(f"/{r}/" in f for r in d_rels)
+                                for f in files
+                            ),
+                        ))
+                    d_cks_df = (
+                        rows.filter(F.col("_src") == "dim")
+                        .select("ck").distinct()
+                    )
+                    k_dim = fslice.join(
+                        F.broadcast(d_cks_df), "ck", "semi"
+                    ).select("k")
+                    keys = fc_keys.unionByName(k_dim).distinct()
+                else:
+                    keys = fc_keys
+                # key probe: every candidate key's current bucket is
+                # known from the change images (fact side) or the
+                # pruned slice (dim side) — union of both bucket sets
+                k_rels = sorted(
+                    {f"ckb={ck % 4}" for ck in f_cks}
+                    | set(d_rels if d_cks else [])
+                )
+                fact = runner.read_target("ivmjp_fact", rels=k_rels)
+                new = (
+                    fact.join(F.broadcast(keys), "k", "semi")
+                    .join(dim, "ck", "inner")
+                    .select("k", "ck", "amt", "seg")
+                )
+                apply = keys.join(new, "k", "left").select(
+                    "k", "ck", "amt", "seg",
+                    (F.col("k") % 8).alias("kb"),
+                    F.col("ck").isNull().alias("__del"),
+                )
+                runner.merge_txn(
+                    mv_spec, apply, app_id="ivmjp", txn_version=bid
+                )
+            finally:
+                rows.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_ivmjp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    runner.run(fact_spec, sf_dir)                        # bootstrap both
+    runner.run(dim_spec, sf_dir)
+    hop()                                                # MV = full join
+    runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
+    hop()                                                # dim-only: pruned
+    runner.update_where(                                 # join key + ckb MOVE
+        fact_spec, "k % 9 = 2",
+        {"amt": "amt + 5000", "ck": "(ck + 7) % 20",
+         "ckb": "((ck + 7) % 20) % 4"},
+    )
+    runner.delete_where(fact_spec, "k % 13 = 4")         # cow DELETE
+    hop()                                                # one netted catch-up
+    runner.delete_where(dim_spec, "ck = 3")              # dangling rows out
+    runner.run(                                          # insert wave 2
+        dataclasses.replace(fact_spec, build=fact_build(600)), sf_dir
+    )
+    hop()  # BOTH sources in one microbatch
+    # the dim-only wave read exactly ONE of the 4 committed ckb rels
+    # (ck%4=1 for every changed ck), every input file under it
+    assert pruned_log == [(1, 4, True)], pruned_log
+
+    out = materialize(
+        runner.read_target("ivmjp_mv")
+        .select("k", "ck", "amt", "seg")
+        .orderBy("k")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
@@ -2223,3 +2426,8 @@ def register_queries(register) -> None:
         "streaming_ivm_aggregate", q_streaming_ivm_aggregate, O_IVM_AGG
     )
     register("streaming_ivm_join", q_streaming_ivm_join, O_IVM_JOIN)
+    # the ck-partitioned fact variant shares the oracle by design:
+    # layout must not change semantics
+    register(
+        "streaming_ivm_join_pruned", q_streaming_ivm_join_pruned, O_IVM_JOIN
+    )
