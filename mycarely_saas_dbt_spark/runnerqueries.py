@@ -1648,9 +1648,14 @@ def time_travel_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_ttravel_")
     try:
         runner = IncrementalRunner(spark, root)
-        # history/time travel reach only as far as the retained log —
-        # keep every version of this three-commit fixture readable
-        runner.RETAIN_VERSIONS = 10
+        # r12: the retained log is governed by AGE (Delta's
+        # retentionDuration shape) — RETAIN_VERSIONS stays at the
+        # engine default of 2, so the v1 read below succeeds ONLY
+        # because the age window keeps young commits; a broken age
+        # floor reverts to count-based retention and the travel read
+        # raises instead of hashing
+        runner.RETENTION_SECONDS = 3600.0
+        assert runner.RETAIN_VERSIONS == 2
         spec = _dml_boot_spec("tt_orders")
         runner.run(spec, sf_dir)
         t1 = _time.time()

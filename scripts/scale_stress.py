@@ -1,0 +1,346 @@
+"""Scale-stress harness (r12 — VERDICT r11 item 3): measure runtime
+GROWTH, not absolute speed.
+
+Correctness is saturated at sf0.1; the 100 TB design claims were proven
+by plan shape only. This harness synthesizes DETERMINISTIC range-
+generated inputs at 1x and 10x the sf0.1 row counts for the five
+shuffle-heaviest operator families and records wall-clock growth:
+
+  * cold dedup_minhash_lsh   (shingle -> minhash -> banded bucket join;
+                              the claim is NO candidate-pair blowup)
+  * semdedup                 (centroid blocking; within-cluster N^2/K)
+  * training_mix_pipeline    (multi-stage gates + mixture sampling)
+  * bm25_index_append_search (corpus tokenize + segment build/append)
+  * IVM-join maintenance hop (dim-churn batch over a ck-partitioned
+                              fact — the claim is CHANGE-PROPORTIONAL
+                              work: near-FLAT growth while the fact
+                              grows 10x, r12 item 4's pruning)
+
+The pinned claim is SUB-QUADRATIC growth (growth << input_ratio^2 = 100
+for the corpus operators; near-flat for the maintenance hop), not an
+absolute number — absolute wall on this box swings +/-50% under load
+(the documented bench rule), but a candidate-pair or state blowup shows
+up as growth ~100 regardless of noise.
+
+Inputs mimic the sf0.1 documents/embeddings shapes exactly (same
+columns, same ~vocab text, 64-dim clustered embeddings, planted
+near-dup pairs at a fixed RATE so LSH has real, linear-in-N candidate
+work). Other driver tables symlink to sf0.1 — the five targets never
+scan them at scale-relevant size.
+
+Usage:  python scripts/scale_stress.py [out.json]
+Writes BENCH_SCALE_r12.json (or the given path) with per-op
+{rows_1x, sec_1x, rows_10x, sec_10x, growth} fields.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("MYCARELY_SESSION_MEMO", "0")  # cold paths only
+
+BASE_SF = "/root/testdata/sf0.1"
+DOCS_1X, EMB_1X = 5_000, 2_000
+RATIO = 10
+
+VOCAB = [
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "vector", "query", "agg", "table", "hash",
+    "slow", "filter", "customer", "stream", "key", "group", "join",
+    "merge", "index", "shard", "page", "lead", "spend", "click", "event",
+    "model", "token", "layer", "cache", "plan", "stage", "shuffle",
+    "broadcast", "codec",
+]
+
+
+def synth_sf_dir(spark, n_docs: int, n_emb: int) -> str:
+    """A driver-shaped sf_dir with synthetic documents/embeddings at the
+    requested scale; every other table symlinks to sf0.1. Deterministic:
+    pure hash arithmetic over row ids, no RNG, no wall-clock."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="mycarely_scale_sf_")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events",
+    ):
+        os.symlink(
+            os.path.join(BASE_SF, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    vocab = ", ".join(f"'{w}'" for w in VOCAB)
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            # near-dup plant: every id%10==9 doc re-emits id-1's text
+            # plus one extra token — a fixed 10% near-dup rate, so LSH
+            # candidate pairs grow LINEARLY with N by construction
+            F.expr(
+                f"""concat(
+                  concat_ws(' ', transform(
+                    sequence(0, pmod(hash(id - CASE WHEN id % 10 = 9
+                                              THEN 1 ELSE 0 END), 90) + 29),
+                    i -> element_at(array({vocab}),
+                        pmod(hash((id - CASE WHEN id % 10 = 9
+                                   THEN 1 ELSE 0 END) * 1000003 + i),
+                             {len(VOCAB)}) + 1))),
+                  CASE WHEN id % 10 = 9
+                       THEN concat(' zz', cast(id % 7 AS string))
+                       ELSE '' END)"""
+            ).alias("text"),
+            F.expr(
+                "element_at(array('en','en','en','de','fr','zh','unk'),"
+                " cast(pmod(hash(id * 7 + 3), 7) + 1 AS int))"
+            ).alias("lang"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+                "source"
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    docs.repartition(max(4, n_docs // 5_000)).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    emb = (
+        spark.range(n_emb)
+        .select(
+            F.col("id").alias("vec_id"),
+            # near-identical plant: id%17==13 clones id-1's vector plus
+            # a tiny first-dim offset — a fixed in-cluster duplicate
+            # RATE so SemDeDup's within-cluster stage has real,
+            # linearly-growing duplicate work
+            F.expr(
+                "id - CASE WHEN id % 17 = 13 THEN 1 ELSE 0 END"
+            ).alias("__b"),
+        )
+        .select(
+            "vec_id",
+            # 32 well-separated cluster directions + per-row jitter
+            F.expr(
+                """transform(sequence(0, 63), j -> cast(
+                     pmod(hash(pmod(__b, 32) * 64 + j), 1000) / 1000.0
+                     + pmod(hash(__b * 64 + j), 97) / 2000.0
+                     + CASE WHEN vec_id % 17 = 13 AND j = 0
+                            THEN 0.004 ELSE 0.0 END
+                   AS float))"""
+            ).alias("embedding"),
+            (F.col("vec_id") % 10).cast("int").alias("label"),
+        )
+    )
+    emb.repartition(max(4, n_emb // 2_000)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def timed(fn, *args) -> float:
+    t0 = time.monotonic()
+    df = fn(*args)
+    if df is not None and hasattr(df, "count"):
+        df.count()
+    return time.monotonic() - t0
+
+
+def ivm_hop_seconds(spark, n_fact: int) -> float:
+    """One dim-churn maintenance hop over a ck-partitioned fact of
+    ``n_fact`` rows (the streaming_ivm_join_pruned sink verbatim, minus
+    the assertions): bootstrap the MV, then time ONLY the dim-update
+    hop. The claim: this cost is change-proportional (the ΔD probe
+    opens one of four ckb partitions), so it grows FAR slower than the
+    fact."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+
+    root = tempfile.mkdtemp(prefix="mycarely_scale_ivm_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        runner.RETENTION_SECONDS = 3600.0
+        register_manifest_cdf_source(spark)
+
+        def fact_build(sp, sfd, wm):
+            rows = sp.range(n_fact).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 20).alias("ck"),
+                ((F.col("id") * F.col("id")) % 1000).alias("amt"),
+                ((F.col("id") % 20) % 4).alias("ckb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        def dim_build(sp, sfd, wm):
+            rows = sp.range(20).select(
+                F.col("id").alias("ck"), (F.col("id") % 5).alias("seg")
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("ck") > F.lit(wm))
+            return rows
+
+        fact_spec = ModelSpec(
+            "sc_fact", "k", "k", fact_build, partition_by=["ckb"],
+            change_data=True,
+        )
+        dim_spec = ModelSpec("sc_dim", "ck", "ck", dim_build, change_data=True)
+        mv_spec = ModelSpec(
+            "sc_mv", "k", "k", None, partition_by=["kb"],
+            tombstone_col="__del",
+        )
+
+        def cdf(model, key):
+            return (
+                spark.readStream.format("mycarely_manifest_cdf")
+                .option("root", root)
+                .option("model", model)
+                .option("key", key)
+                .option("preimages", "true")
+                .load()
+            )
+
+        def hop():
+            fs = cdf("sc_fact", "k").select(
+                "k", "ck", F.lit("fact").alias("_src"), "_change_type"
+            )
+            ds = cdf("sc_dim", "ck").select(
+                F.lit(None).cast("long").alias("k"), "ck",
+                F.lit("dim").alias("_src"), "_change_type",
+            )
+
+            def sink(batch_df, bid):
+                rows = batch_df.persist()
+                try:
+                    if not rows.count():
+                        return
+                    f_rows = rows.filter(F.col("_src") == "fact")
+                    d_cks = [
+                        r["ck"]
+                        for r in rows.filter(F.col("_src") == "dim")
+                        .select("ck").distinct().collect()
+                    ]
+                    f_cks = [
+                        r["ck"]
+                        for r in f_rows.select("ck").distinct().collect()
+                    ]
+                    fc_keys = f_rows.select("k").distinct()
+                    dim = runner.read_target("sc_dim")
+                    d_rels = sorted({f"ckb={ck % 4}" for ck in d_cks})
+                    if d_cks:
+                        fslice = runner.read_target("sc_fact", rels=d_rels)
+                        d_cks_df = (
+                            rows.filter(F.col("_src") == "dim")
+                            .select("ck").distinct()
+                        )
+                        k_dim = fslice.join(
+                            F.broadcast(d_cks_df), "ck", "semi"
+                        ).select("k")
+                        keys = fc_keys.unionByName(k_dim).distinct()
+                    else:
+                        keys = fc_keys
+                    k_rels = sorted(
+                        {f"ckb={ck % 4}" for ck in f_cks}
+                        | set(d_rels if d_cks else [])
+                    )
+                    fact = runner.read_target("sc_fact", rels=k_rels)
+                    new = (
+                        fact.join(F.broadcast(keys), "k", "semi")
+                        .join(dim, "ck", "inner")
+                        .select("k", "ck", "amt", "seg")
+                    )
+                    apply = keys.join(new, "k", "left").select(
+                        "k", "ck", "amt", "seg",
+                        (F.col("k") % 8).alias("kb"),
+                        F.col("ck").isNull().alias("__del"),
+                    )
+                    runner.merge_txn(
+                        mv_spec, apply, app_id="sc_ivm", txn_version=bid
+                    )
+                finally:
+                    rows.unpersist()
+
+            q = (
+                fs.unionByName(ds)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{root}/_ckpt_sc")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+        runner.run(fact_spec, "x")
+        runner.run(dim_spec, "x")
+        hop()  # bootstrap MV (not timed — that's build cost, linear)
+        runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
+        t0 = time.monotonic()
+        hop()  # the dim-churn maintenance hop — the measured quantity
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from mycarely_saas_dbt_spark.entry import build_queries
+    from mycarely_saas_dbt_spark.session import get_spark
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r12.json"
+    spark = get_spark()
+    qs = build_queries()
+    corpus_ops = [
+        "dedup_minhash_lsh",
+        "semdedup",
+        "training_mix_pipeline",
+        "bm25_index_append_search",
+    ]
+    result: dict = {
+        "metric": "scale_growth",
+        "input_ratio": RATIO,
+        "note": (
+            "synthetic deterministic inputs shaped like sf0.1; claim is "
+            "sub-quadratic growth (corpus ops) / near-flat (IVM hop), "
+            "not absolute wall"
+        ),
+        "ops": {},
+    }
+    dirs = {}
+    for tag, mult in (("1x", 1), ("10x", RATIO)):
+        dirs[tag] = synth_sf_dir(spark, DOCS_1X * mult, EMB_1X * mult)
+    try:
+        for op in corpus_ops:
+            secs = {}
+            for tag in ("1x", "10x"):
+                secs[tag] = timed(qs[op], spark, dirs[tag])
+                print(f"{op} {tag}: {secs[tag]:.1f}s", file=sys.stderr)
+            result["ops"][op] = {
+                "rows_1x": DOCS_1X, "sec_1x": round(secs["1x"], 2),
+                "rows_10x": DOCS_1X * RATIO, "sec_10x": round(secs["10x"], 2),
+                "growth": round(secs["10x"] / max(secs["1x"], 1e-9), 2),
+            }
+        ivm = {}
+        for tag, n in (("1x", 30_000), ("10x", 300_000)):
+            ivm[tag] = ivm_hop_seconds(spark, n)
+            print(f"ivm_join_hop {tag}: {ivm[tag]:.1f}s", file=sys.stderr)
+        result["ops"]["ivm_join_dim_churn_hop"] = {
+            "rows_1x": 30_000, "sec_1x": round(ivm["1x"], 2),
+            "rows_10x": 300_000, "sec_10x": round(ivm["10x"], 2),
+            "growth": round(ivm["10x"] / max(ivm["1x"], 1e-9), 2),
+        }
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,76 +21,52 @@ def test_driver_window_covers_llm_pipeline_surface():
 
     first50 = set(list(build_queries())[:50])
     must_have = {
-        # reference models
+        # reference models — parity row_number path AND the r12-windowed
+        # ENGINE-DEFAULT hash-id path, plus the SQL-API verbatim trio
         "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg",
-        # dedup family (r4 rotation: 64-bit Hamming-banded simhash is the
-        # scale shape; r8: containment + canonical_keep demoted — the
-        # explode+equi-join family stays via line_dedup, canonical keep
-        # runs inside training_mix_pipeline; r9: embedding_neardup
-        # demoted for the richer semdedup)
+        "traffic_pages_agg_hash",
+        "sql_api_traffic_pages", "sql_api_traffic_daily",
+        "sql_api_lead_activities",
+        # dedup family (r4: 64-bit Hamming-banded simhash is the scale
+        # shape; r12: dedup_index_ingest demoted — the committed
+        # signature index is the one streaming_index_maintenance
+        # maintains in-window)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64",
         "dedup_cc_clusters", "semdedup",
-        # ANN family (r9: the transient exact/IVF entries demoted — the
-        # persistent-index lifecycle entries grade against the exact leg
-        # every run and add commit/pruning/delete-awareness on top)
-        "ann_pq_index_recall", "ann_index_append_recall",
-        "ann_index_delete_aware",
-        # text analysis (r8: tfidf demoted; r9: token_stats/quality
-        # demoted — they execute inside the windowed BM25/training-mix
-        # entries; retrieval adds hybrid RRF)
+        # ANN family (r12: the append/delete-aware/pq-recall entries
+        # demoted — the retrain + streaming-maintenance lifecycles run
+        # build/append/delete/drift in their fixtures every run)
+        "ann_index_retrain_recall", "streaming_ann_maintenance",
+        # text analysis + retrieval
         "text_lang_id", "training_mix_pipeline", "hybrid_rrf_search",
-        # incremental + streaming runtimes (r9: streaming_traffic_pages
-        # and sessionize_events demoted — their shapes run inside the
-        # windowed streaming/sessionize/medallion/cdf entries)
+        # incremental (dbt-semantics) runtimes + the r12 rotation picks
         "incremental_two_batch_upsert", "incremental_td_two_batch",
         "incremental_la_two_batch",
-        "streaming_sessionize",
-        # r9 lakehouse + profiling first-timers (r11: dv_delete_read and
-        # profile_table demoted — the DV family stays via the strictly
-        # harder dv_pos_reinsert_read, the profiler via its approx
-        # sibling; justifications in entry.py)
-        # (r11 late: medallion_multihop demoted — manifest tailing, txn
-        # sinks and multi-hop propagation all run in-window inside the
-        # streaming maintenance/CDF/IVM entries; justification in
-        # entry.py)
-        "gen_prune_read", "merge_schema_evolution",
-        "profile_table_approx",
-        "streaming_cdf_propagate",
-        # r6 first-time artifact coverage still windowed after r11
-        # (r11 demotions: line_dedup, asof_join_spend_cogroup — dedup
-        # family keeps six in-window entries; range/as-of semantics stay
-        # via interval_bin_join; justifications in entry.py)
-        "streaming_dedup_within_watermark",
-        # r7 new-build first-timers (built r7; r10: cdc_apply_changes
-        # demoted — the tombstone-hard-delete merge runs in-window inside
-        # streaming_cdc_apply and both CDF streaming entries' sinks;
-        # r11: repetition_filter, graph_pagerank, pyds_pushdown_slice,
-        # mg_heavy_hitters, dsir_select demoted — shapes pinned by
-        # in-window siblings, justifications in entry.py)
-        "dedup_index_ingest", "ann_index_append_recall",
-        # r8 rotation (VERDICT r7 item 4) + the r8 delete-aware build
-        # (r10 demotions: pyds_manifest_stream — medallion_multihop tails
-        # the same stream source in-window; bloom_point_lookup —
-        # file-skipping pinned by gen_prune_read)
-        "merge_multi_clause",
+        "scd2_hard_delete_two_batch", "incremental_schema_evolution",
+        "variant_shred_rollup", "streaming_incremental_merge",
+        "format_csv_permissive", "udtf_sentence_split",
+        # streaming (r12: streaming_sessionize and the watermark-dedup
+        # micro demoted — sessionize_session_window runs the same logic
+        # through the harder built-in session_window state machinery;
+        # streaming_cdc_apply demoted — tombstone CDC application runs
+        # inside colmap_cdf_lifecycle's sink and both IVM sinks)
+        "sessionize_session_window", "streaming_cdf_propagate",
+        "streaming_index_maintenance", "streaming_ivm_aggregate",
+        # lakehouse + profiling
+        "gen_prune_read", "profile_table_approx", "dv_pos_reinsert_read",
+        "skew_salted_join", "dml_restore_clone",
         "graph_triangles",
-        "bm25_index_search", "ann_pq_index_recall",
         "pyds_sink_roundtrip",
-        "streaming_cdc_apply", "bm25_index_delete_aware",
-        # r10 rotation (VERDICT r9 item 2) + r10 new builds
-        "streaming_index_maintenance", "bm25_index_append_search",
-        "interval_bin_join", "streaming_ivm_aggregate",
-        "bm25_index_optimize_search", "ann_index_retrain_recall",
-        "mm_image_decode", "dv_pos_reinsert_read",
-        # r11 new builds + rotation (VERDICT r10 items 2-4, 7)
-        "streaming_ann_maintenance", "bm25_index_tiered_search",
-        "streaming_bm25_maintenance",
-        "cdf_schema_evolution", "skew_salted_join", "dml_restore_clone",
-        "sessionize_session_window", "lead_activities_agg_maxby",
-        # r11 late builds: delta-join IVM, commit provenance, column
-        # mapping
-        "streaming_ivm_join", "time_travel_history",
-        "rename_column_lifecycle",
+        # BM25 lifecycle family (r12: the plain search + delete-aware
+        # entries demoted — append/optimize/tiered/maintenance stay, all
+        # sharing the same query path and oracle)
+        "bm25_index_append_search", "bm25_index_optimize_search",
+        "bm25_index_tiered_search", "streaming_bm25_maintenance",
+        "interval_bin_join", "mm_image_decode",
+        "cdf_schema_evolution", "lead_activities_agg_maxby",
+        # provenance + column mapping + the r12 builds
+        "time_travel_history", "rename_column_lifecycle",
+        "colmap_cdf_lifecycle", "streaming_ivm_join_pruned",
     }
     assert must_have <= first50
 
