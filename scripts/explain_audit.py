@@ -105,6 +105,16 @@ AUDIT = [
     "bm25_index_tiered_search",
     "time_travel_history",
     "rename_column_lifecycle",
+    # round 12 additions: the ENGINE-DEFAULT hash-id model path and the
+    # SQL-API verbatim model (Catalyst must push the same
+    # filters/pruning through the CTE text as the DataFrame build), and
+    # the colmap×CDF lifecycle's final read (the sink state after the
+    # rename-crossing feed applied). streaming_ivm_join_pruned's probe
+    # pruning is asserted in-entry via inputFiles (rels resolved from
+    # the manifest — no SELECT plan to audit).
+    "traffic_pages_agg_hash",
+    "sql_api_traffic_pages",
+    "colmap_cdf_lifecycle",
 ]
 
 

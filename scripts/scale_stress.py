@@ -42,6 +42,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("MYCARELY_SESSION_MEMO", "0")  # cold paths only
 
 BASE_SF = "/root/testdata/sf0.1"
@@ -104,9 +106,7 @@ def synth_sf_dir(spark, n_docs: int, n_emb: int) -> str:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    docs.repartition(max(4, n_docs // 5_000)).write.mode("overwrite").parquet(
-        os.path.join(out, "documents.parquet")
-    )
+    _write_single(docs, os.path.join(out, "documents.parquet"))
     emb = (
         spark.range(n_emb)
         .select(
@@ -133,18 +133,37 @@ def synth_sf_dir(spark, n_docs: int, n_emb: int) -> str:
             (F.col("vec_id") % 10).cast("int").alias("label"),
         )
     )
-    emb.repartition(max(4, n_emb // 2_000)).write.mode("overwrite").parquet(
-        os.path.join(out, "embeddings.parquet")
-    )
+    _write_single(emb, os.path.join(out, "embeddings.parquet"))
     return out
 
 
-def timed(fn, *args) -> float:
-    t0 = time.monotonic()
-    df = fn(*args)
-    if df is not None and hasattr(df, "count"):
-        df.count()
-    return time.monotonic() - t0
+def _write_single(df, dest: str) -> None:
+    """One parquet FILE, like the driver testdata ships (the registry
+    probes footers with pyarrow, and a single file is the same read
+    shape the real sf dirs have)."""
+    tmp = dest + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    os.replace(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def timed(fn, *args, reps: int = 2) -> float:
+    """min-of-N wall (the bench rule: this box swings under load; min is
+    the stable statistic). Callers warm the session first so JIT/codegen
+    warmup doesn't land inside the 1x leg and fake a sub-1.0 growth."""
+    best = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        df = fn(*args)
+        if df is not None and hasattr(df, "count"):
+            df.count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def ivm_hop_seconds(spark, n_fact: int) -> float:
@@ -280,10 +299,14 @@ def ivm_hop_seconds(spark, n_fact: int) -> float:
         runner.run(fact_spec, "x")
         runner.run(dim_spec, "x")
         hop()  # bootstrap MV (not timed — that's build cost, linear)
-        runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
-        t0 = time.monotonic()
-        hop()  # the dim-churn maintenance hop — the measured quantity
-        return time.monotonic() - t0
+        best = None
+        for _ in range(2):  # min-of-2 dim-churn hops, same churn size
+            runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
+            t0 = time.monotonic()
+            hop()  # the dim-churn maintenance hop — the measured quantity
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return best
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -314,8 +337,12 @@ def main() -> None:
     dirs = {}
     for tag, mult in (("1x", 1), ("10x", RATIO)):
         dirs[tag] = synth_sf_dir(spark, DOCS_1X * mult, EMB_1X * mult)
+    warm = synth_sf_dir(spark, 500, 200)
     try:
         for op in corpus_ops:
+            # untimed warm pass: JIT/codegen/Arrow warmup must not land
+            # inside the 1x leg (it fakes sub-1.0 growth)
+            timed(qs[op], spark, warm, reps=1)
             secs = {}
             for tag in ("1x", "10x"):
                 secs[tag] = timed(qs[op], spark, dirs[tag])
@@ -335,7 +362,7 @@ def main() -> None:
             "growth": round(ivm["10x"] / max(ivm["1x"], 1e-9), 2),
         }
     finally:
-        for d in dirs.values():
+        for d in [*dirs.values(), warm]:
             shutil.rmtree(d, ignore_errors=True)
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)

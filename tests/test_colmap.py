@@ -12,7 +12,12 @@ Contracts under test:
     unfreezes them; renaming back to the physical name drops the map;
   * shallow clones carry the mapping (same physical files); time travel
     to a pre-rename version serves the old logical schema;
-  * change feeds and streams refuse over a mapped table (Delta's rule).
+  * CHANGE-DATA tables rename freely (r12): both feed paths compose the
+    rename chain from commit provenance and net era-named change files
+    onto the range-end schema; dropped-era bytes are never read (the
+    resurrection fence at the feed level); only the snapshot-diff
+    fallback keeps the rename refusals (it genuinely cannot represent
+    one — Delta's name-mode restriction).
 """
 
 from __future__ import annotations
