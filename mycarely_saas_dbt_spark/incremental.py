@@ -1490,10 +1490,12 @@ class IncrementalRunner:
         self,
         name: str,
         key: str,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         *,
         preimages: bool = False,
+        starting_timestamp: float | None = None,
+        ending_timestamp: float | None = None,
     ) -> DataFrame:
         """Delta-CDF-shaped change feed between two COMMITTED snapshots:
         full row images plus ``_change_type`` in {insert,
@@ -1521,7 +1523,51 @@ class IncrementalRunner:
         post-state), which reproduces the snapshot-diff semantics exactly
         — change-proportional I/O at any table size. Versions without
         change files (full refresh, RESTORE, legacy) fall back to the
-        snapshot diff, Delta's CDF-availability rule."""
+        snapshot diff, Delta's CDF-availability rule.
+
+        TIMESTAMP BOUNDS (r12 — Delta's batch-CDF
+        startingTimestamp/endingTimestamp): ``starting_timestamp``
+        anchors the feed at the latest retained commit STRICTLY BEFORE
+        the timestamp (so every commit stamped at-or-after it is
+        included — Delta's at-or-after inclusion rule expressed as an
+        anchor snapshot), and refuses a timestamp at-or-before the
+        oldest retained commit (the bootstrap beyond retained history
+        belongs to the streaming source's initial snapshot);
+        ``ending_timestamp`` resolves to the latest commit at-or-before
+        it (the ``version_at_timestamp`` rule). Resolution is pure
+        provenance metadata — no data file opened. Useful with
+        age-based retention (``RETENTION_SECONDS``), where "changes
+        since yesterday 09:00" is the natural consumer question."""
+        if starting_timestamp is not None:
+            if from_version is not None:
+                raise ValueError(
+                    f"{name}: pass from_version OR starting_timestamp, "
+                    "not both"
+                )
+            anchor = None
+            for rec in self.history(name):
+                if rec["ts"] is not None and rec["ts"] < starting_timestamp:
+                    if anchor is None or rec["version"] > anchor:
+                        anchor = rec["version"]
+            if anchor is None:
+                raise RuntimeError(
+                    f"{name}: no retained commit strictly before "
+                    f"startingTimestamp {starting_timestamp} — the feed "
+                    "cannot anchor; start a stream (initial snapshot) or "
+                    "widen retention"
+                )
+            from_version = anchor
+        if from_version is None:
+            raise ValueError(
+                f"{name}: table_changes needs from_version or "
+                "starting_timestamp"
+            )
+        if ending_timestamp is not None:
+            if to_version is not None:
+                raise ValueError(
+                    f"{name}: pass to_version OR ending_timestamp, not both"
+                )
+            to_version = self.version_at_timestamp(name, ending_timestamp)
         m_from = self._manifest_at(name, from_version)
         if m_from is None:
             raise RuntimeError(f"{name}: no committed version {from_version}")
@@ -4410,14 +4456,32 @@ class IncrementalRunner:
         return best
 
     @_records_op("RESTORE")
-    def restore(self, name: str, version: int) -> dict:
-        """``RESTORE TABLE ... TO VERSION`` (Delta): commit a NEW version
-        whose file set IS the old snapshot's — metadata-only, no data
-        file read or copied, constant-time at any table size. History is
-        preserved: the rolled-back versions stay time-travelable until
-        the retention floor passes them. Only works within the vacuum
-        retention horizon (the restored snapshot's files must still
-        exist) — the same bound Delta places on RESTORE."""
+    def restore(
+        self,
+        name: str,
+        version: int | None = None,
+        *,
+        timestamp_as_of: float | None = None,
+    ) -> dict:
+        """``RESTORE TABLE ... TO VERSION | TO TIMESTAMP`` (Delta):
+        commit a NEW version whose file set IS the old snapshot's —
+        metadata-only, no data file read or copied, constant-time at any
+        table size. ``timestamp_as_of`` resolves by the same
+        at-or-before rule as time-travel reads (r12 — pairs naturally
+        with age-based retention: "roll back to before the bad deploy at
+        14:02"). History is preserved: the rolled-back versions stay
+        time-travelable until the retention floor passes them. Only
+        works within the vacuum retention horizon (the restored
+        snapshot's files must still exist) — the same bound Delta places
+        on RESTORE."""
+        if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError(
+                    f"{name}: pass version OR timestamp_as_of, not both"
+                )
+            version = self.version_at_timestamp(name, timestamp_as_of)
+        if version is None:
+            raise ValueError(f"{name}: restore needs version or timestamp_as_of")
         cur = self.current_manifest(name)
         if cur is None:
             raise RuntimeError(f"{name}: restore needs a committed target")

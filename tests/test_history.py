@@ -205,3 +205,74 @@ def test_age_retention_covers_streaming_lag_by_config(spark, target_root):
         + [(7, 0, "delete")]
     )
     assert got == want
+
+
+def test_table_changes_timestamp_bounds(spark, target_root):
+    """Delta's batch-CDF startingTimestamp/endingTimestamp: starting
+    anchors at the latest retained commit STRICTLY BEFORE the stamp (so
+    commits at-or-after it are all included), ending resolves
+    at-or-before; both from provenance metadata alone."""
+    import time as _time
+
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    def build(sp, sfd, wm):
+        rows = sp.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    spec = ModelSpec("ts_cdf", "k", "k", build, change_data=True)
+    r = _runner(spark, target_root)
+    r.run(spec, SF_DIR)                                    # v1
+    _time.sleep(0.02)
+    t_mid = time.time()
+    _time.sleep(0.02)
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 100"})   # v2
+    _time.sleep(0.02)
+    t_after_v2 = time.time()
+    _time.sleep(0.02)
+    r.delete_where(spec, "k = 8")                          # v3
+    # starting at t_mid anchors at v1 -> v2+v3 changes included
+    got = sorted(
+        (x["k"], x["v"], x["_change_type"])
+        for x in r.table_changes(
+            "ts_cdf", "k", starting_timestamp=t_mid
+        ).collect()
+    )
+    want = sorted(
+        [(k, k % 7 + 100, "update_postimage") for k in range(3, 40, 10)]
+        + [(8, 1, "delete")]
+    )
+    assert got == want
+    # ending at t_after_v2 stops at v2 — the delete is out
+    got2 = sorted(
+        (x["k"], x["_change_type"])
+        for x in r.table_changes(
+            "ts_cdf", "k",
+            starting_timestamp=t_mid, ending_timestamp=t_after_v2,
+        ).collect()
+    )
+    assert got2 == sorted((k, "update_postimage") for k in range(3, 40, 10))
+    # a timestamp at-or-before the oldest retained commit cannot anchor
+    with pytest.raises(RuntimeError, match="cannot anchor"):
+        r.table_changes("ts_cdf", "k", starting_timestamp=0.0)
+    with pytest.raises(ValueError, match="not both"):
+        r.table_changes("ts_cdf", "k", 1, starting_timestamp=t_mid)
+
+
+def test_restore_to_timestamp(spark, target_root):
+    r = _runner(spark, target_root)
+    spec = _spec()
+    r.run(spec, SF_DIR)                                    # v1
+    time.sleep(0.02)
+    t1 = time.time()
+    time.sleep(0.02)
+    r.update_where(spec, "k % 10 = 3", {"v": "v + 100"})   # v2
+    r.restore("hist_t", timestamp_as_of=t1)                # back to v1
+    assert r.read_target("hist_t").filter(F.col("v") >= 100).count() == 0
+    assert r.history("hist_t")[0]["op"] == "RESTORE"
+    with pytest.raises(ValueError, match="not both"):
+        r.restore("hist_t", 1, timestamp_as_of=t1)
