@@ -322,7 +322,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # `merge_schema_evolution` (3 artifacts; the append_new_columns
 # evolution executes inside in-window cdf_schema_evolution's fixture —
 # its v3 commit IS a schema-evolving run — and MERGE-specific
-# evolution keeps its pytest oracle).
+# evolution keeps its pytest oracle). A thirteenth first-timer joins
+# for the late r12 build: `streaming_ivm_minmax` (exact IVM for
+# NON-additive aggregates — cheap signed-count path + pruned-recompute
+# arm when a removed value touches a stored extreme) in the slot of
+# `streaming_ivm_aggregate` (2 artifacts r10+r11; the minmax entry is
+# the strictly harder sibling — its cheap path IS the additive
+# algebra, and the extrema arm adds the case signed deltas cannot
+# absorb; the additive entry keeps its pytest oracle + full sweep).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -376,7 +383,8 @@ DRIVER_WINDOW = [
     "streaming_index_maintenance",
     "bm25_index_append_search",
     "interval_bin_join",
-    "streaming_ivm_aggregate",
+    # r12 late build: non-additive IVM in the additive entry's slot
+    "streaming_ivm_minmax",
     # r10 new builds (VERDICT r9 items 3, 4, 6, 7)
     "bm25_index_optimize_search",
     "ann_index_retrain_recall",

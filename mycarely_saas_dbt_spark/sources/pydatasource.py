@@ -2408,6 +2408,252 @@ def q_streaming_ivm_join_pruned(spark, sf_dir: str):
     return out
 
 
+def q_streaming_ivm_minmax(spark, sf_dir: str):
+    """Exact IVM for NON-ADDITIVE aggregates (r12 — completes the IVM
+    family: additive counters -> joins -> extrema): a materialized view
+    `(g, m_min, m_max, n)` maintained off the four-type feed. MIN/MAX
+    cannot be maintained by signed deltas alone — deleting the row that
+    CARRIES a group's extreme forces a look at the remaining rows. The
+    sink therefore splits every touched group per batch:
+
+      CHEAP (no base read):  n_new from signed counts; insert-only or
+        strictly-interior removals (d_min > m_min AND d_max < m_max)
+        extend extremes monotonically: min(m_min, i_min)/max(m_max,
+        i_max). First-seen groups aggregate the batch directly.
+        n_new == 0 tombstones the group with NO read (the counts know).
+      RECOMPUTE (pruned base read): a removed value TOUCHES a stored
+        extreme (d_min <= m_min OR d_max >= m_max — conservative under
+        duplicate values, the correct direction): re-aggregate ONLY
+        those groups from the base, read through
+        `read_target(rels=[gb=...])` — the g-bucket partitioning makes
+        the recompute a partition-pruned scan, so the arm costs
+        O(touched groups' buckets), never a base scan. This split is
+        exactly how DBSP/Materialize treat non-commutative monoids:
+        additive where algebra allows, bounded recompute where it
+        doesn't.
+
+    Touched-group stats collect to the driver per batch — change-
+    proportional, the same bounded pattern as the touched-day lists.
+    Waves: bootstrap -> insert wave raising maxima (asserted CHEAP:
+    zero base files read) -> netted UPDATE+DELETE catch-up hitting
+    extremes (asserted RECOMPUTE with a pruned rel subset) -> full-
+    group delete (tombstone with no read) -> replay no-op. Final MV
+    hash-matches the groupBy over the live base, derived arithmetically
+    by the oracle — integer-exact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+    from ..util import materialize
+
+    root = tempfile.mkdtemp(prefix="mycarely_ivmx_")
+    runner = IncrementalRunner(spark, root)
+    runner.RETENTION_SECONDS = 3600.0
+    register_manifest_cdf_source(spark)
+
+    def base_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 50).alias("g"),
+                (
+                    (F.col("id") * F.col("id")) % 997
+                    + F.when(
+                        (F.col("id") >= 400) & (F.col("id") % 3 == 0), 1500
+                    ).otherwise(0)
+                ).alias("x"),
+                ((F.col("id") % 50) % 8).alias("gb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        return b
+
+    base_spec = ModelSpec(
+        "ivmx_base", "k", "k", base_build(400), partition_by=["gb"],
+        change_data=True,
+    )
+    mv_spec = ModelSpec("ivmx_mv", "g", "g", None, tombstone_col="__del")
+    path_log: list = []  # ("cheap"|"recompute", rels_read, rels_committed)
+
+    def hop():
+        feed = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", "ivmx_base")
+            .option("key", "k")
+            .option("preimages", "true")
+            .load()
+        )
+
+        def sink(batch_df, bid):
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                pre = rows.filter(
+                    F.col("_change_type").isin("update_preimage", "delete")
+                ).select("g", "x")
+                post = rows.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).select("g", "x")
+                st = (
+                    post.groupBy("g").agg(
+                        F.min("x").alias("i_min"),
+                        F.max("x").alias("i_max"),
+                        F.count("*").alias("i_n"),
+                    )
+                    .join(
+                        pre.groupBy("g").agg(
+                            F.min("x").alias("d_min"),
+                            F.max("x").alias("d_max"),
+                            F.count("*").alias("d_n"),
+                        ),
+                        "g",
+                        "full",
+                    )
+                )
+                if runner.target_exists("ivmx_mv"):
+                    st = st.join(
+                        runner.read_target("ivmx_mv").select(
+                            "g", "m_min", "m_max", "n"
+                        ),
+                        "g",
+                        "left",
+                    )
+                else:
+                    st = st.select(
+                        "*",
+                        F.lit(None).cast("bigint").alias("m_min"),
+                        F.lit(None).cast("bigint").alias("m_max"),
+                        F.lit(None).cast("bigint").alias("n"),
+                    )
+                # touched-group stats: change-proportional, driver-bounded
+                cheap, recompute = [], []
+                for r in st.collect():
+                    n_old = r["n"] or 0
+                    i_n, d_n = r["i_n"] or 0, r["d_n"] or 0
+                    n_new = n_old + i_n - d_n
+                    if n_new == 0:
+                        # counts prove the group is gone — tombstone, no read
+                        cheap.append((r["g"], 0, 0, 0, True))
+                    elif n_old == 0:
+                        cheap.append(
+                            (r["g"], r["i_min"], r["i_max"], n_new, False)
+                        )
+                    elif d_n and (
+                        r["d_min"] <= r["m_min"] or r["d_max"] >= r["m_max"]
+                    ):
+                        # a removed value touches a stored extreme —
+                        # the one case extrema algebra cannot absorb
+                        recompute.append(r["g"])
+                    else:
+                        m_min = (
+                            min(r["m_min"], r["i_min"]) if i_n else r["m_min"]
+                        )
+                        m_max = (
+                            max(r["m_max"], r["i_max"]) if i_n else r["m_max"]
+                        )
+                        cheap.append((r["g"], m_min, m_max, n_new, False))
+                out = spark.createDataFrame(
+                    cheap,
+                    "g bigint, m_min bigint, m_max bigint, n bigint, "
+                    "__del boolean",
+                )
+                if recompute:
+                    rels = sorted({f"gb={g % 8}" for g in recompute})
+                    committed = sorted(
+                        runner.current_manifest("ivmx_base")["partitions"]
+                    )
+                    path_log.append(("recompute", rels, committed))
+                    gset = spark.createDataFrame(
+                        [(g,) for g in recompute], "g bigint"
+                    )
+                    rec = (
+                        runner.read_target("ivmx_base", rels=rels)
+                        .join(F.broadcast(gset), "g", "semi")
+                        .groupBy("g")
+                        .agg(
+                            F.min("x").alias("m_min"),
+                            F.max("x").alias("m_max"),
+                            F.count("*").alias("n"),
+                        )
+                        .select(
+                            "g", "m_min", "m_max", "n",
+                            F.lit(False).alias("__del"),
+                        )
+                    )
+                    out = out.unionByName(rec)
+                else:
+                    path_log.append(("cheap", [], []))
+                runner.merge_txn(
+                    mv_spec, out, app_id="ivmx", txn_version=bid
+                )
+            finally:
+                rows.unpersist()
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_ivmx")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    runner.run(base_spec, sf_dir)                          # v1 bootstrap
+    hop()                                                  # MV = full agg
+    runner.run(                                            # insert wave
+        __import__("dataclasses").replace(
+            base_spec, build=base_build(600)
+        ),
+        sf_dir,
+    )
+    hop()                                                  # cheap path
+    runner.update_where(base_spec, "k % 97 = 5", {"x": "x + 2000"})
+    runner.delete_where(base_spec, "k % 101 = 7")
+    hop()                                                  # netted: extrema hit
+    runner.delete_where(base_spec, "g = 13")               # whole group out
+    hop()                                                  # tombstone, no read
+    v_mv = runner.current_manifest("ivmx_mv")["version"]
+    hop()                                                  # replay: no-op
+    assert runner.current_manifest("ivmx_mv")["version"] == v_mv
+    # the insert wave stayed on the cheap path; the extrema-hitting
+    # catch-up recomputed through a PRUNED rel subset
+    kinds = [k for k, _, _ in path_log]
+    assert kinds[1] == "cheap", path_log
+    assert "recompute" in kinds[2:], path_log
+    for k, rels, committed in path_log:
+        if k == "recompute":
+            assert rels and set(rels) <= set(committed), (rels, committed)
+
+    out = materialize(
+        runner.read_target("ivmx_mv")
+        .select("g", "m_min", "m_max", "n")
+        .orderBy("g")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_IVM_MINMAX = """
+WITH b AS (
+    SELECT i AS k, i % 50 AS g,
+           (i * i) % 997
+             + CASE WHEN i >= 400 AND i % 3 = 0 THEN 1500 ELSE 0 END AS x
+    FROM UNNEST(range(0, 600)) AS u(i)
+),
+u AS (
+    SELECT k, g, CASE WHEN k % 97 = 5 THEN x + 2000 ELSE x END AS x FROM b
+),
+f AS (SELECT * FROM u WHERE k % 101 <> 7 AND g <> 13)
+SELECT g, MIN(x) AS m_min, MAX(x) AS m_max, COUNT(*) AS n
+FROM f GROUP BY g ORDER BY g
+"""
+
+
 def register_queries(register) -> None:
     register("pyds_ledger_rollup", q_pyds_ledger_rollup, O_PYDS_ROLLUP)
     register("pyds_pushdown_slice", q_pyds_pushdown_slice, O_PYDS_PUSHDOWN)
@@ -2431,3 +2677,4 @@ def register_queries(register) -> None:
     register(
         "streaming_ivm_join_pruned", q_streaming_ivm_join_pruned, O_IVM_JOIN
     )
+    register("streaming_ivm_minmax", q_streaming_ivm_minmax, O_IVM_MINMAX)

@@ -51,7 +51,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         # streaming_cdc_apply demoted — tombstone CDC application runs
         # inside colmap_cdf_lifecycle's sink and both IVM sinks)
         "sessionize_session_window", "streaming_cdf_propagate",
-        "streaming_index_maintenance", "streaming_ivm_aggregate",
+        "streaming_index_maintenance", "streaming_ivm_minmax",
         # lakehouse + profiling
         "gen_prune_read", "profile_table_approx", "dv_pos_reinsert_read",
         "skew_salted_join", "dml_restore_clone",
