@@ -2639,10 +2639,11 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_manifest_cdf_source(spark)
     root = tempfile.mkdtemp(prefix="mycarely_bm25m_")
     runner = IncrementalRunner(spark, root)
-    # the maintenance stream catches up TWO base commits in one hop, so
-    # retention must cover that window (Delta's delta.logRetentionDuration
-    # contract: a CDF consumer may lag only as far as the log is retained)
-    runner.RETAIN_VERSIONS = 4
+    # the maintenance stream catches up TWO base commits in one hop —
+    # covered by the AGE retention window (r12; Delta's
+    # delta.logRetentionDuration contract: a CDF consumer may lag only
+    # as far as the log is retained), RETAIN_VERSIONS at the default
+    runner.RETENTION_SECONDS = 3600.0
     docs = spark.table("documents")
     split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
 

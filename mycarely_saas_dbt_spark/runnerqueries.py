@@ -1499,9 +1499,11 @@ def cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_cdfevo_")
     try:
         runner = IncrementalRunner(spark, root)
-        # the feed range spans three versions — retention must cover it
-        # (Delta's rule too: CDF reads reach only retained history)
-        runner.RETAIN_VERSIONS = 5
+        # the feed range spans three versions — covered by the AGE
+        # retention window (r12: Delta's retentionDuration shape), with
+        # RETAIN_VERSIONS left at the engine default — consumers size
+        # retention by time, not by guessing commit counts
+        runner.RETENTION_SECONDS = 3600.0
         o = spark.table("orders")
 
         def boot(sp, sfd, wm):

@@ -2048,9 +2048,10 @@ def q_streaming_ivm_join(spark, sf_dir: str):
 
     root = tempfile.mkdtemp(prefix="mycarely_ivmj_")
     runner = IncrementalRunner(spark, root)
-    # the mutate hop catches up TWO fact commits at once — retention must
-    # cover the consumer's deepest lag (Delta's log-retention contract)
-    runner.RETAIN_VERSIONS = 4
+    # the mutate hop catches up TWO fact commits at once — the
+    # consumer's lag is covered by the AGE retention window (r12),
+    # RETAIN_VERSIONS at the engine default
+    runner.RETENTION_SECONDS = 3600.0
     register_manifest_cdf_source(spark)
 
     def fact_build(n):
