@@ -595,3 +595,66 @@ def test_run_with_stale_spec_after_rename_fails_fast(spark, target_root):
     r.rename_column("cm_t", "k", "kk")
     with pytest.raises(RuntimeError, match="was the column renamed"):
         r.run(spec, SF_DIR)
+
+
+def test_rename_ops_reconstruction_unit():
+    """_rename_ops classifies manifest transitions from dtypes +
+    provenance alone: renames and drops become ops, additions are
+    name-neutral, and an unclassifiable transition returns None."""
+    from mycarely_saas_dbt_spark.incremental import _rename_ops
+
+    def m(names, op=None):
+        d = {"dtypes": [[n, "bigint"] for n in names]}
+        if op:
+            d["op"] = op
+        return d
+
+    # rename then add then drop
+    mans = [
+        (1, m(["k", "v", "p"])),
+        (2, m(["k", "val", "p"], "RENAME COLUMN")),
+        (3, m(["k", "val", "p", "w"], "ADD COLUMN")),
+        (4, m(["k", "val", "w"], "DROP COLUMN")),
+    ]
+    assert _rename_ops(mans) == [
+        (2, "rename", "v", "val"),
+        (4, "drop", "p", None),
+    ]
+    # no-op transitions and evolution additions without provenance
+    assert _rename_ops([(1, m(["k", "v"])), (2, m(["k", "v"]))]) == []
+    assert _rename_ops([(1, m(["k"])), (2, m(["k", "w"]))]) == []
+    # an unexplained disappearance cannot be classified
+    assert _rename_ops([(1, m(["k", "v"])), (2, m(["k"]))]) is None
+    # a multi-column swap under a RENAME op cannot be classified either
+    assert (
+        _rename_ops(
+            [(1, m(["k", "a", "b"])), (2, m(["k", "x", "y"], "RENAME COLUMN"))]
+        )
+        is None
+    )
+
+
+def test_feed_column_sources_unit():
+    """_feed_column_sources composes the chain at versions > v, kills
+    dropped columns (no stale-byte source), and leaves later-added
+    columns unsourced (reader NULL-fills)."""
+    from mycarely_saas_dbt_spark.incremental import _feed_column_sources
+
+    ops = [
+        (3, "rename", "v", "val"),   # v -> val at version 3
+        (5, "drop", "p", None),      # p dies at version 5
+        (7, "rename", "val", "amt"), # val -> amt at version 7
+    ]
+    out = ["k", "amt", "q"]  # q added after v2; p re-added never sources
+    # era v2 files carry (k, v, p): v chains to amt; p is dead; q absent
+    assert _feed_column_sources(["k", "v", "p"], 2, ops, out) == {
+        "k": "k", "amt": "v",
+    }
+    # era v4 files carry (k, val, p): only the second rename applies
+    assert _feed_column_sources(["k", "val", "p"], 4, ops, out) == {
+        "k": "k", "amt": "val",
+    }
+    # era v8 files are already in the end naming
+    assert _feed_column_sources(["k", "amt", "q"], 8, ops, out) == {
+        "k": "k", "amt": "amt", "q": "q",
+    }
