@@ -814,6 +814,9 @@ class IncrementalRunner:
     def __init__(self, spark: SparkSession, target_root: str):
         self.spark = spark
         self.target_root = target_root
+        # (name, version) -> commit ts; manifests are immutable, so this
+        # caches forever — see _manifest_ts (ADVICE r12 vacuum cost)
+        self._ts_by_version: dict[tuple[str, int], float | None] = {}
         os.makedirs(target_root, exist_ok=True)
 
     def target_path(self, name: str) -> str:
@@ -1545,16 +1548,41 @@ class IncrementalRunner:
                     "not both"
                 )
             anchor = None
+            latest_ts = None
             for rec in self.history(name):
-                if rec["ts"] is not None and rec["ts"] < starting_timestamp:
+                if rec["ts"] is None:
+                    continue
+                if latest_ts is None or rec["ts"] > latest_ts:
+                    latest_ts = rec["ts"]
+                if rec["ts"] < starting_timestamp:
                     if anchor is None or rec["version"] > anchor:
                         anchor = rec["version"]
+            if latest_ts is not None and starting_timestamp > latest_ts:
+                # Delta's timestampGreaterThanLatestCommit rule (ADVICE
+                # r12): a stamp past every commit must RAISE, not return
+                # an empty feed — the caller is asking about a future the
+                # table hasn't written yet, and an empty result would
+                # silently read as "no changes".
+                raise RuntimeError(
+                    f"{name}: startingTimestamp {starting_timestamp} is "
+                    f"newer than the latest commit ({latest_ts}) — "
+                    "nothing at-or-after it exists yet"
+                )
             if anchor is None:
+                # At-boundary refusal (documented, ADVICE r12): a stamp
+                # at-or-before the OLDEST retained commit's ts cannot
+                # anchor — serving that commit's changes needs the commit
+                # strictly before it, which retention already reclaimed.
+                # Widen retention by at least one commit (RETENTION_SECONDS
+                # / RETAIN_VERSIONS) or bootstrap via the streaming
+                # source's initial snapshot.
                 raise RuntimeError(
                     f"{name}: no retained commit strictly before "
                     f"startingTimestamp {starting_timestamp} — the feed "
-                    "cannot anchor; start a stream (initial snapshot) or "
-                    "widen retention"
+                    "cannot anchor (a stamp at-or-before the oldest "
+                    "retained commit needs one commit MORE of retention); "
+                    "start a stream (initial snapshot) or widen retention "
+                    "by at least one commit"
                 )
             from_version = anchor
         if from_version is None:
@@ -2573,12 +2601,30 @@ class IncrementalRunner:
     # the same caveat Delta documents for sub-default retention.
     VACUUM_GRACE_SECONDS = 600.0
 
+    def _manifest_ts(self, name: str, version: int) -> float | None:
+        """Commit timestamp of a version, cached for the runner's
+        lifetime (ADVICE r12): committed manifests are immutable, so
+        their ``ts`` never changes — without the cache, every vacuum
+        under a long RETENTION_SECONDS window re-parses each sub-floor
+        manifest JSON, turning each commit into an O(retained-history)
+        metadata walk."""
+        k = (name, version)
+        if k not in self._ts_by_version:
+            try:
+                self._ts_by_version[k] = self._manifest_at(name, version).get(
+                    "ts"
+                )
+            except RuntimeError:
+                self._ts_by_version[k] = None
+        return self._ts_by_version[k]
+
     def _retention_floor(self, name: str, manifest: dict) -> int:
         """Oldest RETAINED version: the count floor (last RETAIN_VERSIONS
         commits), lowered to the oldest commit still inside the
         RETENTION_SECONDS age window when age retention is on. Reads at
-        most the sub-count-floor version JSONs' top-level ``ts`` —
-        metadata-scale, no segment hydrated, no data file opened."""
+        most the sub-count-floor version JSONs' top-level ``ts`` — once
+        per version EVER (cached; ts is immutable), metadata-scale, no
+        segment hydrated, no data file opened."""
         floor = manifest["version"] - self.RETAIN_VERSIONS + 1
         if self.RETENTION_SECONDS is None:
             return floor
@@ -2586,10 +2632,7 @@ class IncrementalRunner:
         for v in self.list_versions(name):
             if v >= floor:
                 break
-            try:
-                ts = self._manifest_at(name, v).get("ts")
-            except RuntimeError:
-                continue
+            ts = self._manifest_ts(name, v)
             if ts is not None and ts >= cut:
                 return v
         return floor

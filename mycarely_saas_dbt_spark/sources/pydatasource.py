@@ -227,9 +227,14 @@ class ManifestStreamReader(DataSourceStreamReader):
         # called on a fresh stream) and partitions() teach the position,
         # after which every batch is bounded.
         self._last_end: int | None = None
-        cur = _manifest_json(
-            self.root, self.model, _manifest_current_version(self.root, self.model)
-        )
+        # ONE manifest snapshot seeds boot state (ADVICE r12): version and
+        # dtypes must come from the SAME read — deriving them from two
+        # separate reads lets a rename committed in between leave dtypes
+        # one version newer than the recorded boot version, permanently
+        # tripping the CDF subclass's stale-schema restart check.
+        boot_v = _manifest_current_version(self.root, self.model)
+        cur = _manifest_json(self.root, self.model, boot_v)
+        self._boot_version = boot_v
         if (cur or {}).get("colmap") and not self._colmap_ok(cur):
             # column mapping: the files carry PHYSICAL names the stream
             # would misalign against these logical dtypes — Delta likewise
@@ -531,12 +536,13 @@ CDF_TASK_TARGET_BYTES = 32 * 1024 * 1024
 
 class ManifestCDFStreamReader(ManifestStreamReader):
     def __init__(self, options):
-        # the declared output schema is the stream-start logical schema;
-        # rename translation composes per-era chains up to this version
-        self._init_version = _manifest_current_version(
-            options["root"], options["model"]
-        )
         super().__init__(options)
+        # the declared output schema is the stream-start logical schema;
+        # rename translation composes per-era chains up to this version.
+        # Derived from the SAME manifest snapshot the base initializer
+        # loaded dtypes from (ADVICE r12) — a second read here could see
+        # a rename committed in between and misalign version vs schema.
+        self._init_version = self._boot_version
         self.key = options["key"]
         self.start_version = int(options.get("startingversion", 0))
         st = options.get("startingtimestamp")
@@ -2104,8 +2110,10 @@ def q_streaming_ivm_join(spark, sf_dir: str):
             F.lit("dim").alias("_src"), "_change_type",
         )
         stream = fs.unionByName(ds)
+        batches: list = []
 
         def sink(batch_df, bid):
+            batches.append(bid)
             rows = batch_df.persist()
             try:
                 if not rows.count():
@@ -2145,6 +2153,11 @@ def q_streaming_ivm_join(spark, sf_dir: str):
             .start()
         )
         q.awaitTermination(300)
+        # CURRENT-state contract (ADVICE r12): the sink reads the bases'
+        # CURRENT snapshot, which equals batch-end state ONLY when the
+        # whole catch-up lands in one microbatch — never set
+        # maxVersionsPerBatch on this stream. Pinned per hop:
+        assert len(batches) <= 1, batches
 
     runner.run(fact_spec, sf_dir)                        # bootstrap both
     runner.run(dim_spec, sf_dir)
@@ -2297,8 +2310,10 @@ def q_streaming_ivm_join_pruned(spark, sf_dir: str):
             F.lit("dim").alias("_src"), "_change_type",
         )
         stream = fs.unionByName(ds)
+        batches: list = []
 
         def sink(batch_df, bid):
+            batches.append(bid)
             rows = batch_df.persist()
             try:
                 if not rows.count():
@@ -2378,6 +2393,10 @@ def q_streaming_ivm_join_pruned(spark, sf_dir: str):
             .start()
         )
         q.awaitTermination(300)
+        # CURRENT-state contract (ADVICE r12): the sink's probes read the
+        # bases' CURRENT snapshot = batch-end state only under single-batch
+        # availableNow catch-up — never set maxVersionsPerBatch here.
+        assert len(batches) <= 1, batches
 
     runner.run(fact_spec, sf_dir)                        # bootstrap both
     runner.run(dim_spec, sf_dir)
@@ -2479,8 +2498,10 @@ def q_streaming_ivm_minmax(spark, sf_dir: str):
     )
     mv_spec = ModelSpec("ivmx_mv", "g", "g", None, tombstone_col="__del")
     path_log: list = []  # ("cheap"|"recompute", rels_read, rels_committed)
+    batches: list = []
 
     def hop():
+        hop_start = len(batches)
         feed = (
             spark.readStream.format("mycarely_manifest_cdf")
             .option("root", root)
@@ -2491,6 +2512,7 @@ def q_streaming_ivm_minmax(spark, sf_dir: str):
         )
 
         def sink(batch_df, bid):
+            batches.append(bid)
             rows = batch_df.persist()
             try:
                 if not rows.count():
@@ -2603,6 +2625,11 @@ def q_streaming_ivm_minmax(spark, sf_dir: str):
             .start()
         )
         q.awaitTermination(300)
+        # CURRENT-state contract (ADVICE r12): both the MV probe and the
+        # recompute arm read CURRENT state = batch-end state only under
+        # single-batch availableNow catch-up — never set
+        # maxVersionsPerBatch here. Pinned per hop:
+        assert len(batches) - hop_start <= 1, batches
 
     runner.run(base_spec, sf_dir)                          # v1 bootstrap
     hop()                                                  # MV = full agg
@@ -2637,6 +2664,312 @@ def q_streaming_ivm_minmax(spark, sf_dir: str):
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def q_streaming_ivm_distinct(spark, sf_dir: str):
+    """Exact IVM for COUNT DISTINCT (r13 — VERDICT r12 item 1): the
+    reference's own flagship aggregate — `traffic_pages_agg`'s
+    `unique_visits` IS a per-day COUNT(DISTINCT domain_userid)
+    (reference models/traffic_pages_agg.sql:33) — maintained off the
+    four-type change feed WITHOUT re-aggregating any base day.
+
+    COUNT DISTINCT is neither additive nor extendable-monotone: a
+    delete of a user's LAST event for a day must decrement the day's
+    distinct count, which no signed counter over the feed alone can
+    know. The exact auxiliary state (DBSP / pre-aggregated support
+    multiset) is per-(day, user) SUPPORT COUNTS — a keyed manifest
+    table, exactly the signature-index shape:
+
+      insert/update_postimage   -> support += 1
+      delete/update_preimage    -> support -= 1
+      support 0 -> positive     -> day's uniq_n += 1
+      support positive -> 0     -> day's uniq_n -= 1 (row tombstoned)
+      day's total_n hits 0      -> MV row tombstoned
+
+    Netting handles update pre/postimage pairs arithmetically (a user
+    updated in place nets to delta 0 and never probes). BOTH state
+    probes are PARTITION-PRUNED from the change rows alone: support
+    and MV are day-bucket-partitioned (gb = g % 8) and each batch
+    derives its probe footprint as `read_target(rels=[gb=...])` from
+    the touched days — manifest-only file selection, the minmax
+    recompute arm's discipline. The base table is NEVER read by the
+    sink; per-batch work is change-proportional (touched-day stats
+    collect driver-side, the bounded touched-day-list pattern; the
+    per-(day,user) support updates stay distributed).
+
+    Crash ordering: the MV merge commits BEFORE the support merge —
+    both carry the same (app_id, txn_version), so a replay after a
+    partial failure recomputes transitions from the still-unchanged
+    support and the already-applied merge skips via the txn ledger;
+    writing support first would make a replayed batch compute
+    transitions from post-state. Waves: bootstrap -> insert wave (new
+    users raise uniq_n, repeat users only total_n) -> netted
+    UPDATE+DELETE catch-up (updates MOVE users across values: uniq
+    increments AND decrements in one batch; deletes drop a last event
+    -> uniq_n decrement, and non-last events -> support-only
+    decrement) -> full-day delete (MV + every support row tombstone,
+    probe asserted to open exactly 1 of 8 committed buckets) ->
+    replay no-op. Final MV hash-matches the batch
+    COUNT(*)/COUNT(DISTINCT) GROUP BY oracle — integer-exact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+    from ..util import materialize
+
+    root = tempfile.mkdtemp(prefix="mycarely_ivmd_")
+    runner = IncrementalRunner(spark, root)
+    runner.RETENTION_SECONDS = 3600.0
+    register_manifest_cdf_source(spark)
+
+    def base_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 40).alias("g"),
+                ((F.col("id") * F.col("id")) % 23).alias("u"),
+                ((F.col("id") % 40) % 8).alias("gb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        return b
+
+    base_spec = ModelSpec(
+        "ivmd_base", "k", "k", base_build(500), partition_by=["gb"],
+        change_data=True,
+    )
+    sup_spec = ModelSpec(
+        "ivmd_sup", "sk", "sk", None, partition_by=["gb"],
+        tombstone_col="__del",
+    )
+    mv_spec = ModelSpec(
+        "ivmd_mv", "g", "g", None, partition_by=["gb"],
+        tombstone_col="__del",
+    )
+    # per batch: (probe rels, committed sup rels, uniq increments,
+    # uniq decrements) — the change-proportional audit trail
+    path_log: list = []
+    batches: list = []
+
+    def hop():
+        hop_start = len(batches)
+        feed = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", root)
+            .option("model", "ivmd_base")
+            .option("key", "k")
+            .option("preimages", "true")
+            .load()
+        )
+
+        def sink(batch_df, bid):
+            batches.append(bid)
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                # signed per-(day, user) delta; in-place updates net to 0
+                delta = (
+                    rows.select(
+                        "g", "u",
+                        F.when(
+                            F.col("_change_type").isin(
+                                "insert", "update_postimage"
+                            ),
+                            F.lit(1),
+                        ).otherwise(F.lit(-1)).alias("d"),
+                    )
+                    .groupBy("g", "u")
+                    .agg(F.sum("d").alias("d"))
+                    .filter(F.col("d") != 0)
+                    .persist()
+                )
+                touched = sorted(
+                    r["g"] for r in delta.select("g").distinct().collect()
+                )
+                if not touched:
+                    return
+                rels = sorted({f"gb={g % 8}" for g in touched})
+                committed = (
+                    sorted(runner.current_manifest("ivmd_sup")["partitions"])
+                    if runner.target_exists("ivmd_sup")
+                    else []
+                )
+                # support probe: ONLY the touched days' buckets, resolved
+                # from the manifest (no scan); the base is never read
+                if committed:
+                    old_sup = runner.read_target("ivmd_sup", rels=rels).select(
+                        "g", "u", "s"
+                    )
+                else:
+                    old_sup = delta.select("g", "u").limit(0).select(
+                        "g", "u", F.lit(0).cast("bigint").alias("s")
+                    )
+                j = delta.join(old_sup, ["g", "u"], "left").select(
+                    "g", "u", "d",
+                    F.coalesce(F.col("s"), F.lit(0)).alias("s_old"),
+                    (F.coalesce(F.col("s"), F.lit(0)) + F.col("d")).alias(
+                        "s_new"
+                    ),
+                )
+                # touched-day stats: driver-bounded (<= days in the feed)
+                stats = {
+                    r["g"]: r
+                    for r in j.groupBy("g")
+                    .agg(
+                        F.sum("d").alias("n_delta"),
+                        F.sum(
+                            F.when(
+                                (F.col("s_old") == 0) & (F.col("s_new") > 0),
+                                1,
+                            ).otherwise(0)
+                        ).alias("uinc"),
+                        F.sum(
+                            F.when(
+                                (F.col("s_old") > 0) & (F.col("s_new") == 0),
+                                1,
+                            ).otherwise(0)
+                        ).alias("udec"),
+                        F.sum(
+                            F.when(F.col("s_new") < 0, 1).otherwise(0)
+                        ).alias("neg"),
+                    )
+                    .collect()
+                }
+                assert all(r["neg"] == 0 for r in stats.values()), (
+                    "negative support — feed and state disagree",
+                    stats,
+                )
+                old_mv = (
+                    {
+                        r["g"]: r
+                        for r in runner.read_target("ivmd_mv", rels=rels)
+                        .join(
+                            F.broadcast(
+                                spark.createDataFrame(
+                                    [(g,) for g in touched], "g bigint"
+                                )
+                            ),
+                            "g",
+                            "semi",
+                        )
+                        .collect()
+                    }
+                    if runner.target_exists("ivmd_mv")
+                    else {}
+                )
+                mv_rows = []
+                for g in touched:
+                    st = stats[g]
+                    o = old_mv.get(g)
+                    total_n = (o["total_n"] if o else 0) + st["n_delta"]
+                    uniq_n = (o["uniq_n"] if o else 0) + st["uinc"] - st["udec"]
+                    assert total_n >= 0 and uniq_n >= 0, (g, total_n, uniq_n)
+                    assert (total_n == 0) == (uniq_n == 0), (g, total_n, uniq_n)
+                    mv_rows.append((g, total_n, uniq_n, g % 8, total_n == 0))
+                path_log.append(
+                    (
+                        rels,
+                        committed,
+                        sum(r["uinc"] for r in stats.values()),
+                        sum(r["udec"] for r in stats.values()),
+                    )
+                )
+                # MV first, support second (see docstring: replay safety)
+                runner.merge_txn(
+                    mv_spec,
+                    spark.createDataFrame(
+                        mv_rows,
+                        "g bigint, total_n bigint, uniq_n bigint, "
+                        "gb bigint, __del boolean",
+                    ),
+                    app_id="ivmd_mv",
+                    txn_version=bid,
+                )
+                sup_out = j.select(
+                    (F.col("g") * 1000 + F.col("u")).alias("sk"),
+                    "g", "u",
+                    F.col("s_new").alias("s"),
+                    (F.col("g") % 8).alias("gb"),
+                    (F.col("s_new") == 0).alias("__del"),
+                )
+                runner.merge_txn(
+                    sup_spec, sup_out, app_id="ivmd_sup", txn_version=bid
+                )
+                delta.unpersist()
+            finally:
+                rows.unpersist()
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt_ivmd")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # CURRENT-state contract (ADVICE r12): the support/MV probes read
+        # CURRENT state = batch-end state only under single-batch
+        # availableNow catch-up — never set maxVersionsPerBatch here.
+        assert len(batches) - hop_start <= 1, batches
+
+    runner.run(base_spec, sf_dir)                          # v1 bootstrap
+    hop()                                                  # MV = full agg
+    runner.run(                                            # insert wave
+        __import__("dataclasses").replace(
+            base_spec, build=base_build(800)
+        ),
+        sf_dir,
+    )
+    hop()                                                  # new + repeat users
+    runner.update_where(base_spec, "k % 89 = 3", {"u": "(u + 5) % 23"})
+    runner.delete_where(base_spec, "k % 37 = 11")
+    hop()                                                  # netted catch-up
+    runner.delete_where(base_spec, "g = 17")               # full-day delete
+    hop()                                                  # day tombstones
+    v_mv = runner.current_manifest("ivmd_mv")["version"]
+    hop()                                                  # replay: no-op
+    assert runner.current_manifest("ivmd_mv")["version"] == v_mv
+    # every probe stayed inside the committed bucket set; the netted
+    # catch-up moved uniques BOTH directions; the day-delete wave opened
+    # exactly ONE of the 8 committed buckets
+    for rels, committed, _, _ in path_log[1:]:
+        assert set(rels) <= set(committed), (rels, committed)
+    assert path_log[2][2] > 0 and path_log[2][3] > 0, path_log
+    assert path_log[3][0] == ["gb=1"] and len(path_log[3][1]) == 8, path_log
+    # the day's state is GONE, not zeroed: MV and support both tombstoned
+    assert (
+        runner.read_target("ivmd_mv").filter(F.col("g") == 17).count() == 0
+    )
+    assert (
+        runner.read_target("ivmd_sup").filter(F.col("g") == 17).count() == 0
+    )
+
+    out = materialize(
+        runner.read_target("ivmd_mv")
+        .select("g", "total_n", "uniq_n")
+        .orderBy("g")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_IVM_DISTINCT = """
+WITH b AS (
+    SELECT i AS k, i % 40 AS g, (i * i) % 23 AS u
+    FROM UNNEST(range(0, 800)) AS t(i)
+),
+u2 AS (
+    SELECT k, g, CASE WHEN k % 89 = 3 THEN (u + 5) % 23 ELSE u END AS u
+    FROM b
+),
+f AS (SELECT * FROM u2 WHERE k % 37 <> 11 AND g <> 17)
+SELECT g, COUNT(*) AS total_n, COUNT(DISTINCT u) AS uniq_n
+FROM f GROUP BY g ORDER BY g
+"""
 
 
 O_IVM_MINMAX = """
@@ -2679,3 +3012,6 @@ def register_queries(register) -> None:
         "streaming_ivm_join_pruned", q_streaming_ivm_join_pruned, O_IVM_JOIN
     )
     register("streaming_ivm_minmax", q_streaming_ivm_minmax, O_IVM_MINMAX)
+    register(
+        "streaming_ivm_distinct", q_streaming_ivm_distinct, O_IVM_DISTINCT
+    )

@@ -400,6 +400,32 @@ def test_stream_bootstrap_allowed_after_absorbed_rename(spark, target_root):
         rd.partitions({"version": 1}, {"version": 3})  # diff range: refuse
 
 
+def test_cdf_reader_boot_is_one_manifest_snapshot(spark, target_root, monkeypatch):
+    """ADVICE r12: the CDF reader's boot version and declared dtypes must
+    come from ONE manifest read — two separate reads let a rename commit
+    land in between, leaving dtypes one version newer than _init_version
+    and permanently tripping the stale-schema restart check. Pinned by
+    counting _manifest_current_version calls during __init__."""
+    from mycarely_saas_dbt_spark.sources import pydatasource as pds
+
+    r = _runner(spark, target_root)
+    r.run(_spec(change_data=True), SF_DIR)  # v1
+    calls = []
+    orig = pds._manifest_current_version
+
+    def counting(root, model):
+        calls.append((root, model))
+        return orig(root, model)
+
+    monkeypatch.setattr(pds, "_manifest_current_version", counting)
+    rd = pds.ManifestCDFStreamReader(
+        {"root": target_root, "model": "cm_t", "key": "k"}
+    )
+    assert len(calls) == 1, calls
+    assert rd._init_version == rd._boot_version == 1
+    assert [n for n, _ in rd.dtypes] == ["k", "v", "p"]
+
+
 # ---------------------------------------------------------------------------
 # r12 — column mapping composed with CHANGE-DATA tables: the feed readers
 # reconstruct the rename chain from commit provenance (_rename_ops) and

@@ -263,6 +263,32 @@ def test_table_changes_timestamp_bounds(spark, target_root):
         r.table_changes("ts_cdf", "k", 1, starting_timestamp=t_mid)
 
 
+def test_table_changes_timestamp_exceeds_latest_raises(spark, target_root):
+    """ADVICE r12: a startingTimestamp NEWER than every retained commit
+    must RAISE (Delta's timestampGreaterThanLatestCommit), not return a
+    silently empty feed — an empty result would read as "no changes"
+    when the truth is "you asked about the future"."""
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    def build(sp, sfd, wm):
+        rows = sp.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("k") > F.lit(wm))
+        return rows
+
+    spec = ModelSpec("ts_fut", "k", "k", build, change_data=True)
+    r = _runner(spark, target_root)
+    r.run(spec, SF_DIR)                                    # v1
+    r.update_where(spec, "k = 3", {"v": "v + 100"})        # v2
+    with pytest.raises(RuntimeError, match="newer than the latest commit"):
+        r.table_changes("ts_fut", "k", starting_timestamp=time.time() + 3600)
+    # the at-boundary refusal names the remedy: widen retention
+    with pytest.raises(RuntimeError, match="widen retention"):
+        r.table_changes("ts_fut", "k", starting_timestamp=0.0)
+
+
 def test_restore_to_timestamp(spark, target_root):
     r = _runner(spark, target_root)
     spec = _spec()
