@@ -330,6 +330,48 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # the strictly harder sibling — its cheap path IS the additive
 # algebra, and the extrema arm adds the case signed deltas cannot
 # absorb; the additive entry keeps its pytest oracle + full sweep).
+#
+# Round-13 rotation (VERDICT r12 item 2 — artifact the zero-artifact
+# STREAMING STATEFUL family + the judge's named picks): in —
+# `streaming_user_profile` (the applyInPandasWithState escape hatch's
+# first driver artifact), `streaming_interval_join`,
+# `streaming_enrich_join`, `streaming_dedup`, `streaming_cms_sketch`
+# (the stateful family, pytest-only since r4/r5), plus
+# `hll_sketch_rollup`, `dml_delete_update`, `pyds_incremental_rollup`
+# (judge's list), plus the two r13 builds `streaming_ivm_distinct`
+# (exact IVM for COUNT DISTINCT via per-(day,user) support counts —
+# VERDICT item 1) and `colmap_stream_restart` (the rename-restart
+# exactly-once resume recipe — VERDICT item 3). Demoted, each keeping
+# its identical DuckDB compare in pytest + the full sweep, each shape
+# still pinned in-window:
+# `incremental_two_batch_upsert` (10 artifacts; the S3 delete+insert
+# upsert path runs in-window in incremental_td/la_two_batch every run,
+# plus the scd2/schema-evolution/colmap entries' merges),
+# `dedup_simhash64` (9 artifacts; banded near-dup candidate generation
+# stays via dedup_minhash_lsh — the richer multi-hash banding — and
+# the signature index streaming_index_maintenance maintains in-window),
+# `dedup_cc_clusters` (10 artifacts; the CC iteration executes
+# in-window inside training_mix_pipeline's canonical-keep stage every
+# run), `streaming_cdf_propagate` (4 artifacts; CDF-stream-into-
+# idempotent-merge-sink is exactly what colmap_stream_restart and both
+# IVM entries run in-window, with harder semantics layered on),
+# `interval_bin_join` (3 artifacts; interval-join SEMANTICS return to
+# the window in streaming form via streaming_interval_join; the batch
+# bin shape keeps its pytest plan gate), `profile_table_approx`
+# (4 artifacts; the HLL accuracy contract moves to the rotating-in
+# hll_sketch_rollup — the same mergeable-sketch contract on the same
+# corpus), `gen_prune_read` (4 artifacts; static partition-pruned
+# reads are pinned harder by the rels-resolved probes asserted inside
+# both IVM entries, and the generated-column translation keeps its
+# test_pruning plan gates), `bm25_index_optimize_search` (3 artifacts;
+# the forceMerge lifecycle runs as a PHASE inside in-window
+# bm25_index_tiered_search's fixture every run), `hybrid_rrf_search`
+# (4 artifacts; its BM25 leg runs in the three remaining BM25 entries,
+# its ANN leg in both ANN entries; the RRF fusion keeps pytest +
+# sweep), `semdedup` (4 artifacts; embedding-space centroid machinery
+# runs in-window inside ann_index_retrain_recall's kmeans retrain and
+# streaming_ann_maintenance; within-cluster pairwise keeps pytest +
+# sweep + its scale-suite leg).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -346,11 +388,10 @@ DRIVER_WINDOW = [
     # SURVEY §2 operator micro-suite survivor (multi-column NOT-NULL
     # output gate — no in-window model runs it in isolation)
     "p11_notnull_gate",
-    # LLM-data-pipeline surface: dedup family
+    # LLM-data-pipeline surface: dedup family (r13: simhash64 and
+    # cc_clusters demoted — see rotation note above)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash64",
-    "dedup_cc_clusters",
     # text analysis family
     "text_lang_id",
     # r4: the training-mix composition (canonical-keep ∩ Gopher ∩
@@ -358,8 +399,8 @@ DRIVER_WINDOW = [
     # window — strictly richer stage coverage, same oracle rigor; the
     # curation pipeline keeps its pytest oracle compare
     "training_mix_pipeline",
-    # incremental (dbt-semantics) runners
-    "incremental_two_batch_upsert",
+    # incremental (dbt-semantics) runners (r13: the TP two-batch entry
+    # demoted — TD/LA run the same S3 path in-window)
     "incremental_td_two_batch",
     "incremental_la_two_batch",
     # r12 rotation (judge's never-artifacted picks)
@@ -372,21 +413,25 @@ DRIVER_WINDOW = [
     # r8 rotation survivors
     "graph_triangles",
     "pyds_sink_roundtrip",
-    # r9 rotation survivors
-    "gen_prune_read",
-    "semdedup",
-    "hybrid_rrf_search",
-    "streaming_cdf_propagate",
-    "profile_table_approx",
-    # r10 rotation (VERDICT r9 item 2 — the four never-artifacted r9
-    # entries, judge's list verbatim)
+    # r10 rotation survivors
     "streaming_index_maintenance",
     "bm25_index_append_search",
-    "interval_bin_join",
     # r12 late build: non-additive IVM in the additive entry's slot
     "streaming_ivm_minmax",
-    # r10 new builds (VERDICT r9 items 3, 4, 6, 7)
-    "bm25_index_optimize_search",
+    # r13 new builds (VERDICT r12 items 1 and 3)
+    "streaming_ivm_distinct",
+    "colmap_stream_restart",
+    # r13 rotation: the zero-artifact streaming stateful family
+    "streaming_user_profile",
+    "streaming_interval_join",
+    "streaming_enrich_join",
+    "streaming_dedup",
+    "streaming_cms_sketch",
+    # r13 rotation: the judge's remaining named picks
+    "hll_sketch_rollup",
+    "dml_delete_update",
+    "pyds_incremental_rollup",
+    # r10 new-build survivors
     "ann_index_retrain_recall",
     "mm_image_decode",
     "dv_pos_reinsert_read",

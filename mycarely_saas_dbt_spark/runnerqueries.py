@@ -1934,6 +1934,174 @@ ORDER BY k
 """
 
 
+def colmap_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RENAME-RESTART resume recipe (r13 — VERDICT r12 item 3): what
+    a real operator does in the minutes after a live CDF stream hits the
+    "a column rename landed after this stream started" raise
+    (Delta's schema-change rule, pinned in tests/test_colmap.py).
+
+    Flow, all inside one entry:
+      1. hop A (availableNow, checkpoint C) bootstraps the sink from the
+         v1 snapshot and applies the v2 update via merge_txn (the
+         idempotent txn-ledger sink).
+      2. v3 commits another cow UPDATE (change files under the OLD name
+         `v`); the base is then RENAMED v->amount (v4, asserted
+         metadata-only with an EMPTY change descriptor). A reader whose
+         declared schema predates the rename now RAISES on planning —
+         asserted in-entry with the exact restart message.
+      3. The recovery: rename the SINK's column to match (metadata-only;
+         the next unpartitioned merge absorbs the mapping), then restart
+         a FRESH stream on the SAME checkpoint root. The restarted
+         reader's declared schema is post-rename, so the pending range
+         (v2 -> v4, which CROSSES the rename) plans era-schema
+         change-file legs aliased to the new names — the raise was about
+         a stale declared schema, not about the range. Exactly-once
+         comes from checkpoint offsets (no re-delivery of hop A's range)
+         plus the txn ledger (a re-delivered batch would be a no-op).
+      4. hop C continues the SAME checkpoint across an insert wave and a
+         cow DELETE committed post-rename; hop D replays with no new
+         data and the sink's manifest version is asserted UNCHANGED —
+         zero duplicates, the no-op replay.
+
+    The returned frame is the sink's final state, asserted equal to the
+    base's live state and hash-matched against the arithmetic oracle —
+    a duplicated batch, a lost era translation, or a missed tombstone
+    all flip the hash."""
+    import dataclasses
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        ManifestCDFStreamReader,
+        register_manifest_cdf_source,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    register_manifest_cdf_source(spark)
+    root = tempfile.mkdtemp(prefix="mycarely_q_cmrr_")
+    try:
+        runner = IncrementalRunner(spark, root)
+        runner.RETENTION_SECONDS = 3600.0  # age window covers the lag
+        o = spark.table("orders")
+
+        def boot(sp, sfd, wm):
+            rows = o.filter(F.col("o_orderkey") % 3 != 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("v"),
+                F.col("o_orderstatus").alias("s"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        spec = ModelSpec("rr_base", "k", "k", boot, change_data=True)
+        sink_spec = ModelSpec("rr_sink", "k", "k", None, tombstone_col="__del")
+
+        def hop():
+            feed = (
+                spark.readStream.format("mycarely_manifest_cdf")
+                .option("root", root)
+                .option("model", "rr_base")
+                .option("key", "k")
+                .load()
+            )
+
+            def apply_batch(batch_df, bid):
+                rows = batch_df.withColumn(
+                    "__del", F.col("_change_type") == "delete"
+                ).drop("_change_type")
+                runner.merge_txn(
+                    sink_spec, rows, app_id="rr_sink", txn_version=bid
+                )
+
+            q = (
+                feed.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", f"{root}/_ckpt_rr")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        runner.run(spec, sf_dir)                                    # v1
+        runner.update_where(spec, "k % 10 = 0", {"v": "v + 1000"})  # v2
+        hop()                                                       # hop A
+        assert (
+            runner.read_target("rr_sink").count()
+            == runner.read_target("rr_base").count()
+        )
+        runner.update_where(spec, "k % 6 = 4", {"v": "v + 50"})     # v3
+        # the LIVE stream's reader: declared schema predates the rename
+        live_rd = ManifestCDFStreamReader(
+            {"root": root, "model": "rr_base", "key": "k"}
+        )
+        runner.rename_column("rr_base", "v", "amount")              # v4
+        m4 = runner.current_manifest("rr_base")
+        assert m4["cdc"]["files"] == []  # metadata-only, empty cdc
+        raised = None
+        try:  # the running stream plans its next batch -> MUST raise
+            live_rd.partitions({"version": 2}, {"version": 4})
+        except RuntimeError as e:
+            raised = str(e)
+        assert raised and "restart the stream" in raised, raised
+        # recovery: rename the sink to match (metadata-only; the next
+        # unpartitioned merge absorbs), then restart on the SAME ckpt
+        runner.rename_column("rr_sink", "v", "amount")
+        hop()                                 # hop B: v2->v4 across rename
+        assert "colmap" not in runner.current_manifest("rr_sink")
+        base = runner.read_target("rr_base").select("k", "amount", "s")
+        sink = runner.read_target("rr_sink").select("k", "amount", "s")
+        assert sink.exceptAll(base).count() == 0 and (
+            sink.count() == base.count()
+        )
+
+        def wave(sp, sfd, wm):  # post-rename backfill inserts, NEW names
+            # deliberately ignores the watermark: the wave keys interleave
+            # with committed ones (a backfill), and the merge handles it
+            return o.filter(F.col("o_orderkey") % 3 == 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("amount"),
+                F.col("o_orderstatus").alias("s"),
+            )
+
+        runner.run(dataclasses.replace(spec, build=wave), sf_dir)   # v5
+        runner.delete_where(spec, "k % 12 = 7")                     # v6
+        hop()                                 # hop C: continue same ckpt
+        v_sink = runner.current_manifest("rr_sink")["version"]
+        hop()                                 # hop D: replay -> no-op
+        assert runner.current_manifest("rr_sink")["version"] == v_sink
+
+        base = runner.read_target("rr_base").select("k", "amount", "s")
+        sink = runner.read_target("rr_sink").select("k", "amount", "s")
+        assert sink.count() == base.count()
+        assert sink.exceptAll(base).count() == 0
+        return materialize(sink.orderBy("k"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_COLMAP_RESTART = """
+WITH boot AS (
+    SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 3 <> 2
+),
+v3 AS (
+    SELECT k,
+           v + CASE WHEN k % 10 = 0 THEN 1000.0 ELSE 0.0 END
+             + CASE WHEN k % 6 = 4 THEN 50.0 ELSE 0.0 END AS amount,
+           s
+    FROM boot
+),
+ins AS (
+    SELECT o_orderkey AS k, o_totalprice AS amount, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 3 = 2
+),
+allr AS (
+    SELECT * FROM v3 UNION ALL SELECT * FROM ins
+)
+SELECT k, amount, s FROM allr WHERE k % 12 <> 7 ORDER BY k
+"""
+
+
 def streaming_admission_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion admission control (r7): stateless quality gate
     + per-source quota via one-counter GroupState, drained with
@@ -2137,6 +2305,7 @@ def register_queries(register) -> None:
     register("time_travel_history", time_travel_history, O_TIME_TRAVEL_HISTORY)
     register("rename_column_lifecycle", rename_column_lifecycle, O_RENAME_COLUMN)
     register("colmap_cdf_lifecycle", colmap_cdf_lifecycle, O_COLMAP_CDF)
+    register("colmap_stream_restart", colmap_stream_restart, O_COLMAP_RESTART)
     register("merge_multi_clause", merge_multi_clause, O_MERGE_MULTI_CLAUSE)
     register(
         "streaming_admission_quota",

@@ -6,6 +6,12 @@ change can't silently push the LLM-pipeline surface back out of it
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_driver_window_is_exactly_the_priority_list():
     from mycarely_saas_dbt_spark.entry import DRIVER_WINDOW, build_queries
@@ -27,46 +33,43 @@ def test_driver_window_covers_llm_pipeline_surface():
         "traffic_pages_agg_hash",
         "sql_api_traffic_pages", "sql_api_traffic_daily",
         "sql_api_lead_activities",
-        # dedup family (r4: 64-bit Hamming-banded simhash is the scale
-        # shape; r12: dedup_index_ingest demoted — the committed
-        # signature index is the one streaming_index_maintenance
-        # maintains in-window)
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64",
-        "dedup_cc_clusters", "semdedup",
+        # dedup family (r13: simhash64/cc_clusters demoted — banded
+        # candidate generation stays via minhash_lsh, the CC iteration
+        # runs inside training_mix_pipeline's canonical-keep stage)
+        "dedup_exact", "dedup_minhash_lsh",
         # ANN family (r12: the append/delete-aware/pq-recall entries
         # demoted — the retrain + streaming-maintenance lifecycles run
         # build/append/delete/drift in their fixtures every run)
         "ann_index_retrain_recall", "streaming_ann_maintenance",
         # text analysis + retrieval
-        "text_lang_id", "training_mix_pipeline", "hybrid_rrf_search",
+        "text_lang_id", "training_mix_pipeline",
         # incremental (dbt-semantics) runtimes + the r12 rotation picks
-        "incremental_two_batch_upsert", "incremental_td_two_batch",
-        "incremental_la_two_batch",
+        "incremental_td_two_batch", "incremental_la_two_batch",
         "scd2_hard_delete_two_batch", "incremental_schema_evolution",
         "variant_shred_rollup", "streaming_incremental_merge",
         "format_csv_permissive", "udtf_sentence_split",
-        # streaming (r12: streaming_sessionize and the watermark-dedup
-        # micro demoted — sessionize_session_window runs the same logic
-        # through the harder built-in session_window state machinery;
-        # streaming_cdc_apply demoted — tombstone CDC application runs
-        # inside colmap_cdf_lifecycle's sink and both IVM sinks)
-        "sessionize_session_window", "streaming_cdf_propagate",
-        "streaming_index_maintenance", "streaming_ivm_minmax",
-        # lakehouse + profiling
-        "gen_prune_read", "profile_table_approx", "dv_pos_reinsert_read",
-        "skew_salted_join", "dml_restore_clone",
+        # streaming — incl. the r13 stateful-family first-timers (the
+        # applyInPandasWithState profile, interval/enrich stream joins,
+        # state-store dedup, CMS sketch accumulation)
+        "sessionize_session_window", "streaming_index_maintenance",
+        "streaming_ivm_minmax", "streaming_ivm_distinct",
+        "streaming_user_profile", "streaming_interval_join",
+        "streaming_enrich_join", "streaming_dedup", "streaming_cms_sketch",
+        # lakehouse + DML + sketches (r13 picks)
+        "hll_sketch_rollup", "dml_delete_update", "pyds_incremental_rollup",
+        "dv_pos_reinsert_read", "skew_salted_join", "dml_restore_clone",
         "graph_triangles",
         "pyds_sink_roundtrip",
-        # BM25 lifecycle family (r12: the plain search + delete-aware
-        # entries demoted — append/optimize/tiered/maintenance stay, all
-        # sharing the same query path and oracle)
-        "bm25_index_append_search", "bm25_index_optimize_search",
-        "bm25_index_tiered_search", "streaming_bm25_maintenance",
-        "interval_bin_join", "mm_image_decode",
+        # BM25 lifecycle family (r13: optimize demoted — the forceMerge
+        # runs as a phase inside the tiered entry's fixture)
+        "bm25_index_append_search", "bm25_index_tiered_search",
+        "streaming_bm25_maintenance",
+        "mm_image_decode",
         "cdf_schema_evolution", "lead_activities_agg_maxby",
-        # provenance + column mapping + the r12 builds
+        # provenance + column mapping + the r12/r13 builds
         "time_travel_history", "rename_column_lifecycle",
         "colmap_cdf_lifecycle", "streaming_ivm_join_pruned",
+        "colmap_stream_restart",
     }
     assert must_have <= first50
 
@@ -81,3 +84,30 @@ def test_every_query_has_an_oracle_except_documented_rows_only():
     qs, os_ = build_queries(), build_oracle_sql()
     rows_only = set(qs) - set(os_)
     assert rows_only == {"streaming_traffic_pages_hll", "mm_fake_features"}
+
+
+# Window-rotation debt ceiling (VERDICT r12 item 7): the number of
+# registered entries that have NEVER appeared in a CORRECTNESS_r*.json
+# window may only DECREASE round over round — lower this constant each
+# round as rotations land; raising it requires justifying every new
+# never-artifacted entry in the round's SURVEY delta. Entries currently
+# IN the window don't count (they will be artifacted at round close).
+NEVER_ARTIFACTED_CEILING = 76
+
+
+def test_rotation_debt_only_decreases():
+    from mycarely_saas_dbt_spark.entry import DRIVER_WINDOW, build_queries
+
+    seen: set[str] = set()
+    artifacts = sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
+    assert artifacts, "no CORRECTNESS artifacts found at the repo root"
+    for f in artifacts:
+        with open(f) as fh:
+            seen.update(json.load(fh))
+    registered = set(build_queries())
+    never = registered - seen - set(DRIVER_WINDOW)
+    assert len(never) <= NEVER_ARTIFACTED_CEILING, (
+        f"rotation debt grew: {len(never)} never-artifacted entries "
+        f"(ceiling {NEVER_ARTIFACTED_CEILING}) — rotate more entries into "
+        f"the window or justify the new registrations: {sorted(never)}"
+    )
