@@ -87,7 +87,13 @@ def get_spark(
         # pruned rows are never generated
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless driver runs); MYCARELY_UI=1 turns it
+        # on so harnesses can read work metrics (shuffle bytes, spill)
+        # from the REST API — scripts/scale_stress.py uses this.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("MYCARELY_UI") == "1" else "false",
+        )
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -1,5 +1,6 @@
-"""Scale-stress harness (r12 — VERDICT r11 item 3): measure runtime
-GROWTH, not absolute speed.
+"""Scale-stress harness (r12 — VERDICT r11 item 3; hardened r13 —
+VERDICT r12 item 4): measure runtime AND WORK growth, not absolute
+speed.
 
 Correctness is saturated at sf0.1; the 100 TB design claims were proven
 by plan shape only. This harness synthesizes DETERMINISTIC range-
@@ -16,6 +17,17 @@ shuffle-heaviest operator families and records wall-clock growth:
                               work: near-FLAT growth while the fact
                               grows 10x, r12 item 4's pruning)
 
+r13 hardening: wall time at these sizes is dominated by fixed job
+overhead (every r12 family measured "sub-linear", which mostly proved
+the overhead floor). Each leg therefore ALSO records WORK metrics —
+shuffle read/write bytes, input bytes, and spill — diffed from the
+Spark UI REST API around the winning rep (MYCARELY_UI=1; executor
+totals are cumulative and eviction-proof, stage spill is best-effort).
+Bytes pin the ALGORITHMIC claim (candidate-pair and state growth)
+independently of the box. The two flattest r12 families (semdedup,
+bm25_index_append_search) additionally run a single 100x leg to
+separate the fixed-overhead floor from true scaling.
+
 The pinned claim is SUB-QUADRATIC growth (growth << input_ratio^2 = 100
 for the corpus operators; near-flat for the maintenance hop), not an
 absolute number — absolute wall on this box swings +/-50% under load
@@ -26,11 +38,14 @@ Inputs mimic the sf0.1 documents/embeddings shapes exactly (same
 columns, same ~vocab text, 64-dim clustered embeddings, planted
 near-dup pairs at a fixed RATE so LSH has real, linear-in-N candidate
 work). Other driver tables symlink to sf0.1 — the five targets never
-scan them at scale-relevant size.
+scan them at scale-relevant size. Per-op ``rows_*`` fields report the
+relation that op actually consumes (documents vs embeddings vs fact
+rows — the r12 artifact mislabeled semdedup's input; fixed).
 
 Usage:  python scripts/scale_stress.py [out.json]
-Writes BENCH_SCALE_r12.json (or the given path) with per-op
-{rows_1x, sec_1x, rows_10x, sec_10x, growth} fields.
+Writes BENCH_SCALE_r13.json (or the given path) with per-op
+{rows_1x, sec_1x, rows_10x, sec_10x, growth, work_1x, work_10x,
+shuffle_growth} fields (plus *_100x for the two 100x ops).
 """
 
 from __future__ import annotations
@@ -45,6 +60,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("MYCARELY_SESSION_MEMO", "0")  # cold paths only
+os.environ.setdefault("MYCARELY_UI", "1")  # REST API for work metrics
 
 BASE_SF = "/root/testdata/sf0.1"
 DOCS_1X, EMB_1X = 5_000, 2_000
@@ -151,22 +167,69 @@ def _write_single(df, dest: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def timed(fn, *args, reps: int = 2) -> float:
+def work_snapshot(spark) -> dict:
+    """Cumulative work counters from the Spark UI REST API. Executor
+    totals (shuffle read/write, input bytes) are monotone and never
+    evicted — diffing two snapshots isolates one leg's work exactly.
+    Stage-level spill sums the retained-stage store (best-effort: stage
+    eviction under spark.ui.retainedStages can undercount spill on very
+    long runs; shuffle/input bytes are immune). Returns zeros when the
+    UI is off so wall-clock measurement still works anywhere."""
+    import urllib.request
+
+    out = {"shuffle_read": 0, "shuffle_write": 0, "input_bytes": 0,
+           "spill_mem": 0, "spill_disk": 0}
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return out
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/executors", timeout=10
+        ) as r:
+            for e in json.load(r):
+                out["shuffle_read"] += e.get("totalShuffleRead", 0)
+                out["shuffle_write"] += e.get("totalShuffleWrite", 0)
+                out["input_bytes"] += e.get("totalInputBytes", 0)
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            for s in json.load(r):
+                out["spill_mem"] += s.get("memoryBytesSpilled", 0)
+                out["spill_disk"] += s.get("diskBytesSpilled", 0)
+    except Exception:
+        pass  # UI race/disabled: zeros; wall-clock still recorded
+    return out
+
+
+def _work_delta(a: dict, b: dict) -> dict:
+    return {k: max(0, b[k] - a[k]) for k in a}
+
+
+def timed(fn, *args, reps: int = 2, spark=None) -> tuple[float, dict]:
     """min-of-N wall (the bench rule: this box swings under load; min is
-    the stable statistic). Callers warm the session first so JIT/codegen
-    warmup doesn't land inside the 1x leg and fake a sub-1.0 growth."""
-    best = None
+    the stable statistic) plus the WINNING rep's work delta (bytes are
+    deterministic across reps up to cache effects; pairing them with the
+    min-wall rep keeps one coherent record). Callers warm the session
+    first so JIT/codegen warmup doesn't land inside the 1x leg and fake
+    a sub-1.0 growth."""
+    best, best_work = None, None
     for _ in range(reps):
+        w0 = work_snapshot(spark) if spark is not None else None
         t0 = time.monotonic()
         df = fn(*args)
         if df is not None and hasattr(df, "count"):
             df.count()
         dt = time.monotonic() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+        if best is None or dt < best:
+            best = dt
+            if w0 is not None:
+                best_work = _work_delta(w0, work_snapshot(spark))
+    return best, best_work or {}
 
 
-def ivm_hop_seconds(spark, n_fact: int) -> float:
+def ivm_hop_seconds(spark, n_fact: int) -> tuple[float, dict]:
     """One dim-churn maintenance hop over a ck-partitioned fact of
     ``n_fact`` rows (the streaming_ivm_join_pruned sink verbatim, minus
     the assertions): bootstrap the MV, then time ONLY the dim-update
@@ -299,14 +362,17 @@ def ivm_hop_seconds(spark, n_fact: int) -> float:
         runner.run(fact_spec, "x")
         runner.run(dim_spec, "x")
         hop()  # bootstrap MV (not timed — that's build cost, linear)
-        best = None
+        best, best_work = None, None
         for _ in range(2):  # min-of-2 dim-churn hops, same churn size
             runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
+            w0 = work_snapshot(spark)
             t0 = time.monotonic()
             hop()  # the dim-churn maintenance hop — the measured quantity
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+            if best is None or dt < best:
+                best = dt
+                best_work = _work_delta(w0, work_snapshot(spark))
+        return best, best_work or {}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -315,52 +381,88 @@ def main() -> None:
     from mycarely_saas_dbt_spark.entry import build_queries
     from mycarely_saas_dbt_spark.session import get_spark
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r12.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r13.json"
     spark = get_spark()
     qs = build_queries()
-    corpus_ops = [
-        "dedup_minhash_lsh",
-        "semdedup",
-        "training_mix_pipeline",
-        "bm25_index_append_search",
-    ]
+    # op -> (input relation rows at 1x, has a 100x leg). semdedup
+    # consumes EMBEDDINGS (the r12 artifact mislabeled it as docs).
+    corpus_ops = {
+        "dedup_minhash_lsh": (DOCS_1X, False),
+        "semdedup": (EMB_1X, True),
+        "training_mix_pipeline": (DOCS_1X, False),
+        "bm25_index_append_search": (DOCS_1X, True),
+    }
     result: dict = {
         "metric": "scale_growth",
         "input_ratio": RATIO,
         "note": (
             "synthetic deterministic inputs shaped like sf0.1; claim is "
             "sub-quadratic growth (corpus ops) / near-flat (IVM hop), "
-            "not absolute wall"
+            "not absolute wall; work_* fields are the winning rep's "
+            "shuffle/input/spill byte deltas from the UI REST API — "
+            "bytes pin the algorithmic claim independently of the box; "
+            "100x legs (single rep) separate the fixed-overhead floor "
+            "from true scaling for the two flattest r12 families"
         ),
         "ops": {},
     }
     dirs = {}
-    for tag, mult in (("1x", 1), ("10x", RATIO)):
+    for tag, mult in (("1x", 1), ("10x", RATIO), ("100x", RATIO * RATIO)):
         dirs[tag] = synth_sf_dir(spark, DOCS_1X * mult, EMB_1X * mult)
     warm = synth_sf_dir(spark, 500, 200)
     try:
-        for op in corpus_ops:
+        for op, (rows_1x, has_100x) in corpus_ops.items():
             # untimed warm pass: JIT/codegen/Arrow warmup must not land
             # inside the 1x leg (it fakes sub-1.0 growth)
             timed(qs[op], spark, warm, reps=1)
-            secs = {}
-            for tag in ("1x", "10x"):
-                secs[tag] = timed(qs[op], spark, dirs[tag])
+            secs, works = {}, {}
+            legs = ("1x", "10x", "100x") if has_100x else ("1x", "10x")
+            for tag in legs:
+                reps = 1 if tag == "100x" else 2
+                secs[tag], works[tag] = timed(
+                    qs[op], spark, dirs[tag], reps=reps, spark=spark
+                )
                 print(f"{op} {tag}: {secs[tag]:.1f}s", file=sys.stderr)
-            result["ops"][op] = {
-                "rows_1x": DOCS_1X, "sec_1x": round(secs["1x"], 2),
-                "rows_10x": DOCS_1X * RATIO, "sec_10x": round(secs["10x"], 2),
+            rec = {
+                "rows_1x": rows_1x, "sec_1x": round(secs["1x"], 2),
+                "rows_10x": rows_1x * RATIO,
+                "sec_10x": round(secs["10x"], 2),
                 "growth": round(secs["10x"] / max(secs["1x"], 1e-9), 2),
+                "work_1x": works["1x"], "work_10x": works["10x"],
             }
-        ivm = {}
+            sh1 = works["1x"].get("shuffle_write", 0)
+            if sh1:
+                rec["shuffle_growth"] = round(
+                    works["10x"].get("shuffle_write", 0) / sh1, 2
+                )
+            if has_100x:
+                rec["rows_100x"] = rows_1x * RATIO * RATIO
+                rec["sec_100x"] = round(secs["100x"], 2)
+                rec["growth_100x"] = round(
+                    secs["100x"] / max(secs["1x"], 1e-9), 2
+                )
+                rec["work_100x"] = works["100x"]
+                if sh1:
+                    rec["shuffle_growth_100x"] = round(
+                        works["100x"].get("shuffle_write", 0) / sh1, 2
+                    )
+            result["ops"][op] = rec
+        ivm, ivm_w = {}, {}
         for tag, n in (("1x", 30_000), ("10x", 300_000)):
-            ivm[tag] = ivm_hop_seconds(spark, n)
+            ivm[tag], ivm_w[tag] = ivm_hop_seconds(spark, n)
             print(f"ivm_join_hop {tag}: {ivm[tag]:.1f}s", file=sys.stderr)
-        result["ops"]["ivm_join_dim_churn_hop"] = {
+        rec = {
             "rows_1x": 30_000, "sec_1x": round(ivm["1x"], 2),
             "rows_10x": 300_000, "sec_10x": round(ivm["10x"], 2),
             "growth": round(ivm["10x"] / max(ivm["1x"], 1e-9), 2),
+            "work_1x": ivm_w["1x"], "work_10x": ivm_w["10x"],
         }
+        sh1 = ivm_w["1x"].get("shuffle_write", 0)
+        if sh1:
+            rec["shuffle_growth"] = round(
+                ivm_w["10x"].get("shuffle_write", 0) / sh1, 2
+            )
+        result["ops"]["ivm_join_dim_churn_hop"] = rec
     finally:
         for d in [*dirs.values(), warm]:
             shutil.rmtree(d, ignore_errors=True)

@@ -539,3 +539,106 @@ def test_merge_into_schema_evolution_modes(spark, target_root):
     out = runner.read_target("m_evo")
     assert out.filter("o_orderkey = 3").first()["region"] == "ap-south"
     assert out.filter("o_orderkey = 1").first()["region"] == "eu-west"
+
+
+def test_streaming_maintainer_races_disjoint_writer(
+    spark, target_root, monkeypatch
+):
+    """VERDICT r12 item 5: the disjoint-footprint rebase proven with a
+    LIVE streaming maintainer — a CDF-fed foreachBatch index sink
+    (merge_txn) racing an unrelated-partition writer on the SAME index
+    target. Both commits must land (the maintainer rebases onto the
+    racer's disjoint commit) and the index must still match the
+    fresh-build oracle over the live base."""
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, SF_DIR)
+    register_manifest_cdf_source(spark)
+    runner = IncrementalRunner(spark, target_root)   # the maintainer
+    racer = IncrementalRunner(spark, target_root)    # unrelated writer
+
+    base_spec = ModelSpec(
+        "rcb", "doc_id", "doc_id",
+        lambda sp, sfd, wm: sp.table("documents").select(
+            "doc_id", "text", (F.col("doc_id") % 8).alias("pb")
+        ),
+        partition_by=["pb"], change_data=True,
+    )
+    idx_spec = ModelSpec(
+        "rci", "doc_id", "doc_id", None,
+        partition_by=["sb"], tombstone_col="__del",
+    )
+
+    def sig_rows(df):
+        # a cheap derived "signature" — the race is about the COMMIT
+        # path, not the signature math (the minhash sink shares it)
+        return df.select(
+            "doc_id", F.length("text").alias("sig"),
+            (F.col("doc_id") % 4).alias("sb"), F.lit(False).alias("__del"),
+        )
+
+    def hop():
+        stream = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", target_root)
+            .option("model", "rcb")
+            .option("key", "doc_id")
+            .load()
+        )
+
+        def sink(batch_df, bid):
+            rows = batch_df.persist()
+            try:
+                if not rows.count():
+                    return
+                live = rows.filter(F.col("_change_type") != "delete")
+                runner.merge_txn(
+                    idx_spec, sig_rows(live), app_id="rci_hop",
+                    txn_version=bid,
+                )
+            finally:
+                rows.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{target_root}/_ckpt_rci")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    runner.run(base_spec, SF_DIR)
+    hop()                                    # index bootstrap (all buckets)
+    v0 = runner.current_manifest("rci")["version"]
+    # narrow maintenance wave: touches ONLY index bucket sb=1
+    runner.update_where(
+        base_spec, "doc_id % 4 = 1", {"text": "concat(text, ' x')"}
+    )
+    orig = runner._commit_manifest
+    fired = {"done": False}
+
+    def inject(name, manifest, **kw):
+        if name == "rci" and not fired["done"]:
+            fired["done"] = True
+            # the unrelated-partition writer lands AFTER the maintainer
+            # read its base manifest: a backfill rewriting bucket sb=3
+            # (identical recomputed values — content-idempotent)
+            racer.merge_txn(
+                idx_spec,
+                sig_rows(racer.read_target("rcb").filter("doc_id % 4 = 3")),
+                app_id="rci_racer", txn_version=1,
+            )
+        return orig(name, manifest, **kw)
+
+    monkeypatch.setattr(runner, "_commit_manifest", inject)
+    hop()                                    # maintenance races the backfill
+    final = runner.current_manifest("rci")
+    assert fired["done"] and final["version"] == v0 + 2  # BOTH landed
+    idx = runner.read_target("rci").select("doc_id", "sig", "sb")
+    fresh = sig_rows(runner.read_target("rcb")).select("doc_id", "sig", "sb")
+    assert idx.count() == fresh.count()
+    assert idx.exceptAll(fresh).count() == 0
