@@ -372,6 +372,15 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # runs in-window inside ann_index_retrain_recall's kmeans retrain and
 # streaming_ann_maintenance; within-cluster pairwise keeps pytest +
 # sweep + its scale-suite leg).
+# An eleventh r13 first-timer joins late: `streaming_ivm_traffic_pages`
+# (the IVM support-count machinery instantiated on the REFERENCE's
+# flagship aggregate — composite group keys, NULL-user COUNT DISTINCT
+# semantics, distributed MV arithmetic) in the slot of
+# `lead_activities_agg_maxby` (2 artifacts; it is the BYTE-IDENTICAL
+# twin of the in-window lead_activities_agg — they share one oracle,
+# so its hash is already checked every run via the model slot; the
+# max_by engine path keeps its pytest oracle + full sweep, the same
+# rationale as the r4 ann_cosine_topk_pandas demotion).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -418,8 +427,10 @@ DRIVER_WINDOW = [
     "bm25_index_append_search",
     # r12 late build: non-additive IVM in the additive entry's slot
     "streaming_ivm_minmax",
-    # r13 new builds (VERDICT r12 items 1 and 3)
+    # r13 new builds (VERDICT r12 items 1 and 3 + the reference-shaped
+    # IVM instantiation)
     "streaming_ivm_distinct",
+    "streaming_ivm_traffic_pages",
     "colmap_stream_restart",
     # r13 rotation: the zero-artifact streaming stateful family
     "streaming_user_profile",
@@ -441,11 +452,11 @@ DRIVER_WINDOW = [
     "streaming_ann_maintenance",
     "bm25_index_tiered_search",
     "cdf_schema_evolution",
-    # r11 rotation (VERDICT r10 item 4 — never-artifacted picks)
+    # r11 rotation (VERDICT r10 item 4 — never-artifacted picks; r13:
+    # the maxby twin demoted, it shares the LA model slot's oracle)
     "skew_salted_join",
     "dml_restore_clone",
     "sessionize_session_window",
-    "lead_activities_agg_maxby",
     # r11 late builds (commit provenance; column mapping)
     "time_travel_history",
     "rename_column_lifecycle",

@@ -53,6 +53,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         # state-store dedup, CMS sketch accumulation)
         "sessionize_session_window", "streaming_index_maintenance",
         "streaming_ivm_minmax", "streaming_ivm_distinct",
+        "streaming_ivm_traffic_pages",
         "streaming_user_profile", "streaming_interval_join",
         "streaming_enrich_join", "streaming_dedup", "streaming_cms_sketch",
         # lakehouse + DML + sketches (r13 picks)
@@ -65,7 +66,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         "bm25_index_append_search", "bm25_index_tiered_search",
         "streaming_bm25_maintenance",
         "mm_image_decode",
-        "cdf_schema_evolution", "lead_activities_agg_maxby",
+        "cdf_schema_evolution",
         # provenance + column mapping + the r12/r13 builds
         "time_travel_history", "rename_column_lifecycle",
         "colmap_cdf_lifecycle", "streaming_ivm_join_pruned",
