@@ -372,6 +372,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # runs in-window inside ann_index_retrain_recall's kmeans retrain and
 # streaming_ann_maintenance; within-cluster pairwise keeps pytest +
 # sweep + its scale-suite leg).
+# A twelfth r13 first-timer: `mv_incremental_refresh` — the GENERALIZED
+# IVM engine API (mycarely_saas_dbt_spark/ivm.py: MVDefinition +
+# MaterializedViewMaintainer, count/sum/min/max/count_distinct composed
+# in ONE maintained view) — in the slot of `streaming_ivm_minmax`
+# (1 artifact, r12; its signed-count cheap path AND pruned-recompute
+# extrema arm execute inside mv_incremental_refresh's maintainer every
+# run — same algebra, now engine surface instead of sink choreography;
+# the hand-written entry keeps its pytest oracle + full sweep).
 # An eleventh r13 first-timer joins late: `streaming_ivm_traffic_pages`
 # (the IVM support-count machinery instantiated on the REFERENCE's
 # flagship aggregate — composite group keys, NULL-user COUNT DISTINCT
@@ -425,8 +433,9 @@ DRIVER_WINDOW = [
     # r10 rotation survivors
     "streaming_index_maintenance",
     "bm25_index_append_search",
-    # r12 late build: non-additive IVM in the additive entry's slot
-    "streaming_ivm_minmax",
+    # r13: the generalized IVM engine API in the minmax entry's slot
+    # (same algebra, engine surface)
+    "mv_incremental_refresh",
     # r13 new builds (VERDICT r12 items 1 and 3 + the reference-shaped
     # IVM instantiation)
     "streaming_ivm_distinct",

@@ -1,0 +1,469 @@
+"""Generalized exact incremental view maintenance (r13) — the engine API
+unifying the IVM strategies the streaming entries proved one-by-one
+(additive counters -> joins -> MIN/MAX extrema -> COUNT DISTINCT
+support counts) into ONE maintainer a user points at a change-data base.
+
+A :class:`MVDefinition` declares a grouped aggregate view over a
+change-data base table; :class:`MaterializedViewMaintainer.refresh` runs
+one availableNow hop of the base's four-type change feed through a
+foreachBatch sink that applies the DBSP/Materialize maintenance algebra:
+
+  * ``count`` / ``sum``      — signed deltas, never a base read;
+  * ``min`` / ``max``        — monotone extension when the algebra
+    allows (insert-only or strictly-interior removals), a
+    PARTITION-PRUNED per-group recompute when a removed value touches a
+    stored extreme (conservative under duplicates — the one case signed
+    deltas cannot absorb);
+  * ``count_distinct``       — per-(group, value) SUPPORT COUNTS in a
+    sibling manifest table (`<mv>__sup_<alias>`): support transitions
+    0->positive / positive->0 move the distinct count; NULL values
+    bypass the support table entirely (COUNT DISTINCT's NULL rule).
+
+Scale contract (the 100 TB shape): MV, support tables, and the base
+share a BUCKET partition column derived from the group keys
+(``bucket_expr``), so every state/base probe resolves via
+``read_target(rels=[...])`` — manifest-only file selection, no scan.
+Per-batch work is change-proportional: only the touched-bucket list,
+the recompute-group list (groups whose stored extreme was removed), and
+one sanity aggregate collect to the driver; everything else — signed
+deltas, support transitions, the cheap-path MV arithmetic — stays
+distributed. Group tombstones need NO read: the signed count proves a
+group emptied.
+
+Crash ordering: the MV merge commits BEFORE the support merges, all
+under one (app_id, txn_version) per target — a replay after a partial
+failure recomputes transitions from the still-unchanged support and the
+already-applied merge skips via the txn ledger; writing support first
+would make a replayed batch compute transitions from post-state.
+
+Contracts (documented, fast-failed where checkable): the base commits
+write-time change files (``ModelSpec.change_data=True``); group-by
+columns are non-NULL (they become the concatenated state key); min/max
+and sum source columns are non-NULL; catch-up runs as a SINGLE
+availableNow batch (the probes read CURRENT state = batch-end state —
+never set maxVersionsPerBatch on the maintainer's feed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .incremental import IncrementalRunner, ModelSpec
+
+_ALLOWED = {"count", "sum", "min", "max", "count_distinct"}
+
+
+@dataclass(frozen=True)
+class MVAggregate:
+    """One output aggregate: ``kind`` in count | sum | min | max |
+    count_distinct; ``col`` is the source column (ignored for count);
+    ``alias`` the MV output column."""
+
+    kind: str
+    col: str | None
+    alias: str
+
+
+@dataclass
+class MVDefinition:
+    name: str                      # MV target table name
+    base: str                      # change-data base model name
+    base_key: str                  # the CDF key option (base unique_key)
+    group_by: list[str]
+    aggregates: list[MVAggregate]
+    # SQL expression over the group-by columns yielding the bucket value
+    # (e.g. "g % 8" or "extract(DAY FROM event_date) % 8"). The base must
+    # be hive-partitioned by a column holding the SAME expression so the
+    # recompute arm prunes; MV/support partition on it automatically.
+    bucket_expr: str = ""
+    bucket_col: str = "__mvb"
+    retention_seconds: float | None = 3600.0
+
+    def __post_init__(self) -> None:
+        bad = [a.kind for a in self.aggregates if a.kind not in _ALLOWED]
+        if bad:
+            raise ValueError(f"{self.name}: unsupported aggregate kinds {bad}")
+        names = [a.alias for a in self.aggregates]
+        if len(names) != len(set(names)):
+            raise ValueError(f"{self.name}: duplicate aggregate aliases")
+
+
+class MaterializedViewMaintainer:
+    """Maintains one :class:`MVDefinition` exactly off its base's
+    four-type change feed. ``refresh(spark)`` drains pending base
+    versions (availableNow); ``read(spark)`` returns the MV's current
+    rows under the declared aliases. ``path_log`` records, per applied
+    batch, (probe rels, committed rels, n recompute groups) — the
+    change-proportionality audit trail entries assert on."""
+
+    def __init__(self, runner: IncrementalRunner, mv: MVDefinition):
+        self.runner = runner
+        self.mv = mv
+        m = runner.current_manifest(mv.base)
+        if m is None:
+            raise RuntimeError(f"{mv.name}: base {mv.base!r} is not committed")
+        # change-data detection is version-aware: the v1 bootstrap CTAS
+        # stamps no cdc descriptor (the stream serves it as snapshot
+        # inserts), but every MUTATING commit on a change_data table
+        # does — so past v1 a missing descriptor means the base never
+        # opted in and maintenance would silently fall back to
+        # snapshot-diff scans (correct, but not change-proportional).
+        if m["version"] > 1 and m.get("cdc") is None:
+            raise RuntimeError(
+                f"{mv.name}: base {mv.base!r} writes no change files — MV "
+                "maintenance needs ModelSpec.change_data=True on the base"
+            )
+        if mv.bucket_expr:
+            pby = m.get("partition_by") or []
+            if not pby:
+                raise RuntimeError(
+                    f"{mv.name}: bucket_expr set but base {mv.base!r} is "
+                    "unpartitioned — the recompute arm could never prune; "
+                    "partition the base by the bucket column"
+                )
+            self.base_bucket = pby[0]
+        else:
+            self.base_bucket = None
+        self.G = list(mv.group_by)
+        self.mm = [a for a in mv.aggregates if a.kind in ("min", "max")]
+        self.sums = [a for a in mv.aggregates if a.kind == "sum"]
+        self.distincts = [a for a in mv.aggregates if a.kind == "count_distinct"]
+        self.mv_spec = ModelSpec(
+            mv.name, "__gk", "__gk", None,
+            partition_by=[mv.bucket_col] if mv.bucket_expr else [],
+            tombstone_col="__del",
+        )
+        self.sup_specs = {
+            a.alias: ModelSpec(
+                f"{mv.name}__sup_{a.alias}", "__sk", "__sk", None,
+                partition_by=[mv.bucket_col] if mv.bucket_expr else [],
+                tombstone_col="__del",
+            )
+            for a in self.distincts
+        }
+        self.path_log: list = []
+        self._batches: list = []
+
+    # -- key/bucket helpers -------------------------------------------------
+    def _gk(self):
+        return F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in self.G]
+        ).alias("__gk")
+
+    def _bucket(self):
+        return F.expr(self.mv.bucket_expr).cast("bigint").alias(
+            self.mv.bucket_col
+        )
+
+    def _rels(self, bucket_values) -> list[str]:
+        return sorted({f"{self.mv.bucket_col}={int(b)}" for b in bucket_values})
+
+    def _state_slice(self, name: str, rels, cols) -> DataFrame:
+        if not self.runner.target_exists(name):
+            return None
+        kw = {"rels": rels} if (rels is not None and self.mv.bucket_expr) else {}
+        return self.runner.read_target(name, **kw).select(*cols)
+
+    # -- the maintenance algebra --------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        mv, runner, G = self.mv, self.runner, self.G
+        self._batches.append(batch_id)
+        rows = batch_df.persist()
+        try:
+            if not rows.count():
+                return
+            sign_pos = F.col("_change_type").isin("insert", "update_postimage")
+            pos, neg = rows.filter(sign_pos), rows.filter(~sign_pos)
+
+            def side_stats(df, tag):
+                aggs = [F.count(F.lit(1)).alias(f"{tag}_n")]
+                for a in self.sums:
+                    aggs.append(F.sum(a.col).alias(f"{tag}_sum_{a.alias}"))
+                for a in self.mm:
+                    aggs.append(F.min(a.col).alias(f"{tag}_min_{a.alias}"))
+                    aggs.append(F.max(a.col).alias(f"{tag}_max_{a.alias}"))
+                return df.groupBy(*G).agg(*aggs)
+
+            st = side_stats(pos, "i").join(side_stats(neg, "d"), G, "full")
+            # distinct-aggregate support transitions (one sibling table
+            # per count_distinct; NULL values bypass — the SQL rule)
+            sup_updates: dict[str, DataFrame] = {}
+            for a in self.distincts:
+                d = (
+                    rows.filter(F.col(a.col).isNotNull())
+                    .select(
+                        *G, F.col(a.col).alias("__u"),
+                        F.when(sign_pos, F.lit(1)).otherwise(-1).alias("__d"),
+                    )
+                    .groupBy(*G, "__u")
+                    .agg(F.sum("__d").alias("__d"))
+                    .filter(F.col("__d") != 0)
+                )
+                sup_updates[a.alias] = d
+            # touched buckets: driver-bounded (<= groups in the batch)
+            touched_g = st.select(*G).distinct().persist()
+            if mv.bucket_expr:
+                buckets = [
+                    r["b"]
+                    for r in touched_g.select(
+                        F.expr(mv.bucket_expr).cast("bigint").alias("b")
+                    ).distinct().collect()
+                ]
+                rels = self._rels(buckets)
+            else:
+                rels = None
+            committed = (
+                sorted(runner.current_manifest(mv.name)["partitions"])
+                if runner.target_exists(mv.name)
+                else []
+            )
+            old_cols = (
+                [*G, F.col("__n").alias("o___n")]
+                + [
+                    F.col(a.alias).alias(f"o_{a.alias}")
+                    for a in mv.aggregates
+                ]
+            )
+            old = self._state_slice(mv.name, rels, old_cols)
+            if old is None:
+                old = touched_g.limit(0).select(
+                    *G, F.lit(0).cast("bigint").alias("o___n"),
+                    *[
+                        F.lit(None).cast("bigint").alias(f"o_{a.alias}")
+                        for a in mv.aggregates
+                    ],
+                )
+            j = st.join(old, G, "left")
+            z = F.lit(0).cast("bigint")
+            # distinct-aggregate support transitions join the group frame
+            # BEFORE classification so the sanity collect below covers
+            # negative supports too — no extra action spent on them
+            for a in self.distincts:
+                sup_name = self.sup_specs[a.alias].name
+                old_sup = self._state_slice(
+                    sup_name, rels, [*G, "__u", "__s"]
+                )
+                d = sup_updates[a.alias]
+                if old_sup is None:
+                    old_sup = d.limit(0).select(
+                        *G, "__u", F.lit(0).cast("bigint").alias("__s")
+                    )
+                tj = d.join(old_sup, [*G, "__u"], "left").select(
+                    *G, "__u", "__d",
+                    F.coalesce(F.col("__s"), z).alias("__s_old"),
+                    (F.coalesce(F.col("__s"), z) + F.col("__d")).alias(
+                        "__s_new"
+                    ),
+                ).persist()
+                trans = tj.groupBy(*G).agg(
+                    F.sum(
+                        F.when(
+                            (F.col("__s_old") == 0) & (F.col("__s_new") > 0),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"__uinc_{a.alias}"),
+                    F.sum(
+                        F.when(
+                            (F.col("__s_old") > 0) & (F.col("__s_new") == 0),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"__udec_{a.alias}"),
+                    F.sum(
+                        F.when(F.col("__s_new") < 0, 1).otherwise(0)
+                    ).alias(f"__negsup_{a.alias}"),
+                )
+                j = j.join(trans, G, "left")
+                sup_updates[a.alias] = tj  # carries __s_new for the write
+            j = j.persist()
+            i_n = F.coalesce(F.col("i_n"), z)
+            d_n = F.coalesce(F.col("d_n"), z)
+            o_n = F.coalesce(F.col("o___n"), z)
+            n_new = (o_n + i_n - d_n).alias("__n_new")
+            first_seen = F.col("o___n").isNull()
+            # a removed value touching ANY stored extreme forces the
+            # group onto the recompute arm (conservative — duplicates)
+            rec_cond = F.lit(False)
+            for a in self.mm:
+                side = "min" if a.kind == "min" else "max"
+                d_ext = F.col(f"d_{side}_{a.alias}")
+                o_ext = F.col(f"o_{a.alias}")
+                hit = (
+                    d_ext <= o_ext if a.kind == "min" else d_ext >= o_ext
+                )
+                rec_cond = rec_cond | (d_ext.isNotNull() & hit)
+            rec_cond = (~first_seen) & (d_n > 0) & rec_cond & (
+                (o_n + i_n - d_n) > 0
+            )
+            classified = j.select(
+                *G, n_new, first_seen.alias("__first"),
+                rec_cond.alias("__rec"),
+                *[c for c in j.columns if c not in G],
+            ).persist()
+            # one change-proportional collect: the recompute-group list
+            # plus the sanity flags (preimages for a group the MV never
+            # saw, or a group going negative = feed/state disagreement)
+            bad_expr = (F.col("__n_new") < 0) | (F.col("__first") & (d_n > 0))
+            for a in self.distincts:
+                bad_expr = bad_expr | (
+                    F.coalesce(F.col(f"__negsup_{a.alias}"), z) > 0
+                )
+            flagged = classified.select(
+                *G, "__rec", bad_expr.alias("__bad")
+            ).filter(F.col("__rec") | F.col("__bad")).collect()
+            assert not any(r["__bad"] for r in flagged), (
+                f"{mv.name}: IVM state and feed disagree"
+            )
+            rec_groups = [r for r in flagged if r["__rec"]]
+            self.path_log.append((rels or [], committed, len(rec_groups)))
+            # cheap path: distributed arithmetic for every non-recompute
+            # group (incl. first-seen and tombstones); the distinct
+            # transition columns already ride on the classified frame
+            cheap = classified.filter(~F.col("__rec"))
+            out_cols = [self._gk(), *[F.col(c) for c in G]]
+            for a in mv.aggregates:
+                o = F.coalesce(F.col(f"o_{a.alias}"), z)
+                if a.kind == "count":
+                    expr = F.col("__n_new")
+                elif a.kind == "sum":
+                    expr = (
+                        o
+                        + F.coalesce(F.col(f"i_sum_{a.alias}"), z)
+                        - F.coalesce(F.col(f"d_sum_{a.alias}"), z)
+                    )
+                elif a.kind == "count_distinct":
+                    expr = (
+                        o
+                        + F.coalesce(F.col(f"__uinc_{a.alias}"), z)
+                        - F.coalesce(F.col(f"__udec_{a.alias}"), z)
+                    )
+                else:  # min / max: monotone extension (cheap path only)
+                    side = a.kind
+                    i_ext = F.col(f"i_{side}_{a.alias}")
+                    o_ext = F.col(f"o_{a.alias}")
+                    fold = F.least if a.kind == "min" else F.greatest
+                    expr = F.when(F.col("__first"), i_ext).otherwise(
+                        F.when(i_ext.isNull(), o_ext).otherwise(
+                            fold(o_ext, i_ext)
+                        )
+                    )
+                out_cols.append(expr.cast("bigint").alias(a.alias))
+            out_cols.append(F.col("__n_new").cast("bigint").alias("__n"))
+            if mv.bucket_expr:
+                out_cols.append(self._bucket())
+            out_cols.append((F.col("__n_new") == 0).alias("__del"))
+            mv_out = cheap.select(*out_cols)
+            if rec_groups:
+                # PRUNED per-group recompute: only the touched groups'
+                # buckets are opened, manifest-resolved
+                gdf = F.broadcast(
+                    self.runner.spark.createDataFrame(
+                        [tuple(r[c] for c in G) for r in rec_groups],
+                        schema=touched_g.select(*G).schema,
+                    )
+                )
+                rec_rels = (
+                    self._rels(
+                        r["b"]
+                        for r in gdf.select(
+                            F.expr(mv.bucket_expr).cast("bigint").alias("b")
+                        ).distinct().collect()
+                    )
+                    if mv.bucket_expr
+                    else None
+                )
+                kw = {"rels": rec_rels} if rec_rels is not None else {}
+                base_slice = runner.read_target(mv.base, **kw).join(
+                    gdf, G, "semi"
+                )
+                rec_aggs = []
+                for a in mv.aggregates:
+                    fn = {
+                        "count": lambda c: F.count(F.lit(1)),
+                        "sum": F.sum, "min": F.min, "max": F.max,
+                        "count_distinct": F.count_distinct,
+                    }[a.kind]
+                    rec_aggs.append(
+                        fn(a.col).cast("bigint").alias(a.alias)
+                        if a.col
+                        else fn(None).cast("bigint").alias(a.alias)
+                    )
+                rec_out = base_slice.groupBy(*G).agg(
+                    *rec_aggs, F.count(F.lit(1)).cast("bigint").alias("__n")
+                )
+                rec_cols = [self._gk(), *[F.col(c) for c in G]]
+                rec_cols += [F.col(a.alias) for a in mv.aggregates]
+                rec_cols.append(F.col("__n"))
+                if mv.bucket_expr:
+                    rec_cols.append(self._bucket())
+                rec_cols.append(F.lit(False).alias("__del"))
+                mv_out = mv_out.unionByName(rec_out.select(*rec_cols))
+            # MV first, supports second (crash ordering — see module doc)
+            runner.merge_txn(
+                self.mv_spec, mv_out,
+                app_id=f"ivm_{mv.name}", txn_version=batch_id,
+            )
+            for a in self.distincts:
+                tj = sup_updates[a.alias]
+                sup_cols = [
+                    F.concat_ws(
+                        "|",
+                        *[F.col(c).cast("string") for c in G],
+                        F.col("__u").cast("string"),
+                    ).alias("__sk"),
+                    *[F.col(c) for c in G],
+                    F.col("__u"),
+                    F.col("__s_new").cast("bigint").alias("__s"),
+                ]
+                if mv.bucket_expr:
+                    sup_cols.append(self._bucket())
+                sup_cols.append((F.col("__s_new") == 0).alias("__del"))
+                runner.merge_txn(
+                    self.sup_specs[a.alias], tj.select(*sup_cols),
+                    app_id=f"ivm_{mv.name}_sup_{a.alias}",
+                    txn_version=batch_id,
+                )
+                tj.unpersist()
+            touched_g.unpersist()
+            j.unpersist()
+            classified.unpersist()
+        finally:
+            rows.unpersist()
+
+    # -- streaming glue -------------------------------------------------
+    def refresh(self, spark: SparkSession, timeout: int = 300) -> None:
+        """Drain pending base versions through ONE availableNow batch.
+        The probes read CURRENT state = batch-end state only under
+        single-batch catch-up, so the feed never sets
+        maxVersionsPerBatch (asserted)."""
+        from .sources.pydatasource import register_manifest_cdf_source
+
+        register_manifest_cdf_source(spark)
+        start = len(self._batches)
+        feed = (
+            spark.readStream.format("mycarely_manifest_cdf")
+            .option("root", self.runner.target_root)
+            .option("model", self.mv.base)
+            .option("key", self.mv.base_key)
+            .option("preimages", "true")
+            .load()
+        )
+        q = (
+            feed.writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation",
+                f"{self.runner.target_root}/_ckpt_ivm_{self.mv.name}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        assert len(self._batches) - start <= 1, self._batches
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        """Current MV rows under the declared output columns."""
+        return self.runner.read_target(self.mv.name).select(
+            *self.G, *[a.alias for a in self.mv.aggregates]
+        )

@@ -2972,6 +2972,122 @@ FROM f GROUP BY g ORDER BY g
 """
 
 
+def q_mv_incremental_refresh(spark, sf_dir: str):
+    """The GENERALIZED IVM engine API end-to-end (r13): one
+    `MVDefinition` composing every supported aggregate kind — COUNT,
+    SUM, MIN, MAX, COUNT DISTINCT — maintained by
+    `MaterializedViewMaintainer.refresh` (mycarely_saas_dbt_spark/ivm.py),
+    the engine surface that unifies what the four hand-written IVM
+    entries proved strategy-by-strategy (additive deltas, the minmax
+    cheap/recompute split, the distinct support table). The entry is the
+    USER's flow: declare the view, call refresh() after each base
+    commit, read the result — no sink code.
+
+    Waves: bootstrap (asserted ZERO recompute groups — insert-only
+    batches stay on the signed-delta path; the insert-extends-extremes
+    cheap path on EXISTING groups keeps its oracle via the
+    streaming_ivm_minmax sweep entry) -> netted
+    UPDATE(x)+UPDATE(u)+DELETE catch-up (moves extremes AND distinct
+    supports in one batch; asserted to engage the partition-pruned
+    recompute arm) -> whole-group delete (tombstone from counts alone,
+    zero recompute) -> replay no-op (version pinned). Every probe's rel
+    set is asserted inside the committed bucket set via the
+    maintainer's path_log. Final MV hash-matches the five-aggregate
+    GROUP BY oracle — integer-exact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+    from ..ivm import MaterializedViewMaintainer, MVAggregate, MVDefinition
+    from ..util import materialize
+
+    root = tempfile.mkdtemp(prefix="mycarely_mvr_")
+    runner = IncrementalRunner(spark, root)
+    runner.RETENTION_SECONDS = 3600.0
+    register_manifest_cdf_source(spark)
+
+    def base_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 50).alias("g"),
+                (
+                    (F.col("id") * F.col("id")) % 997
+                    + F.when(
+                        (F.col("id") >= 400) & (F.col("id") % 3 == 0), 1500
+                    ).otherwise(0)
+                ).alias("x"),
+                ((F.col("id") * 3) % 13).alias("u"),
+                ((F.col("id") % 50) % 8).alias("gb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        return b
+
+    base_spec = ModelSpec(
+        "mvr_base", "k", "k", base_build(600), partition_by=["gb"],
+        change_data=True,
+    )
+    runner.run(base_spec, sf_dir)                          # v1 bootstrap
+    mv = MVDefinition(
+        "mvr_mv", "mvr_base", "k", ["g"],
+        [
+            MVAggregate("count", None, "n"),
+            MVAggregate("sum", "x", "sum_x"),
+            MVAggregate("min", "x", "min_x"),
+            MVAggregate("max", "x", "max_x"),
+            MVAggregate("count_distinct", "u", "uniq_u"),
+        ],
+        bucket_expr="g % 8", bucket_col="gb",
+    )
+    m = MaterializedViewMaintainer(runner, mv)
+    m.refresh(spark)                                       # MV = full agg
+    runner.update_where(base_spec, "k % 97 = 5", {"x": "x + 2000"})
+    runner.update_where(base_spec, "k % 89 = 3", {"u": "(u + 5) % 13"})
+    runner.delete_where(base_spec, "k % 101 = 7")
+    m.refresh(spark)                                       # extremes hit
+    runner.delete_where(base_spec, "g = 13")               # whole group out
+    m.refresh(spark)                                       # tombstone wave
+    v_mv = runner.current_manifest("mvr_mv")["version"]
+    m.refresh(spark)                                       # replay: no-op
+    assert runner.current_manifest("mvr_mv")["version"] == v_mv
+    # insert-only stays on signed deltas; the netted catch-up engages
+    # the pruned recompute arm; the group tombstone needs no recompute
+    recs = [n for _, _, n in m.path_log]
+    assert recs[0] == 0 and recs[1] > 0 and recs[2] == 0, m.path_log
+    for rels, committed, _ in m.path_log[1:]:
+        assert set(rels) <= set(committed), (rels, committed)
+
+    out = materialize(m.read().orderBy("g"))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+O_MV_REFRESH = """
+WITH b AS (
+    SELECT i AS k, i % 50 AS g,
+           (i * i) % 997
+             + CASE WHEN i >= 400 AND i % 3 = 0 THEN 1500 ELSE 0 END AS x,
+           (i * 3) % 13 AS u
+    FROM UNNEST(range(0, 600)) AS t(i)
+),
+s1 AS (
+    SELECT k, g,
+           CASE WHEN k % 97 = 5 THEN x + 2000 ELSE x END AS x,
+           CASE WHEN k % 89 = 3 THEN (u + 5) % 13 ELSE u END AS u
+    FROM b
+),
+f AS (SELECT * FROM s1 WHERE k % 101 <> 7 AND g <> 13)
+SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_x,
+       MIN(x) AS min_x, MAX(x) AS max_x, COUNT(DISTINCT u) AS uniq_u
+FROM f GROUP BY g ORDER BY g
+"""
+
+
 # The reference model's filtered-events projection (traffic_pages_agg's
 # `filtered_events` CTE — reference models/traffic_pages_agg.sql:7-24),
 # engine-portable (runs verbatim in Spark SQL and DuckDB): bot/spider/
@@ -3333,3 +3449,4 @@ def register_queries(register) -> None:
         q_streaming_ivm_traffic_pages,
         _ivm_tp_oracle(),
     )
+    register("mv_incremental_refresh", q_mv_incremental_refresh, O_MV_REFRESH)

@@ -52,7 +52,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         # applyInPandasWithState profile, interval/enrich stream joins,
         # state-store dedup, CMS sketch accumulation)
         "sessionize_session_window", "streaming_index_maintenance",
-        "streaming_ivm_minmax", "streaming_ivm_distinct",
+        "mv_incremental_refresh", "streaming_ivm_distinct",
         "streaming_ivm_traffic_pages",
         "streaming_user_profile", "streaming_interval_join",
         "streaming_enrich_join", "streaming_dedup", "streaming_cms_sketch",
