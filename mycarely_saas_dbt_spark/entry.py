@@ -380,6 +380,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # extrema arm execute inside mv_incremental_refresh's maintainer every
 # run — same algebra, now engine surface instead of sink choreography;
 # the hand-written entry keeps its pytest oracle + full sweep).
+# A thirteenth r13 first-timer: `jv_incremental_refresh` — the IVM
+# engine API's JOIN-VIEW side (JoinViewDefinition + JoinViewMaintainer:
+# a fact ⋈ dim row-level view off a union of both change feeds, probes
+# bucket-pruned from the change rows) — in the slot of
+# `streaming_ivm_join_pruned` (1 artifact, r12; SAME fixture, SAME
+# waves, SAME oracle — the API twin executes the identical delta-join
+# algebra through engine surface, incl. the 1-of-4-rels dim-only
+# pruning assert; the hand-written entry keeps pytest + full sweep).
 # An eleventh r13 first-timer joins late: `streaming_ivm_traffic_pages`
 # (the IVM support-count machinery instantiated on the REFERENCE's
 # flagship aggregate — composite group keys, NULL-user COUNT DISTINCT
@@ -469,9 +477,11 @@ DRIVER_WINDOW = [
     # r11 late builds (commit provenance; column mapping)
     "time_travel_history",
     "rename_column_lifecycle",
-    # r12 new builds (VERDICT r11 items 1 and 4)
+    # r12 new build (VERDICT r11 item 1)
     "colmap_cdf_lifecycle",
-    "streaming_ivm_join_pruned",
+    # r13: the join-view API twin in the hand-written pruned entry's
+    # slot (same fixture/waves/oracle through engine surface)
+    "jv_incremental_refresh",
 ]
 
 

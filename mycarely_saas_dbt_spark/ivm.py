@@ -467,3 +467,218 @@ class MaterializedViewMaintainer:
         return self.runner.read_target(self.mv.name).select(
             *self.G, *[a.alias for a in self.mv.aggregates]
         )
+
+
+@dataclass
+class JoinViewDefinition:
+    """A row-level fact ⋈ dim join view maintained off BOTH tables'
+    change feeds — the delta-join the streaming_ivm_join entries proved,
+    as engine surface. ``fact_cols``/``dim_cols`` are the payload
+    columns from each side; the output schema is
+    (fact_key, join_key, *fact_cols, *dim_cols). Inner-join semantics:
+    a fact row whose dim vanishes leaves the view (tombstone), and
+    returns when the dim key is re-inserted."""
+
+    name: str
+    fact: str                   # change-data fact model
+    fact_key: str               # row identity (the view's unique key)
+    dim: str                    # change-data dim model (broadcast-scale)
+    join_key: str               # equi-join column on both sides
+    fact_cols: list[str] = field(default_factory=list)
+    dim_cols: list[str] = field(default_factory=list)
+    # bucket expr over join_key matching the FACT's hive partition col —
+    # makes both base probes read_target(rels=...)-prunable
+    fact_bucket_expr: str = ""
+    fact_bucket_col: str = ""
+    # bucket expr over fact_key for the VIEW's own partitioning
+    view_bucket_expr: str = ""
+    view_bucket_col: str = "__jvb"
+
+
+class JoinViewMaintainer:
+    """Maintains one :class:`JoinViewDefinition` exactly off a UNION of
+    the fact's and dim's four-type feeds (one checkpoint — both sources
+    advance atomically per batch). Per batch, the affected key set is
+
+        keys = keys(ΔF)  ∪  keys(F' ⋉ join_keys(ΔD))
+
+    and the view rows for those keys are recomputed from the CURRENT
+    fact slice joined to the CURRENT dim — keys with no surviving match
+    tombstone. Both fact probes are PARTITION-PRUNED from the change
+    rows alone when ``fact_bucket_expr`` is set: the dim-churn probe
+    opens only buckets that can hold a changed join key, and the key
+    probe's bucket set comes from the netted change images (the
+    post-image IS the key's F' state) plus the pruned slice — manifest-
+    only file selection, asserted via ``path_log``. Change-proportional:
+    only the changed join-key lists collect to the driver (the dim is
+    broadcast-scale by contract). Same single-batch CURRENT-state
+    contract as the aggregate maintainer (asserted per refresh)."""
+
+    def __init__(self, runner: IncrementalRunner, jv: JoinViewDefinition):
+        self.runner = runner
+        self.jv = jv
+        for model in (jv.fact, jv.dim):
+            m = runner.current_manifest(model)
+            if m is None:
+                raise RuntimeError(
+                    f"{jv.name}: base {model!r} is not committed"
+                )
+            if m["version"] > 1 and m.get("cdc") is None:
+                raise RuntimeError(
+                    f"{jv.name}: base {model!r} writes no change files — "
+                    "join-view maintenance needs ModelSpec.change_data=True"
+                )
+        if jv.fact_bucket_expr:
+            pby = runner.current_manifest(jv.fact).get("partition_by") or []
+            if not pby:
+                raise RuntimeError(
+                    f"{jv.name}: fact_bucket_expr set but fact {jv.fact!r} "
+                    "is unpartitioned — the probes could never prune"
+                )
+            self.fact_bucket_col = jv.fact_bucket_col or pby[0]
+        else:
+            self.fact_bucket_col = None
+        out_parts = [jv.view_bucket_col] if jv.view_bucket_expr else []
+        self.view_spec = ModelSpec(
+            jv.name, jv.fact_key, jv.fact_key, None,
+            partition_by=out_parts, tombstone_col="__del",
+        )
+        self.path_log: list = []  # (d_rels, committed, files_ok|None)
+        self._batches: list = []
+
+    def _buckets(self, key_df: DataFrame) -> list[str]:
+        """Bucket rels for the join keys in ``key_df`` — the bucket expr
+        evaluates IN SPARK over the change rows (change-proportional:
+        one distinct per batch side), then the tiny distinct set
+        collects."""
+        return sorted(
+            f"{self.fact_bucket_col}={int(r['b'])}"
+            for r in key_df.select(
+                F.expr(self.jv.fact_bucket_expr).cast("bigint").alias("b")
+            ).distinct().collect()
+            if r["b"] is not None
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        jv, runner = self.jv, self.runner
+        self._batches.append(batch_id)
+        rows = batch_df.persist()
+        try:
+            if not rows.count():
+                return
+            f_rows = rows.filter(F.col("_src") == "fact")
+            d_keys_df = (
+                rows.filter(F.col("_src") == "dim")
+                .select(jv.join_key).distinct().persist()
+            )
+            fc_keys = f_rows.select(jv.fact_key).distinct()
+            dim = runner.read_target(jv.dim)
+            committed = sorted(runner.current_manifest(jv.fact)["partitions"])
+            prune = self.fact_bucket_col is not None
+            d_rels = self._buckets(d_keys_df) if prune else None
+            f_rels = (
+                self._buckets(f_rows.select(jv.join_key).distinct())
+                if prune
+                else None
+            )
+            has_d = bool(d_keys_df.count())
+            has_f = f_rows.limit(1).count() > 0
+            if has_d:
+                kw = {"rels": d_rels} if prune else {}
+                fslice = runner.read_target(jv.fact, **kw)
+                files_ok = None
+                if prune and not has_f:  # dim-only batch: pin the pruning
+                    files = fslice.inputFiles()
+                    files_ok = bool(files) and all(
+                        any(f"/{r}/" in f for r in d_rels) for f in files
+                    )
+                self.path_log.append(
+                    (d_rels or [], committed, files_ok)
+                )
+                k_dim = fslice.join(
+                    F.broadcast(d_keys_df), jv.join_key, "semi"
+                ).select(jv.fact_key)
+                keys = fc_keys.unionByName(k_dim).distinct()
+            else:
+                self.path_log.append(([], committed, None))
+                keys = fc_keys
+            if prune:
+                k_rels = sorted(
+                    set(f_rels) | set(d_rels if has_d else [])
+                )
+                fact = runner.read_target(jv.fact, rels=k_rels)
+            else:
+                fact = runner.read_target(jv.fact)
+            out_cols = [jv.fact_key, jv.join_key, *jv.fact_cols, *jv.dim_cols]
+            new = (
+                fact.join(F.broadcast(keys), jv.fact_key, "semi")
+                .join(dim, jv.join_key, "inner")
+                .select(*out_cols)
+            )
+            apply_cols = [*out_cols]
+            if jv.view_bucket_expr:
+                apply_cols.append(
+                    F.expr(jv.view_bucket_expr).cast("bigint").alias(
+                        jv.view_bucket_col
+                    )
+                )
+            apply_cols.append(F.col(jv.join_key).isNull().alias("__del"))
+            apply = keys.join(new, jv.fact_key, "left").select(*apply_cols)
+            runner.merge_txn(
+                self.view_spec, apply,
+                app_id=f"jv_{jv.name}", txn_version=batch_id,
+            )
+            d_keys_df.unpersist()
+        finally:
+            rows.unpersist()
+
+    def refresh(self, spark: SparkSession, timeout: int = 300) -> None:
+        """Drain BOTH feeds through one availableNow batch (shared
+        checkpoint — the two sources' offsets advance atomically).
+        Single-batch CURRENT-state contract asserted, as for the
+        aggregate maintainer."""
+        from .sources.pydatasource import register_manifest_cdf_source
+
+        register_manifest_cdf_source(spark)
+        jv = self.jv
+        start = len(self._batches)
+
+        def cdf(model, key):
+            return (
+                spark.readStream.format("mycarely_manifest_cdf")
+                .option("root", self.runner.target_root)
+                .option("model", model)
+                .option("key", key)
+                .option("preimages", "true")
+                .load()
+            )
+
+        fkey_t = dict(
+            self.runner.current_manifest(jv.fact)["dtypes"]
+        )[jv.fact_key]
+        fs = cdf(jv.fact, jv.fact_key).select(
+            jv.fact_key, jv.join_key,
+            F.lit("fact").alias("_src"), "_change_type",
+        )
+        ds = cdf(jv.dim, jv.join_key).select(
+            F.lit(None).cast(fkey_t).alias(jv.fact_key), jv.join_key,
+            F.lit("dim").alias("_src"), "_change_type",
+        )
+        q = (
+            fs.unionByName(ds)
+            .writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation",
+                f"{self.runner.target_root}/_ckpt_jv_{jv.name}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        assert len(self._batches) - start <= 1, self._batches
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        jv = self.jv
+        return self.runner.read_target(jv.name).select(
+            jv.fact_key, jv.join_key, *jv.fact_cols, *jv.dim_cols
+        )

@@ -3088,6 +3088,106 @@ FROM f GROUP BY g ORDER BY g
 """
 
 
+def q_jv_incremental_refresh(spark, sf_dir: str):
+    """The generalized IVM engine API's JOIN-VIEW side (r13):
+    `JoinViewDefinition` + `JoinViewMaintainer` (ivm.py) maintain a
+    fact ⋈ dim row-level view off a UNION of both tables' change feeds —
+    the delta-join `streaming_ivm_join_pruned` proved as a hand-written
+    sink, now engine surface. SAME fixture, SAME waves, SAME oracle as
+    that entry (the API must not change semantics): ck-bucket-partitioned
+    fact so BOTH base probes resolve via read_target(rels=...) from the
+    change rows alone; the dim-only wave asserts the probe opened exactly
+    1 of the 4 committed rels with every input file under it; the fact
+    UPDATE wave moves ck AND ckb (copy-on-write DML migrates rows across
+    hive partitions); a dim delete tombstones dangling view rows while a
+    simultaneous same-key insert wave stays out (both sources in one
+    microbatch); replay is a version-pinned no-op."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..incremental import IncrementalRunner, ModelSpec
+    from ..ivm import JoinViewDefinition, JoinViewMaintainer
+    from ..util import materialize
+
+    root = tempfile.mkdtemp(prefix="mycarely_jvr_")
+    runner = IncrementalRunner(spark, root)
+    runner.RETENTION_SECONDS = 3600.0
+    register_manifest_cdf_source(spark)
+
+    def fact_build(n):
+        def b(sp, sfd, wm):
+            rows = sp.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 20).alias("ck"),
+                ((F.col("id") * F.col("id")) % 1000).alias("amt"),
+                ((F.col("id") % 20) % 4).alias("ckb"),
+            )
+            if wm is not None:
+                rows = rows.filter(F.col("k") > F.lit(wm))
+            return rows
+
+        return b
+
+    def dim_build(sp, sfd, wm):
+        rows = sp.range(20).select(
+            F.col("id").alias("ck"), (F.col("id") % 5).alias("seg")
+        )
+        if wm is not None:
+            rows = rows.filter(F.col("ck") > F.lit(wm))
+        return rows
+
+    fact_spec = ModelSpec(
+        "jvr_fact", "k", "k", fact_build(300), partition_by=["ckb"],
+        change_data=True,
+    )
+    dim_spec = ModelSpec("jvr_dim", "ck", "ck", dim_build, change_data=True)
+    runner.run(fact_spec, sf_dir)                        # bootstrap both
+    runner.run(dim_spec, sf_dir)
+    jv = JoinViewDefinition(
+        "jvr_view", "jvr_fact", "k", "jvr_dim", "ck",
+        fact_cols=["amt"], dim_cols=["seg"],
+        fact_bucket_expr="ck % 4", fact_bucket_col="ckb",
+        view_bucket_expr="k % 8", view_bucket_col="kb",
+    )
+    m = JoinViewMaintainer(runner, jv)
+    m.refresh(spark)                                     # view = full join
+    runner.update_where(dim_spec, "ck % 4 = 1", {"seg": "seg + 10"})
+    m.refresh(spark)                                     # dim-only: pruned
+    runner.update_where(                                 # join key + ckb MOVE
+        fact_spec, "k % 9 = 2",
+        {"amt": "amt + 5000", "ck": "(ck + 7) % 20",
+         "ckb": "((ck + 7) % 20) % 4"},
+    )
+    runner.delete_where(fact_spec, "k % 13 = 4")         # cow DELETE
+    m.refresh(spark)                                     # one netted catch-up
+    runner.delete_where(dim_spec, "ck = 3")              # dangling rows out
+    runner.run(                                          # insert wave 2
+        dataclasses.replace(fact_spec, build=fact_build(600)), sf_dir
+    )
+    m.refresh(spark)  # BOTH sources in one microbatch
+    v_mv = runner.current_manifest("jvr_view")["version"]
+    m.refresh(spark)                                     # replay: no-op
+    assert runner.current_manifest("jvr_view")["version"] == v_mv
+    # the dim-only wave read exactly ONE of the 4 committed ckb rels
+    # (ck%4=1 for every changed ck), every input file under it
+    dim_only = [
+        (rels, committed, ok)
+        for rels, committed, ok in m.path_log
+        if ok is not None
+    ]
+    assert dim_only and dim_only[0][2] and len(dim_only[0][0]) == 1, (
+        m.path_log
+    )
+    assert len(dim_only[0][1]) == 4, m.path_log
+
+    out = materialize(m.read().orderBy("k"))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # The reference model's filtered-events projection (traffic_pages_agg's
 # `filtered_events` CTE — reference models/traffic_pages_agg.sql:7-24),
 # engine-portable (runs verbatim in Spark SQL and DuckDB): bot/spider/
@@ -3450,3 +3550,6 @@ def register_queries(register) -> None:
         _ivm_tp_oracle(),
     )
     register("mv_incremental_refresh", q_mv_incremental_refresh, O_MV_REFRESH)
+    # the join-view API twin shares the hand-written entry's oracle by
+    # design: the API must not change semantics
+    register("jv_incremental_refresh", q_jv_incremental_refresh, O_IVM_JOIN)

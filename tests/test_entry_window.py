@@ -69,7 +69,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         "cdf_schema_evolution",
         # provenance + column mapping + the r12/r13 builds
         "time_travel_history", "rename_column_lifecycle",
-        "colmap_cdf_lifecycle", "streaming_ivm_join_pruned",
+        "colmap_cdf_lifecycle", "jv_incremental_refresh",
         "colmap_stream_restart",
     }
     assert must_have <= first50

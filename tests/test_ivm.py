@@ -151,3 +151,96 @@ def test_maintained_view_equals_batch_group_by(spark, target_root):
     # every probe stayed inside the committed bucket set
     for rels, committed, _ in m.path_log[1:]:
         assert set(rels) <= set(committed), (rels, committed)
+
+
+def test_join_view_refusals(spark, target_root):
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.ivm import (
+        JoinViewDefinition,
+        JoinViewMaintainer,
+    )
+
+    r = IncrementalRunner(spark, target_root)
+    jv = JoinViewDefinition(
+        "jv_t", "ivm_b", "k", "jv_dim", "g",
+        fact_cols=["x"], dim_cols=["label"],
+        fact_bucket_expr="g % 4", fact_bucket_col="gb",
+    )
+    with pytest.raises(RuntimeError, match="not committed"):
+        JoinViewMaintainer(r, jv)
+    r.run(_base_spec(partition_by=()), SF_DIR)  # fact, unpartitioned
+    from mycarely_saas_dbt_spark.incremental import ModelSpec
+
+    dim_spec = ModelSpec(
+        "jv_dim", "g", "g",
+        lambda sp, sfd, wm: sp.range(10).select(
+            F.col("id").alias("g"),
+            F.concat(F.lit("L"), F.col("id")).alias("label"),
+        ),
+        change_data=True,
+    )
+    r.run(dim_spec, SF_DIR)
+    with pytest.raises(RuntimeError, match="unpartitioned"):
+        JoinViewMaintainer(r, jv)
+
+
+def test_join_view_equals_batch_join(spark, target_root):
+    """The maintained fact ⋈ dim view equals the batch join after dim
+    churn, a key-moving fact update, deletes on both sides, and a
+    replay no-op — inner-join dangling rows tombstone and return."""
+    from mycarely_saas_dbt_spark.incremental import (
+        IncrementalRunner,
+        ModelSpec,
+    )
+    from mycarely_saas_dbt_spark.ivm import (
+        JoinViewDefinition,
+        JoinViewMaintainer,
+    )
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+
+    register_manifest_cdf_source(spark)
+    r = IncrementalRunner(spark, target_root)
+    r.RETENTION_SECONDS = 3600.0
+    fact_spec = _base_spec()
+    dim_spec = ModelSpec(
+        "jv_dim", "g", "g",
+        lambda sp, sfd, wm: sp.range(10).select(
+            F.col("id").alias("g"),
+            F.concat(F.lit("L"), F.col("id")).alias("label"),
+        ),
+        change_data=True,
+    )
+    r.run(fact_spec, SF_DIR)
+    r.run(dim_spec, SF_DIR)
+    jv = JoinViewDefinition(
+        "jv_t", "ivm_b", "k", "jv_dim", "g",
+        fact_cols=["x"], dim_cols=["label"],
+        fact_bucket_expr="g % 4", fact_bucket_col="gb",
+        view_bucket_expr="k % 4", view_bucket_col="kb",
+    )
+    m = JoinViewMaintainer(r, jv)
+    m.refresh(spark)
+    r.update_where(dim_spec, "g % 3 = 1", {"label": "concat(label, '_v2')"})
+    m.refresh(spark)  # dim-only: pruned probe
+    r.update_where(
+        fact_spec, "k % 7 = 2",
+        {"x": "x + 500", "g": "(g + 1) % 10", "gb": "((g + 1) % 10) % 4"},
+    )
+    r.delete_where(fact_spec, "k % 11 = 3")
+    r.delete_where(dim_spec, "g = 5")  # dangling fact rows tombstone
+    m.refresh(spark)
+    v = r.current_manifest("jv_t")["version"]
+    m.refresh(spark)  # replay: no-op
+    assert r.current_manifest("jv_t")["version"] == v
+
+    expected = r.read_target("ivm_b").join(
+        r.read_target("jv_dim"), "g", "inner"
+    ).select("k", "g", "x", "label")
+    got = m.read()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    # the dim-only wave's probe stayed inside its bucket set
+    dim_only = [t for t in m.path_log if t[2] is not None]
+    assert dim_only and all(ok for _, _, ok in dim_only), m.path_log
