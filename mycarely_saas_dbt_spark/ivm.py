@@ -38,10 +38,23 @@ would make a replayed batch compute transitions from post-state.
 
 Contracts (documented, fast-failed where checkable): the base commits
 write-time change files (``ModelSpec.change_data=True``); group-by
-columns are non-NULL (they become the concatenated state key); min/max
-and sum source columns are non-NULL; catch-up runs as a SINGLE
-availableNow batch (the probes read CURRENT state = batch-end state —
-never set maxVersionsPerBatch on the maintainer's feed).
+columns are non-NULL (they become the concatenated state key — the
+encoding itself is collision-free: hex per component, so '|' or any
+other byte in a value can never merge two composite keys); min/max,
+sum and avg source columns are non-NULL; sum/avg source columns are
+numeric (validated against the base manifest's dtypes at construction
+— aggregate outputs carry the SQL result type, never a silent bigint
+truncation); catch-up runs as a SINGLE availableNow batch (the probes
+read CURRENT state = batch-end state — the change-feed source itself
+REFUSES maxVersionsPerBatch, see pydatasource._ManifestCDF).
+
+Replay safety (foreachBatch is at-least-once): each apply_batch first
+consults the txn ledger — if the MV merge for this batch_id already
+committed (a crash landed between the MV commit and the checkpoint
+commit), the MV-side delta computation and its sanity asserts are
+SKIPPED (they would otherwise recompute against post-merge state and
+fire 'IVM state and feed disagree'), and only the support-table merges
+run — each idempotent via its own ledger entry.
 """
 
 from __future__ import annotations
@@ -52,15 +65,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .incremental import IncrementalRunner, ModelSpec
+from .util import await_or_raise
 
-_ALLOWED = {"count", "sum", "min", "max", "count_distinct"}
+_ALLOWED = {"count", "sum", "min", "max", "count_distinct", "avg"}
+
+_INTEGRAL = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+_FLOATING = {"float", "double", "real"}
+
+
+def _key_component(col) -> F.Column:
+    """Collision-free state-key component: hex over the value's UTF-8
+    bytes ('|' can never appear in [0-9A-F]), NULL marked 'N' (outside
+    the hex alphabet) — composite keys whose values contain the
+    separator can no longer merge state (ADVICE r13)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.hex(c.cast("string")), F.lit("N"))
+
+
+def _sum_result_type(src_type: str, where: str) -> str:
+    """The SQL SUM result type for a source column type — integral
+    widens to bigint, floating to double, decimal(p,s) gains 10 digits
+    of precision (Spark/ANSI rule). Non-numeric sources fast-fail:
+    maintaining them would silently truncate through a bigint cast
+    (ADVICE r13)."""
+    t = src_type.strip().lower()
+    if t in _INTEGRAL or t == "boolean":
+        return "bigint"
+    if t in _FLOATING:
+        return "double"
+    if t.startswith("decimal"):
+        import re
+
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            p, s = int(m.group(1)), int(m.group(2))
+            return f"decimal({min(p + 10, 38)},{s})"
+        return t
+    raise ValueError(f"{where}: SUM/AVG over non-numeric type {src_type!r}")
 
 
 @dataclass(frozen=True)
 class MVAggregate:
     """One output aggregate: ``kind`` in count | sum | min | max |
-    count_distinct; ``col`` is the source column (ignored for count);
-    ``alias`` the MV output column."""
+    count_distinct | avg; ``col`` is the source column (ignored for
+    count); ``alias`` the MV output column. ``avg`` is maintained as an
+    internal exact SUM over the (non-NULL-contract) source column and
+    emitted as sum/count at read time — always double, the Spark/ANSI
+    AVG result type for non-decimal inputs."""
 
     kind: str
     col: str | None
@@ -80,15 +131,48 @@ class MVDefinition:
     # recompute arm prunes; MV/support partition on it automatically.
     bucket_expr: str = ""
     bucket_col: str = "__mvb"
-    retention_seconds: float | None = 3600.0
+    # derived output columns computed at read() time over the group-by
+    # columns and the maintained aggregate aliases — the reference's
+    # `spend::float / NULLIF(traffic, 0)` shape
+    # (models/lead_activities_agg.sql:108): list of (alias, SQL expr).
+    derived: list = field(default_factory=list)
+    # write change files on the MV itself, so a downstream maintainer
+    # (e.g. a JoinViewMaintainer whose fact is this MV — the reference's
+    # aggregate-then-join traffic_daily shape) can chain off its feed
+    emit_changes: bool = False
 
     def __post_init__(self) -> None:
         bad = [a.kind for a in self.aggregates if a.kind not in _ALLOWED]
         if bad:
             raise ValueError(f"{self.name}: unsupported aggregate kinds {bad}")
-        names = [a.alias for a in self.aggregates]
+        names = [a.alias for a in self.aggregates] + [d[0] for d in self.derived]
         if len(names) != len(set(names)):
             raise ValueError(f"{self.name}: duplicate aggregate aliases")
+
+
+def _single_batch_guard(maintainer, start: int):
+    """One-refresh sink wrapper enforcing the CURRENT-state contract
+    BEFORE any work (VERDICT r13 item 4): the maintainers' state probes
+    read CURRENT state = batch-end state, which is only sound when the
+    whole availableNow catch-up arrives as ONE batch. If the feed ever
+    delivers a second batch in the same refresh (e.g. someone rebuilt
+    the feed with maxVersionsPerBatch admission control), the sink
+    refuses at the TOP of batch 2 — batch 1 is fully committed and
+    checkpointed, nothing is half-applied — instead of asserting after
+    wrong probes already merged."""
+
+    def sink(batch_df, batch_id):
+        if len(maintainer._batches) - start >= 1:
+            raise RuntimeError(
+                f"{type(maintainer).__name__}: IVM CURRENT-state contract "
+                "violated — the change feed delivered more than one batch "
+                "in a single refresh (was maxVersionsPerBatch set on the "
+                "feed?); state probes would read batch-end state for a "
+                "mid-stream batch"
+            )
+        maintainer.apply_batch(batch_df, batch_id)
+
+    return sink
 
 
 class MaterializedViewMaintainer:
@@ -124,17 +208,52 @@ class MaterializedViewMaintainer:
                     "unpartitioned — the recompute arm could never prune; "
                     "partition the base by the bucket column"
                 )
+            # the BASE's own partition column names the recompute arm's
+            # rels (ADVICE r13: naming them with mv.bucket_col silently
+            # resolved an EMPTY base slice whenever the names differed —
+            # resolved_files drops rels not in the manifest)
             self.base_bucket = pby[0]
         else:
             self.base_bucket = None
         self.G = list(mv.group_by)
-        self.mm = [a for a in mv.aggregates if a.kind in ("min", "max")]
-        self.sums = [a for a in mv.aggregates if a.kind == "sum"]
-        self.distincts = [a for a in mv.aggregates if a.kind == "count_distinct"]
+        # avg is maintained as an internal exact SUM (read() divides by
+        # __n — valid under the documented non-NULL source contract)
+        self.stored: list[MVAggregate] = []
+        self._avg_hidden: dict[str, str] = {}
+        for a in mv.aggregates:
+            if a.kind == "avg":
+                hidden = f"__avgsum_{a.alias}"
+                self._avg_hidden[a.alias] = hidden
+                self.stored.append(MVAggregate("sum", a.col, hidden))
+            else:
+                self.stored.append(a)
+        # SQL result types per stored aggregate (ADVICE r13: a blanket
+        # bigint cast silently truncated fractional sums/extrema)
+        dtypes = dict(m.get("dtypes") or [])
+        self.out_types: dict[str, str] = {}
+        for a in self.stored:
+            if a.kind in ("count", "count_distinct"):
+                self.out_types[a.alias] = "bigint"
+                continue
+            src = dtypes.get(a.col)
+            if src is None:
+                raise ValueError(
+                    f"{mv.name}: aggregate {a.alias!r} reads column "
+                    f"{a.col!r} which base {mv.base!r} does not have"
+                )
+            self.out_types[a.alias] = (
+                _sum_result_type(src, f"{mv.name}.{a.alias}")
+                if a.kind == "sum"
+                else src
+            )
+        self.mm = [a for a in self.stored if a.kind in ("min", "max")]
+        self.sums = [a for a in self.stored if a.kind == "sum"]
+        self.distincts = [a for a in self.stored if a.kind == "count_distinct"]
         self.mv_spec = ModelSpec(
             mv.name, "__gk", "__gk", None,
             partition_by=[mv.bucket_col] if mv.bucket_expr else [],
             tombstone_col="__del",
+            change_data=mv.emit_changes,
         )
         self.sup_specs = {
             a.alias: ModelSpec(
@@ -150,7 +269,7 @@ class MaterializedViewMaintainer:
     # -- key/bucket helpers -------------------------------------------------
     def _gk(self):
         return F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in self.G]
+            "|", *[_key_component(c) for c in self.G]
         ).alias("__gk")
 
     def _bucket(self):
@@ -220,11 +339,53 @@ class MaterializedViewMaintainer:
                 if runner.target_exists(mv.name)
                 else []
             )
+            z = F.lit(0).cast("bigint")
+
+            def sup_transitions(a):
+                """Join this distinct-aggregate's batch deltas onto the
+                still-unchanged support slice: __s_old/__s_new per
+                (group, value)."""
+                old_sup = self._state_slice(
+                    self.sup_specs[a.alias].name, rels, [*G, "__u", "__s"]
+                )
+                d = sup_updates[a.alias]
+                if old_sup is None:
+                    old_sup = d.limit(0).select(
+                        *G, "__u", F.lit(0).cast("bigint").alias("__s")
+                    )
+                return d.join(old_sup, [*G, "__u"], "left").select(
+                    *G, "__u", "__d",
+                    F.coalesce(F.col("__s"), z).alias("__s_old"),
+                    (F.coalesce(F.col("__s"), z) + F.col("__d")).alias(
+                        "__s_new"
+                    ),
+                ).persist()
+
+            # foreachBatch redelivery (ADVICE r13): if the MV merge for
+            # this batch_id already committed (crash between the MV
+            # commit and the checkpoint commit), recomputing MV deltas
+            # here would read POST-merge state and fire the sanity
+            # assert. Skip straight to the support merges — each is
+            # idempotent via its own ledger, and the support transitions
+            # recompute correctly from the still-unchanged support.
+            app_id = f"ivm_{mv.name}"
+            last = (
+                runner.txn_last_version(mv.name, app_id)
+                if runner.target_exists(mv.name)
+                else None
+            )
+            if last is not None and last >= batch_id:
+                for a in self.distincts:
+                    tj = sup_transitions(a)
+                    self._merge_support(a, tj, batch_id)
+                    tj.unpersist()
+                touched_g.unpersist()
+                return
             old_cols = (
                 [*G, F.col("__n").alias("o___n")]
                 + [
                     F.col(a.alias).alias(f"o_{a.alias}")
-                    for a in mv.aggregates
+                    for a in self.stored
                 ]
             )
             old = self._state_slice(mv.name, rels, old_cols)
@@ -232,32 +393,18 @@ class MaterializedViewMaintainer:
                 old = touched_g.limit(0).select(
                     *G, F.lit(0).cast("bigint").alias("o___n"),
                     *[
-                        F.lit(None).cast("bigint").alias(f"o_{a.alias}")
-                        for a in mv.aggregates
+                        F.lit(None).cast(self.out_types[a.alias]).alias(
+                            f"o_{a.alias}"
+                        )
+                        for a in self.stored
                     ],
                 )
             j = st.join(old, G, "left")
-            z = F.lit(0).cast("bigint")
             # distinct-aggregate support transitions join the group frame
             # BEFORE classification so the sanity collect below covers
             # negative supports too — no extra action spent on them
             for a in self.distincts:
-                sup_name = self.sup_specs[a.alias].name
-                old_sup = self._state_slice(
-                    sup_name, rels, [*G, "__u", "__s"]
-                )
-                d = sup_updates[a.alias]
-                if old_sup is None:
-                    old_sup = d.limit(0).select(
-                        *G, "__u", F.lit(0).cast("bigint").alias("__s")
-                    )
-                tj = d.join(old_sup, [*G, "__u"], "left").select(
-                    *G, "__u", "__d",
-                    F.coalesce(F.col("__s"), z).alias("__s_old"),
-                    (F.coalesce(F.col("__s"), z) + F.col("__d")).alias(
-                        "__s_new"
-                    ),
-                ).persist()
+                tj = sup_transitions(a)
                 trans = tj.groupBy(*G).agg(
                     F.sum(
                         F.when(
@@ -323,7 +470,7 @@ class MaterializedViewMaintainer:
             # transition columns already ride on the classified frame
             cheap = classified.filter(~F.col("__rec"))
             out_cols = [self._gk(), *[F.col(c) for c in G]]
-            for a in mv.aggregates:
+            for a in self.stored:
                 o = F.coalesce(F.col(f"o_{a.alias}"), z)
                 if a.kind == "count":
                     expr = F.col("__n_new")
@@ -349,7 +496,9 @@ class MaterializedViewMaintainer:
                             fold(o_ext, i_ext)
                         )
                     )
-                out_cols.append(expr.cast("bigint").alias(a.alias))
+                out_cols.append(
+                    expr.cast(self.out_types[a.alias]).alias(a.alias)
+                )
             out_cols.append(F.col("__n_new").cast("bigint").alias("__n"))
             if mv.bucket_expr:
                 out_cols.append(self._bucket())
@@ -357,7 +506,8 @@ class MaterializedViewMaintainer:
             mv_out = cheap.select(*out_cols)
             if rec_groups:
                 # PRUNED per-group recompute: only the touched groups'
-                # buckets are opened, manifest-resolved
+                # buckets are opened, manifest-resolved — rels named by
+                # the BASE's own partition column (ADVICE r13)
                 gdf = F.broadcast(
                     self.runner.spark.createDataFrame(
                         [tuple(r[c] for c in G) for r in rec_groups],
@@ -365,12 +515,12 @@ class MaterializedViewMaintainer:
                     )
                 )
                 rec_rels = (
-                    self._rels(
-                        r["b"]
+                    sorted({
+                        f"{self.base_bucket}={int(r['b'])}"
                         for r in gdf.select(
                             F.expr(mv.bucket_expr).cast("bigint").alias("b")
                         ).distinct().collect()
-                    )
+                    })
                     if mv.bucket_expr
                     else None
                 )
@@ -379,22 +529,24 @@ class MaterializedViewMaintainer:
                     gdf, G, "semi"
                 )
                 rec_aggs = []
-                for a in mv.aggregates:
+                for a in self.stored:
                     fn = {
                         "count": lambda c: F.count(F.lit(1)),
                         "sum": F.sum, "min": F.min, "max": F.max,
                         "count_distinct": F.count_distinct,
                     }[a.kind]
                     rec_aggs.append(
-                        fn(a.col).cast("bigint").alias(a.alias)
+                        fn(a.col).cast(self.out_types[a.alias]).alias(a.alias)
                         if a.col
-                        else fn(None).cast("bigint").alias(a.alias)
+                        else fn(None).cast(self.out_types[a.alias]).alias(
+                            a.alias
+                        )
                     )
                 rec_out = base_slice.groupBy(*G).agg(
                     *rec_aggs, F.count(F.lit(1)).cast("bigint").alias("__n")
                 )
                 rec_cols = [self._gk(), *[F.col(c) for c in G]]
-                rec_cols += [F.col(a.alias) for a in mv.aggregates]
+                rec_cols += [F.col(a.alias) for a in self.stored]
                 rec_cols.append(F.col("__n"))
                 if mv.bucket_expr:
                     rec_cols.append(self._bucket())
@@ -403,28 +555,11 @@ class MaterializedViewMaintainer:
             # MV first, supports second (crash ordering — see module doc)
             runner.merge_txn(
                 self.mv_spec, mv_out,
-                app_id=f"ivm_{mv.name}", txn_version=batch_id,
+                app_id=app_id, txn_version=batch_id,
             )
             for a in self.distincts:
                 tj = sup_updates[a.alias]
-                sup_cols = [
-                    F.concat_ws(
-                        "|",
-                        *[F.col(c).cast("string") for c in G],
-                        F.col("__u").cast("string"),
-                    ).alias("__sk"),
-                    *[F.col(c) for c in G],
-                    F.col("__u"),
-                    F.col("__s_new").cast("bigint").alias("__s"),
-                ]
-                if mv.bucket_expr:
-                    sup_cols.append(self._bucket())
-                sup_cols.append((F.col("__s_new") == 0).alias("__del"))
-                runner.merge_txn(
-                    self.sup_specs[a.alias], tj.select(*sup_cols),
-                    app_id=f"ivm_{mv.name}_sup_{a.alias}",
-                    txn_version=batch_id,
-                )
+                self._merge_support(a, tj, batch_id)
                 tj.unpersist()
             touched_g.unpersist()
             j.unpersist()
@@ -432,7 +567,34 @@ class MaterializedViewMaintainer:
         finally:
             rows.unpersist()
 
+    def _merge_support(self, a: MVAggregate, tj: DataFrame, batch_id: int):
+        """Merge one distinct-aggregate's support transitions (``tj``
+        carries __s_new per (group, value)) — idempotent per batch via
+        the support table's own txn ledger."""
+        mv, G = self.mv, self.G
+        sup_cols = [
+            F.concat_ws(
+                "|",
+                *[_key_component(c) for c in G],
+                _key_component(F.col("__u")),
+            ).alias("__sk"),
+            *[F.col(c) for c in G],
+            F.col("__u"),
+            F.col("__s_new").cast("bigint").alias("__s"),
+        ]
+        if mv.bucket_expr:
+            sup_cols.append(self._bucket())
+        sup_cols.append((F.col("__s_new") == 0).alias("__del"))
+        self.runner.merge_txn(
+            self.sup_specs[a.alias], tj.select(*sup_cols),
+            app_id=f"ivm_{mv.name}_sup_{a.alias}",
+            txn_version=batch_id,
+        )
+
     # -- streaming glue -------------------------------------------------
+    def _single_batch_sink(self, start: int):
+        return _single_batch_guard(self, start)
+
     def refresh(self, spark: SparkSession, timeout: int = 300) -> None:
         """Drain pending base versions through ONE availableNow batch.
         The probes read CURRENT state = batch-end state only under
@@ -451,7 +613,7 @@ class MaterializedViewMaintainer:
             .load()
         )
         q = (
-            feed.writeStream.foreachBatch(self.apply_batch)
+            feed.writeStream.foreachBatch(self._single_batch_sink(start))
             .option(
                 "checkpointLocation",
                 f"{self.runner.target_root}/_ckpt_ivm_{self.mv.name}",
@@ -459,14 +621,30 @@ class MaterializedViewMaintainer:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        await_or_raise(q, timeout)
         assert len(self._batches) - start <= 1, self._batches
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:
-        """Current MV rows under the declared output columns."""
-        return self.runner.read_target(self.mv.name).select(
-            *self.G, *[a.alias for a in self.mv.aggregates]
-        )
+        """Current MV rows under the declared output columns: stored
+        aggregates verbatim, avg emitted as sum/count (exact — both
+        maintained), then the derived expressions over all of them."""
+        cols = [F.col(c) for c in self.G]
+        for a in self.mv.aggregates:
+            if a.kind == "avg":
+                cols.append(
+                    (
+                        F.col(self._avg_hidden[a.alias]).cast("double")
+                        / F.col("__n")
+                    ).alias(a.alias)
+                )
+            else:
+                cols.append(F.col(a.alias))
+        out = self.runner.read_target(self.mv.name).select(*cols)
+        if self.mv.derived:
+            out = out.selectExpr(
+                "*", *[f"({expr}) AS {alias}" for alias, expr in self.mv.derived]
+            )
+        return out
 
 
 @dataclass
@@ -475,24 +653,77 @@ class JoinViewDefinition:
     change feeds — the delta-join the streaming_ivm_join entries proved,
     as engine surface. ``fact_cols``/``dim_cols`` are the payload
     columns from each side; the output schema is
-    (fact_key, join_key, *fact_cols, *dim_cols). Inner-join semantics:
-    a fact row whose dim vanishes leaves the view (tombstone), and
-    returns when the dim key is re-inserted."""
+    (fact_key, *fact-side join cols, *fact_cols, *dim_cols).
+
+    r14 generalization (the reference's traffic_daily join shape —
+    models/traffic_daily_agg.sql:106-109):
+      * COMPOSITE equi-keys via ``join_on`` = [(fact_col, dim_col), ...]
+        (``join_key`` remains the single-key shorthand);
+      * ``how='left'``: a fact row with no dim match STAYS in the view
+        with NULL dim columns, and a dim insert/delete flips it in
+        place (the J1 left join with a constant predicate in the ON);
+      * ``fact_match_pred``: a constant SQL predicate over fact columns
+        ANDed into the ON — rows failing it behave as unmatched (the
+        reference's ``et.traffic_type = 'paid'``);
+      * ``dim_filter``: a SQL predicate over dim rows (the reference's
+        ``cs.spend IS NOT NULL``) — a dim update crossing the filter
+        boundary arrives as pre/post images, so affected keys are
+        derived from the key tuple regardless of the filter;
+      * FAN-OUT: multiple dim rows may share a key tuple. The view's
+        merge is delete+insert by ``fact_key`` (key-GROUP replace), so
+        an affected key's row set is atomically replaced — no per-row
+        identity needed.
+
+    Inner-join semantics (``how='inner'``, the default): a fact row
+    whose dim vanishes leaves the view (tombstone), and returns when
+    the dim key is re-inserted."""
 
     name: str
     fact: str                   # change-data fact model
     fact_key: str               # row identity (the view's unique key)
     dim: str                    # change-data dim model (broadcast-scale)
-    join_key: str               # equi-join column on both sides
+    join_key: str = ""          # single equi-join column shorthand
     fact_cols: list[str] = field(default_factory=list)
     dim_cols: list[str] = field(default_factory=list)
-    # bucket expr over join_key matching the FACT's hive partition col —
-    # makes both base probes read_target(rels=...)-prunable
+    # bucket expr over the fact-side join columns matching the FACT's
+    # hive partition col — makes both base probes
+    # read_target(rels=...)-prunable
     fact_bucket_expr: str = ""
     fact_bucket_col: str = ""
     # bucket expr over fact_key for the VIEW's own partitioning
     view_bucket_expr: str = ""
     view_bucket_col: str = "__jvb"
+    # composite equi-keys: [(fact_col, dim_col), ...] — supersedes
+    # join_key when set
+    join_on: list = field(default_factory=list)
+    how: str = "inner"          # 'inner' | 'left'
+    fact_match_pred: str = ""   # constant ON-predicate over fact cols
+    dim_filter: str = ""        # row filter over the dim
+    # the dim's CDF netting key (its unique_key); defaults to the dim
+    # side of a single-column join
+    dim_key: str = ""
+    # write change files on the view itself so a downstream maintainer
+    # can chain off its feed (aggregate-over-join composition).
+    # Contract: requires a NON-fanning join (≤1 dim row per key tuple) —
+    # the change feed nets per fact_key
+    emit_changes: bool = False
+
+    def __post_init__(self) -> None:
+        if self.how not in ("inner", "left"):
+            raise ValueError(f"{self.name}: how must be inner|left")
+        if not self.join_on:
+            if not self.join_key:
+                raise ValueError(
+                    f"{self.name}: set join_key or join_on"
+                )
+            self.join_on = [(self.join_key, self.join_key)]
+        if not self.dim_key:
+            if len(self.join_on) != 1:
+                raise ValueError(
+                    f"{self.name}: composite join_on needs an explicit "
+                    "dim_key (the dim's unique_key for its change feed)"
+                )
+            self.dim_key = self.join_on[0][1]
 
 
 class JoinViewMaintainer:
@@ -500,19 +731,22 @@ class JoinViewMaintainer:
     the fact's and dim's four-type feeds (one checkpoint — both sources
     advance atomically per batch). Per batch, the affected key set is
 
-        keys = keys(ΔF)  ∪  keys(F' ⋉ join_keys(ΔD))
+        keys = keys(ΔF)  ∪  keys(F'[pred] ⋉ join_keys(ΔD))
 
     and the view rows for those keys are recomputed from the CURRENT
-    fact slice joined to the CURRENT dim — keys with no surviving match
-    tombstone. Both fact probes are PARTITION-PRUNED from the change
-    rows alone when ``fact_bucket_expr`` is set: the dim-churn probe
-    opens only buckets that can hold a changed join key, and the key
-    probe's bucket set comes from the netted change images (the
-    post-image IS the key's F' state) plus the pruned slice — manifest-
-    only file selection, asserted via ``path_log``. Change-proportional:
-    only the changed join-key lists collect to the driver (the dim is
-    broadcast-scale by contract). Same single-batch CURRENT-state
-    contract as the aggregate maintainer (asserted per refresh)."""
+    fact slice joined (inner or LEFT) to the CURRENT filtered dim —
+    keys with no surviving fact row (inner: no surviving match)
+    tombstone, and the merge's delete+insert-by-key replaces each
+    affected key's whole row GROUP (fan-out safe). Both fact probes are
+    PARTITION-PRUNED from the change rows alone when
+    ``fact_bucket_expr`` is set: the dim-churn probe opens only buckets
+    that can hold a changed join key, and the key probe's bucket set
+    comes from the netted change images (the post-image IS the key's F'
+    state) plus the pruned slice — manifest-only file selection,
+    asserted via ``path_log``. Change-proportional: only the changed
+    join-key lists collect to the driver (the dim is broadcast-scale by
+    contract). Same single-batch CURRENT-state contract as the
+    aggregate maintainer (asserted per refresh)."""
 
     def __init__(self, runner: IncrementalRunner, jv: JoinViewDefinition):
         self.runner = runner
@@ -528,12 +762,23 @@ class JoinViewMaintainer:
                     f"{jv.name}: base {model!r} writes no change files — "
                     "join-view maintenance needs ModelSpec.change_data=True"
                 )
+        self.FJ = [fc for fc, _ in jv.join_on]  # fact-side join cols
         if jv.fact_bucket_expr:
             pby = runner.current_manifest(jv.fact).get("partition_by") or []
             if not pby:
                 raise RuntimeError(
                     f"{jv.name}: fact_bucket_expr set but fact {jv.fact!r} "
                     "is unpartitioned — the probes could never prune"
+                )
+            if jv.fact_bucket_col and jv.fact_bucket_col != pby[0]:
+                # ADVICE r13: resolved_files silently DROPS rels whose
+                # name is not in the manifest — a mismatched name would
+                # read an empty fact slice and retain stale view rows
+                raise RuntimeError(
+                    f"{jv.name}: fact_bucket_col {jv.fact_bucket_col!r} "
+                    f"does not match fact {jv.fact!r}'s partition column "
+                    f"{pby[0]!r} — the pruned probes would resolve an "
+                    "EMPTY slice"
                 )
             self.fact_bucket_col = jv.fact_bucket_col or pby[0]
         else:
@@ -542,15 +787,16 @@ class JoinViewMaintainer:
         self.view_spec = ModelSpec(
             jv.name, jv.fact_key, jv.fact_key, None,
             partition_by=out_parts, tombstone_col="__del",
+            change_data=jv.emit_changes,
         )
         self.path_log: list = []  # (d_rels, committed, files_ok|None)
         self._batches: list = []
 
     def _buckets(self, key_df: DataFrame) -> list[str]:
-        """Bucket rels for the join keys in ``key_df`` — the bucket expr
-        evaluates IN SPARK over the change rows (change-proportional:
-        one distinct per batch side), then the tiny distinct set
-        collects."""
+        """Bucket rels for the join keys in ``key_df`` (fact-side column
+        names) — the bucket expr evaluates IN SPARK over the change rows
+        (change-proportional: one distinct per batch side), then the
+        tiny distinct set collects."""
         return sorted(
             f"{self.fact_bucket_col}={int(r['b'])}"
             for r in key_df.select(
@@ -559,8 +805,14 @@ class JoinViewMaintainer:
             if r["b"] is not None
         )
 
+    def _dim_current(self) -> DataFrame:
+        dim = self.runner.read_target(self.jv.dim)
+        if self.jv.dim_filter:
+            dim = dim.filter(F.expr(self.jv.dim_filter))
+        return dim
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        jv, runner = self.jv, self.runner
+        jv, runner, FJ = self.jv, self.runner, self.FJ
         self._batches.append(batch_id)
         rows = batch_df.persist()
         try:
@@ -569,15 +821,15 @@ class JoinViewMaintainer:
             f_rows = rows.filter(F.col("_src") == "fact")
             d_keys_df = (
                 rows.filter(F.col("_src") == "dim")
-                .select(jv.join_key).distinct().persist()
+                .select(*FJ).distinct().persist()
             )
             fc_keys = f_rows.select(jv.fact_key).distinct()
-            dim = runner.read_target(jv.dim)
+            dim = self._dim_current()
             committed = sorted(runner.current_manifest(jv.fact)["partitions"])
             prune = self.fact_bucket_col is not None
             d_rels = self._buckets(d_keys_df) if prune else None
             f_rels = (
-                self._buckets(f_rows.select(jv.join_key).distinct())
+                self._buckets(f_rows.select(*FJ).distinct())
                 if prune
                 else None
             )
@@ -595,8 +847,12 @@ class JoinViewMaintainer:
                 self.path_log.append(
                     (d_rels or [], committed, files_ok)
                 )
+                # only fact rows that CAN match (fact_match_pred) are
+                # affected by dim churn — others keep their view rows
+                if jv.fact_match_pred:
+                    fslice = fslice.filter(F.expr(jv.fact_match_pred))
                 k_dim = fslice.join(
-                    F.broadcast(d_keys_df), jv.join_key, "semi"
+                    F.broadcast(d_keys_df), FJ, "semi"
                 ).select(jv.fact_key)
                 keys = fc_keys.unionByName(k_dim).distinct()
             else:
@@ -609,20 +865,36 @@ class JoinViewMaintainer:
                 fact = runner.read_target(jv.fact, rels=k_rels)
             else:
                 fact = runner.read_target(jv.fact)
-            out_cols = [jv.fact_key, jv.join_key, *jv.fact_cols, *jv.dim_cols]
+            fa, da = fact.alias("__f"), dim.alias("__d")
+            cond = None
+            for fc, dc in jv.join_on:
+                c = F.col(f"__f.{fc}") == F.col(f"__d.{dc}")
+                cond = c if cond is None else (cond & c)
+            if jv.fact_match_pred:
+                cond = cond & F.expr(jv.fact_match_pred)
+            out_cols = [
+                F.col(f"__f.{jv.fact_key}").alias(jv.fact_key),
+                *[F.col(f"__f.{c}").alias(c) for c in FJ],
+                *[F.col(f"__f.{c}").alias(c) for c in jv.fact_cols],
+                *[F.col(f"__d.{c}").alias(c) for c in jv.dim_cols],
+            ]
             new = (
-                fact.join(F.broadcast(keys), jv.fact_key, "semi")
-                .join(dim, jv.join_key, "inner")
-                .select(*out_cols)
+                fa.join(F.broadcast(keys), jv.fact_key, "semi")
+                .join(da, cond, jv.how)
+                .select(*out_cols, F.lit(True).alias("__alive"))
             )
-            apply_cols = [*out_cols]
+            names = [jv.fact_key, *FJ, *jv.fact_cols, *jv.dim_cols]
+            apply_cols = [F.col(c) for c in names]
             if jv.view_bucket_expr:
                 apply_cols.append(
                     F.expr(jv.view_bucket_expr).cast("bigint").alias(
                         jv.view_bucket_col
                     )
                 )
-            apply_cols.append(F.col(jv.join_key).isNull().alias("__del"))
+            apply_cols.append(F.col("__alive").isNull().alias("__del"))
+            # key-GROUP replace: every affected key's old rows are
+            # deleted by the merge; its new rows (0..n under fan-out)
+            # insert; a key with NO new row tombstones via __del
             apply = keys.join(new, jv.fact_key, "left").select(*apply_cols)
             runner.merge_txn(
                 self.view_spec, apply,
@@ -631,6 +903,9 @@ class JoinViewMaintainer:
             d_keys_df.unpersist()
         finally:
             rows.unpersist()
+
+    def _single_batch_sink(self, start: int):
+        return _single_batch_guard(self, start)
 
     def refresh(self, spark: SparkSession, timeout: int = 300) -> None:
         """Drain BOTH feeds through one availableNow batch (shared
@@ -656,17 +931,21 @@ class JoinViewMaintainer:
         fkey_t = dict(
             self.runner.current_manifest(jv.fact)["dtypes"]
         )[jv.fact_key]
+        # both feeds project to (fact_key, *fact-side join cols): the
+        # dim side renames its join columns to the fact-side names so
+        # the bucket expr and the semi-join probe evaluate uniformly
         fs = cdf(jv.fact, jv.fact_key).select(
-            jv.fact_key, jv.join_key,
+            jv.fact_key, *self.FJ,
             F.lit("fact").alias("_src"), "_change_type",
         )
-        ds = cdf(jv.dim, jv.join_key).select(
-            F.lit(None).cast(fkey_t).alias(jv.fact_key), jv.join_key,
+        ds = cdf(jv.dim, jv.dim_key).select(
+            F.lit(None).cast(fkey_t).alias(jv.fact_key),
+            *[F.col(dc).alias(fc) for fc, dc in jv.join_on],
             F.lit("dim").alias("_src"), "_change_type",
         )
         q = (
             fs.unionByName(ds)
-            .writeStream.foreachBatch(self.apply_batch)
+            .writeStream.foreachBatch(self._single_batch_sink(start))
             .option(
                 "checkpointLocation",
                 f"{self.runner.target_root}/_ckpt_jv_{jv.name}",
@@ -674,11 +953,11 @@ class JoinViewMaintainer:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        await_or_raise(q, timeout)
         assert len(self._batches) - start <= 1, self._batches
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:
         jv = self.jv
         return self.runner.read_target(jv.name).select(
-            jv.fact_key, jv.join_key, *jv.fact_cols, *jv.dim_cols
+            jv.fact_key, *self.FJ, *jv.fact_cols, *jv.dim_cols
         )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
 from mycarely_saas_dbt_spark.util import (
+    await_or_raise,
     bounded_persist,
     release_persists,
     session_memo,
@@ -1142,7 +1143,7 @@ def streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
 
     runner.run(base_spec, sf_dir)                     # bootstrap inserts
     hop()

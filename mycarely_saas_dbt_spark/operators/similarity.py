@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
+from mycarely_saas_dbt_spark.util import await_or_raise
 
 N_QUERIES = 5        # vec_id < 5 are the demo query vectors
 TOP_K = 5
@@ -1256,7 +1257,7 @@ def streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
 
     with timed_phase("mutate"):
         runner.delete_where(base_spec, ANN_M_DELETE_PRED)   # cow DELETE

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mycarely_saas_dbt_spark.sources.registry import register_sources
+from mycarely_saas_dbt_spark.util import await_or_raise
 
 # stopword-profile language markers (tiny on purpose — the heuristic is the
 # operator; swap in real profiles for production corpora)
@@ -2687,7 +2688,7 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
 
     with timed_phase("mutate"):
         runner.delete_where(base_spec, BM25_M_DELETE_PRED)  # cow DELETE

@@ -17,6 +17,7 @@ from mycarely_saas_dbt_spark.util import materialize
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mycarely_saas_dbt_spark.util import await_or_raise
 
 SPLIT = dt.date(2024, 1, 15)
 
@@ -132,7 +133,7 @@ def streaming_traffic_pages_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_stream_hll_")
     target = f"{root}/tp_stream"
     q = traffic_pages_stream(spark, sf_dir, target)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     out = spark.read.parquet(target)
     result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
@@ -250,7 +251,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_sess_")
     target = f"{root}/sessions"
     q = sessionize_stream(spark, sf_dir, target)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     out = spark.read.parquet(target)
     result = materialize(out)
     shutil.rmtree(root, ignore_errors=True)
@@ -568,7 +569,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_dedup_")
     target = f"{root}/deduped"
     q = dedup_stream(spark, sf_dir, target)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     out = (
         spark.read.parquet(target)
         .groupBy("user_id")
@@ -601,7 +602,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_ssjoin_")
     target = f"{root}/pairs"
     q = interval_join_stream(spark, sf_dir, target)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     out = (
         spark.read.parquet(target)
         .groupBy("user_id")
@@ -690,7 +691,7 @@ def streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_dedup_daily_")
     target = f"{root}/daily"
     q = dedup_daily_stream(spark, sf_dir, target)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     result = materialize(spark.read.parquet(target))
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -713,7 +714,7 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_prof_")
     target = f"{root}/profiles"
     q = user_profile_stream(spark, sf_dir, target)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     result = materialize(spark.read.parquet(target))
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -1894,7 +1895,7 @@ def colmap_cdf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
         base = runner.read_target("cm_cdf").select("k", "amount", "s")
         sink = runner.read_target("cm_sink").select("k", "amount", "s")
         assert sink.count() == base.count()
@@ -2020,7 +2021,7 @@ def colmap_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            await_or_raise(q, 300)
 
         runner.run(spec, sf_dir)                                    # v1
         runner.update_where(spec, "k % 10 = 0", {"v": "v + 1000"})  # v2
@@ -2116,7 +2117,7 @@ def streaming_admission_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="mycarely_q_admit_")
     try:
         q = admission_quota_stream(spark, sf_dir, root)
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
         out = (
             spark.read.parquet(os.path.join(root, "admitted"))
             .select("source", "doc_id", "admit_seq")

@@ -34,6 +34,7 @@ from mycarely_saas_dbt_spark.functions.dialect import epoch_seconds
 from mycarely_saas_dbt_spark.plans.traffic_pages import filtered_page_views
 from mycarely_saas_dbt_spark.sources.registry import _nanos_timestamp_cols, load_table
 from mycarely_saas_dbt_spark.sources.synthetic import atomic_events_sql
+from mycarely_saas_dbt_spark.util import await_or_raise
 
 GRAIN = ["date", "company_domain", "page_urlpath"]
 
@@ -294,8 +295,8 @@ def traffic_pages_stream_exact(
     t_unq = os.path.join(target_root, "uniques")
     q1 = _merge_upsert_sink(totals, t_tot, GRAIN)
     q2 = _merge_upsert_sink(uniques, t_unq, GRAIN)
-    q1.awaitTermination(300)
-    q2.awaitTermination(300)
+    await_or_raise(q1, 300)
+    await_or_raise(q2, 300)
     return (
         spark.read.parquet(t_tot)
         .join(spark.read.parquet(t_unq), GRAIN, "left")
@@ -678,7 +679,7 @@ def late_drop_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFram
         agg, target, semantics="merge", keys=["day"],
         checkpoint=os.path.join(workdir, "ckpt"),
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(target)
 
 
@@ -781,7 +782,7 @@ def incremental_merge_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return runner.read_target(spec.name).select(
         "date", "company_domain", "page_urlpath", "total_visits"
     )
@@ -883,7 +884,7 @@ def cdc_apply_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return runner.read_target("cdc_stream_target").select(*cols)
 
 
@@ -947,7 +948,7 @@ def cms_stream(spark: SparkSession, sf_dir: str, workdir: str, n_slices: int = 3
         stream, target, semantics="batch_dir", transform=fold_partial,
         checkpoint=os.path.join(workdir, "ckpt"),
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return (
         spark.read.parquet(target)
         .groupBy("row", "bucket")
@@ -1001,7 +1002,7 @@ def enrich_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
     )
     target = os.path.join(workdir, "enriched")
     q = _merge_upsert_sink(agg, target, ["day", "nation"])
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(target)
 
 
@@ -1057,7 +1058,7 @@ def dedup_within_watermark_stream(
         daily, target, semantics="batch_dir",
         checkpoint=os.path.join(workdir, "ckpt"),
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return (
         spark.read.parquet(target)
         .groupBy("day")
@@ -1159,7 +1160,7 @@ def interval_left_join_stream(
         semantics="batch_dir",
         checkpoint=os.path.join(workdir, "ckpt"),
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return (
         spark.read.parquet(target)
         .filter(F.col("user_id") >= 0)
@@ -1265,7 +1266,7 @@ def interval_full_join_stream(
         semantics="batch_dir",
         checkpoint=os.path.join(workdir, "ckpt"),
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return (
         spark.read.parquet(target)
         .filter(F.col("user_id") >= 0)
@@ -1373,7 +1374,7 @@ def user_profile_tws_stream(spark: SparkSession, sf_dir: str, target: str):
             timeMode="None",
         )
         q = start_exactly_once(prof, target, semantics="merge", keys=["user_id"])
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -275,3 +275,36 @@ def global_rank(
         .withColumn(rank_col, (F.col("__lrank") + F.col("__off")).cast("long"))
         .drop("__pid", "__lrank")
     )
+
+
+def await_or_raise(q, timeout: float) -> None:
+    """``q.awaitTermination(timeout)`` that fails LOUD on a wedged
+    stream (VERDICT r13 item 3): a terminating trigger (availableNow)
+    that has not finished within ``timeout`` seconds is stopped and
+    raised as TimeoutError carrying the query's lastProgress and
+    exception context, instead of silently returning False and leaving
+    the caller to hang on state that never arrived. A query that
+    terminated WITH an error re-raises that error (awaitTermination
+    already does), so the timeout path only fires for genuine hangs —
+    e.g. a Python worker that never connected back under box
+    contention."""
+    if q.awaitTermination(timeout):
+        return
+    exc = None
+    try:
+        exc = q.exception()
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
+    prog = None
+    try:
+        prog = q.lastProgress
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        q.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    raise TimeoutError(
+        f"streaming query {q.id} did not terminate within {timeout}s; "
+        f"exception={exc!r}; lastProgress={prog!r}"
+    )

@@ -36,7 +36,7 @@ def test_driver_window_covers_llm_pipeline_surface():
         # dedup family (r13: simhash64/cc_clusters demoted — banded
         # candidate generation stays via minhash_lsh, the CC iteration
         # runs inside training_mix_pipeline's canonical-keep stage)
-        "dedup_exact", "dedup_minhash_lsh",
+        "dedup_minhash_lsh",
         # ANN family (r12: the append/delete-aware/pq-recall entries
         # demoted — the retrain + streaming-maintenance lifecycles run
         # build/append/delete/drift in their fixtures every run)
@@ -51,26 +51,29 @@ def test_driver_window_covers_llm_pipeline_surface():
         # streaming — incl. the r13 stateful-family first-timers (the
         # applyInPandasWithState profile, interval/enrich stream joins,
         # state-store dedup, CMS sketch accumulation)
-        "sessionize_session_window", "streaming_index_maintenance",
         "mv_incremental_refresh", "streaming_ivm_distinct",
         "streaming_ivm_traffic_pages",
         "streaming_user_profile", "streaming_interval_join",
         "streaming_enrich_join", "streaming_dedup", "streaming_cms_sketch",
         # lakehouse + DML + sketches (r13 picks)
         "hll_sketch_rollup", "dml_delete_update", "pyds_incremental_rollup",
-        "dv_pos_reinsert_read", "skew_salted_join", "dml_restore_clone",
-        "graph_triangles",
-        "pyds_sink_roundtrip",
-        # BM25 lifecycle family (r13: optimize demoted — the forceMerge
-        # runs as a phase inside the tiered entry's fixture)
-        "bm25_index_append_search", "bm25_index_tiered_search",
+        # BM25 lifecycle family (r14: append demoted — it runs as a
+        # measured phase inside the tiered entry's fixture)
+        "bm25_index_tiered_search",
         "streaming_bm25_maintenance",
         "mm_image_decode",
-        "cdf_schema_evolution",
-        # provenance + column mapping + the r12/r13 builds
-        "time_travel_history", "rename_column_lifecycle",
+        # column mapping compositions (the r12/r13 builds)
         "colmap_cdf_lifecycle", "jv_incremental_refresh",
         "colmap_stream_restart",
+        # r14 builds: the reference's TD DAG maintained through the
+        # chained IVM API + the CREATE MATERIALIZED VIEW front door
+        "ivm_traffic_daily", "sql_create_mv",
+        # r14 rotation: the judge's ten never-artifacted picks
+        "data_tests_suite", "data_tests_store_failures",
+        "f_datetime_suite", "f_string_suite", "f_agg_suite",
+        "format_csv_roundtrip", "asof_join_spend",
+        "bucketed_colocated_join", "agg_grouping_sets",
+        "retention_cohorts",
     }
     assert must_have <= first50
 
@@ -93,7 +96,7 @@ def test_every_query_has_an_oracle_except_documented_rows_only():
 # round as rotations land; raising it requires justifying every new
 # never-artifacted entry in the round's SURVEY delta. Entries currently
 # IN the window don't count (they will be artifacted at round close).
-NEVER_ARTIFACTED_CEILING = 76
+NEVER_ARTIFACTED_CEILING = 66
 
 
 def test_rotation_debt_only_decreases():
