@@ -153,6 +153,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir)
 
 
+def _banded_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs from a signature relation: stack the
+    signature into (band, band_key) rows and equi-self-join — NEVER an
+    all-pairs comparison. Shared by the dedup operator and the scale
+    suite's candidate counter."""
+    band_exprs = ", ".join(
+        "{b}, md5(concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    # bands is a cheap stack-explode over the (caller-cached) sig — no
+    # separate persist needed; each join side re-reads the sig cache.
+    bands = sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_candidate_count(spark: SparkSession, sf_dir: str) -> int:
+    """Banded candidate-pair COUNT over `documents` (r14 — VERDICT r13
+    item 5): the scale suite records it alongside shuffle bytes, so the
+    LSH banding claim is pinned in PAIRS at the size where a quadratic
+    tail would first show — at a fixed planted near-dup rate the count
+    must grow ~linearly in N, far below the N^2/2 all-pairs bound."""
+    from mycarely_saas_dbt_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir)
+    docs = spark.table("documents")
+    sig = _hashed_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
+    return _banded_candidates(sig).count()
+
+
 def _build_minhash_pairs(spark: SparkSession) -> DataFrame:
     docs = spark.table("documents")
 
@@ -170,34 +218,7 @@ def _build_minhash_pairs(spark: SparkSession) -> DataFrame:
         ),
         "minhash:sig",
     )
-    band_exprs = ", ".join(
-        "{b}, md5(concat_ws('_', {cols}))".format(
-            b=b,
-            cols=", ".join(
-                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(N_BANDS)
-    )
-    # bands is a cheap stack-explode over the CACHED sig — no separate
-    # persist needed; each side of the self-join re-reads the sig cache.
-    bands = sig.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {band_exprs}) AS (band, band_key)"
-    )
-
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    candidates = _banded_candidates(sig)
     # reused by the doc-set, intersection, and final joins
     candidates = bounded_persist(candidates, "minhash:candidates")
 

@@ -3009,15 +3009,17 @@ FROM f GROUP BY g ORDER BY g
 
 
 def _mvr_flow(spark, sf_dir: str, make_maintainer):
-    """The GENERALIZED IVM engine API end-to-end (r13): one
-    `MVDefinition` composing every supported aggregate kind — COUNT,
-    SUM, MIN, MAX, COUNT DISTINCT — maintained by
-    `MaterializedViewMaintainer.refresh` (mycarely_saas_dbt_spark/ivm.py),
-    the engine surface that unifies what the four hand-written IVM
-    entries proved strategy-by-strategy (additive deltas, the minmax
-    cheap/recompute split, the distinct support table). The entry is the
-    USER's flow: declare the view, call refresh() after each base
-    commit, read the result — no sink code.
+    """The GENERALIZED IVM engine API end-to-end (r13; fixture shared
+    r14 by the SQL-declared twin `sql_create_mv`): one view composing
+    every supported aggregate kind — COUNT, SUM, MIN, MAX,
+    COUNT DISTINCT — maintained by `MaterializedViewMaintainer.refresh`
+    (mycarely_saas_dbt_spark/ivm.py), the engine surface that unifies
+    what the four hand-written IVM entries proved strategy-by-strategy
+    (additive deltas, the minmax cheap/recompute split, the distinct
+    support table). ``make_maintainer(runner)`` binds the definition —
+    the hand-built MVDefinition or ivm_sql's parsed CREATE MATERIALIZED
+    VIEW. The entry is the USER's flow: declare the view, call
+    refresh() after each base commit, read the result — no sink code.
 
     Waves: bootstrap (asserted ZERO recompute groups — insert-only
     batches stay on the signed-delta path; the insert-extends-extremes

@@ -777,3 +777,107 @@ def test_single_batch_contract_enforced_before_work(spark, target_root):
     with pytest.raises(RuntimeError, match="CURRENT-state contract"):
         sink(None, 1)  # second batch: refused BEFORE any work
     assert applied == [0]
+
+
+def test_mv_maintainer_races_disjoint_writer(spark, target_root, monkeypatch):
+    """r14 (VERDICT r13 item 6): the disjoint-footprint rebase proven
+    through MaterializedViewMaintainer.refresh()'s merge_txn path — a
+    racer lands an unrelated-partition commit on the MV target after
+    the maintainer read its manifest but before its commit, and again
+    on the SUPPORT table (so the MV-before-support crash ordering
+    interacts with a rebase on each side). Both racer commits and both
+    maintainer commits must land, and the MV must still match the batch
+    GROUP BY — including on the NEXT wave, which probes the
+    post-rebase state."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+    from mycarely_saas_dbt_spark.ivm import (
+        MaterializedViewMaintainer,
+        MVAggregate,
+    )
+    from mycarely_saas_dbt_spark.sources.pydatasource import (
+        register_manifest_cdf_source,
+    )
+
+    register_manifest_cdf_source(spark)
+    runner = IncrementalRunner(spark, target_root)   # the maintainer
+    racer = IncrementalRunner(spark, target_root)    # unrelated writer
+    runner.RETENTION_SECONDS = 3600.0
+    spec = _base_spec()
+    runner.run(spec, SF_DIR)
+    mv = _defn(
+        aggregates=[
+            MVAggregate("count", None, "n"),
+            MVAggregate("sum", "x", "sum_x"),
+            MVAggregate("count_distinct", "u", "uniq_u"),
+        ]
+    )
+    m = MaterializedViewMaintainer(runner, mv)
+    m.refresh(spark)                                 # bootstrap
+    v0 = runner.current_manifest("mv_t")["version"]
+    s0 = runner.current_manifest("mv_t__sup_uniq_u")["version"]
+
+    # narrow wave: touches ONLY MV bucket gb=1 (groups g in {1, 5, 9})
+    runner.update_where(spec, "g % 4 = 1 AND k % 3 = 0", {"u": "(u + 2) % 5"})
+    runner.delete_where(spec, "g % 4 = 1 AND k % 7 = 1")
+
+    orig = runner._commit_manifest
+    fired = {"mv": False, "sup": False}
+
+    def content_idempotent_rewrite(name, app_id):
+        # the racer recomputes bucket gb=3's rows VERBATIM and commits
+        # them through its own merge_txn — a disjoint-partition,
+        # content-idempotent backfill
+        rows = racer.read_target(name).filter("gb = 3").withColumn(
+            "__del", F.lit(False)
+        )
+        racer.merge_txn(
+            dataclasses_replace_meta(m, name), rows,
+            app_id=app_id, txn_version=1,
+        )
+
+    def dataclasses_replace_meta(maintainer, name):
+        return (
+            maintainer.mv_spec
+            if name == "mv_t"
+            else maintainer.sup_specs["uniq_u"]
+        )
+
+    def inject(name, manifest, **kw):
+        if name == "mv_t" and not fired["mv"]:
+            fired["mv"] = True
+            content_idempotent_rewrite("mv_t", "mv_racer")
+        if name == "mv_t__sup_uniq_u" and not fired["sup"]:
+            fired["sup"] = True
+            content_idempotent_rewrite("mv_t__sup_uniq_u", "sup_racer")
+        return orig(name, manifest, **kw)
+
+    monkeypatch.setattr(runner, "_commit_manifest", inject)
+    m.refresh(spark)                                 # maintenance races both
+    monkeypatch.setattr(runner, "_commit_manifest", orig)
+    assert fired["mv"] and fired["sup"]
+    # BOTH the racer's and the maintainer's commits landed on each target
+    assert runner.current_manifest("mv_t")["version"] == v0 + 2
+    assert runner.current_manifest("mv_t__sup_uniq_u")["version"] == s0 + 2
+
+    def check():
+        exp = (
+            runner.read_target("ivm_b")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sum_x"),
+                F.count_distinct("u").cast("bigint").alias("uniq_u"),
+            )
+        )
+        got = m.read()
+        assert got.count() == exp.count()
+        assert got.exceptAll(exp).count() == 0
+
+    check()
+    # the NEXT wave probes post-rebase MV/support state
+    runner.update_where(spec, "k % 5 = 2", {"u": "(u + 1) % 5"})
+    runner.delete_where(spec, "g = 7")
+    m.refresh(spark)
+    check()
