@@ -99,15 +99,28 @@ def synth_sf_dir(spark, n_docs: int, n_emb: int) -> str:
             # near-dup plant: every id%10==9 doc re-emits id-1's text
             # plus one extra token — a fixed 10% near-dup rate, so LSH
             # candidate pairs grow LINEARLY with N by construction
+            # r14: every third token is a RARE doc-derived token
+            # ('w<xxhash64%1e9>'), so unrelated docs share almost no
+            # shingles — the r13 vocab-only stream had ~64k distinct
+            # shingles and band keys collided at a constant PER-PAIR
+            # rate, which at the 100x leg surfaced as a quadratic
+            # candidate tail that measured the synthetic corpus's
+            # saturation, not the banding (real corpora have ~2^64
+            # shingle diversity). Near-dup plants still share all
+            # shingles: the partner copies the base doc's token stream.
             F.expr(
                 f"""concat(
                   concat_ws(' ', transform(
                     sequence(0, pmod(hash(id - CASE WHEN id % 10 = 9
                                               THEN 1 ELSE 0 END), 90) + 29),
-                    i -> element_at(array({vocab}),
+                    i -> CASE WHEN i % 3 = 2
+                         THEN concat('w', pmod(cast(xxhash64((id - CASE
+                              WHEN id % 10 = 9 THEN 1 ELSE 0 END)
+                              * 7000003 + i) AS BIGINT), 1000000000))
+                         ELSE element_at(array({vocab}),
                         pmod(hash((id - CASE WHEN id % 10 = 9
                                    THEN 1 ELSE 0 END) * 1000003 + i),
-                             {len(VOCAB)}) + 1))),
+                             {len(VOCAB)}) + 1) END)),
                   CASE WHEN id % 10 = 9
                        THEN concat(' zz', cast(id % 7 AS string))
                        ELSE '' END)"""
@@ -381,15 +394,19 @@ def main() -> None:
     from mycarely_saas_dbt_spark.entry import build_queries
     from mycarely_saas_dbt_spark.session import get_spark
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r13.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r14.json"
     spark = get_spark()
     qs = build_queries()
     # op -> (input relation rows at 1x, has a 100x leg). semdedup
     # consumes EMBEDDINGS (the r12 artifact mislabeled it as docs).
+    # r14 (VERDICT r13 item 5): the two heaviest shufflers gain 100x
+    # legs too — dedup_minhash_lsh additionally records its banded
+    # CANDIDATE-PAIR counts per leg (the LSH claim pinned in pairs, not
+    # just bytes, at the size where a quadratic tail would first show).
     corpus_ops = {
-        "dedup_minhash_lsh": (DOCS_1X, False),
+        "dedup_minhash_lsh": (DOCS_1X, True),
         "semdedup": (EMB_1X, True),
-        "training_mix_pipeline": (DOCS_1X, False),
+        "training_mix_pipeline": (DOCS_1X, True),
         "bm25_index_append_search": (DOCS_1X, True),
     }
     result: dict = {
@@ -401,8 +418,9 @@ def main() -> None:
             "not absolute wall; work_* fields are the winning rep's "
             "shuffle/input/spill byte deltas from the UI REST API — "
             "bytes pin the algorithmic claim independently of the box; "
-            "100x legs (single rep) separate the fixed-overhead floor "
-            "from true scaling for the two flattest r12 families"
+            "100x legs (single rep, all four corpus families r14) separate "
+            "the fixed-overhead floor from true scaling; candidates_* on "
+            "the minhash rows pin the LSH banding claim in PAIRS"
         ),
         "ops": {},
     }
@@ -446,6 +464,22 @@ def main() -> None:
                     rec["shuffle_growth_100x"] = round(
                         works["100x"].get("shuffle_write", 0) / sh1, 2
                     )
+            if op == "dedup_minhash_lsh":
+                from mycarely_saas_dbt_spark.operators.dedup import (
+                    minhash_candidate_count,
+                )
+
+                for tag in legs:
+                    rec[f"candidates_{tag}"] = minhash_candidate_count(
+                        spark, dirs[tag]
+                    )
+                    print(
+                        f"{op} candidates {tag}: {rec[f'candidates_{tag}']}",
+                        file=sys.stderr,
+                    )
+                rec["candidate_growth_100x"] = round(
+                    rec["candidates_100x"] / max(rec["candidates_1x"], 1), 2
+                )
             result["ops"][op] = rec
         ivm, ivm_w = {}, {}
         for tag, n in (("1x", 30_000), ("10x", 300_000)):
