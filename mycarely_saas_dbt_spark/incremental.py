@@ -2387,7 +2387,8 @@ class IncrementalRunner:
             if names:
                 parts[rel] = sorted(names)
                 stats[rel] = {
-                    f: self._file_stats(os.path.join(d, f)) for f in parts[rel]
+                    f: self._file_stats(os.path.join(d, f))[0]
+                    for f in parts[rel]
                 }
         dtypes = None
         sidecar = os.path.join(final, self.SCHEMA_SIDECAR)
@@ -2480,14 +2481,19 @@ class IncrementalRunner:
             return True
 
     @staticmethod
-    def _file_stats(path: str) -> dict[str, list]:
-        """Per-file column min/max from the parquet FOOTER (no data read):
-        the Delta/Iceberg add-file stats. Values are JSON-coerced so the
-        manifest stays a plain JSON file — dates/timestamps to ISO strings
-        (which compare correctly as strings, so pruning needs no type
-        dispatch), numbers/strings as-is; columns whose footer carries no
-        usable stats (binary, arrays, all-null chunks) are omitted and
-        therefore never pruned on (safe)."""
+    def _file_stats(path: str) -> tuple[dict[str, list], int]:
+        """Per-file column min/max AND exact row count from the parquet
+        FOOTER (no data read): the Delta/Iceberg add-file stats. Values
+        are JSON-coerced so the manifest stays a plain JSON file —
+        dates/timestamps to ISO strings (which compare correctly as
+        strings, so pruning needs no type dispatch), numbers/strings
+        as-is; columns whose footer carries no usable stats (binary,
+        arrays, all-null chunks) are omitted and therefore never pruned
+        on (safe). The row count (parquet metadata is exact, not an
+        estimate) lets commit paths report rows_written WITHOUT a full
+        Spark re-read of the files they just wrote — at 100 TB that
+        re-read was a second full pass over the output (r14 opt,
+        guide §1.2: remove passes)."""
         import pyarrow.parquet as pq
 
         def _coerce(v):
@@ -2527,19 +2533,22 @@ class IncrementalRunner:
                 else:
                     out[name] = [lo, hi]
                 ok.setdefault(name, True)
-        return {k: v for k, v in out.items() if ok.get(k)}
+        return {k: v for k, v in out.items() if ok.get(k)}, int(md.num_rows)
 
     def _ingest_files(
         self, tmp: str, name: str, depth: int, bloom_col: str | None = None
-    ) -> tuple[dict[str, list[str]], dict[str, dict[str, dict]]]:
+    ) -> tuple[dict[str, list[str]], dict[str, dict[str, dict]], int]:
         """Move a finished Spark write from its staging dir into the target's
         partition dirs under commit-unique names (uncommitted — readers
         resolve the manifest, so these are invisible until the pointer
         swap). Returns ({partition_rel: [file names]},
-        {partition_rel: {file: {col: [min, max]}}}) — the stats ride into
-        the manifest so readers can skip files WITHOUT opening footers
-        (at 100 TB, opening every footer before skipping is itself a
-        full-metadata scan). On an object store a production writer skips
+        {partition_rel: {file: {col: [min, max]}}}, total row count) —
+        the stats ride into the manifest so readers can skip files
+        WITHOUT opening footers (at 100 TB, opening every footer before
+        skipping is itself a full-metadata scan), and the exact
+        footer-summed row count replaces the post-write Spark
+        ``read.parquet(tmp).count()`` pass every commit used to pay
+        (r14 opt). On an object store a production writer skips
         the staging hop and writes uniquely-named files directly into the
         table prefix (the Delta writer shape); locally Spark's `overwrite`
         staging keeps the write atomic per task, so we move afterwards."""
@@ -2548,6 +2557,7 @@ class IncrementalRunner:
         leaves = self._leaf_partition_dirs(tmp, depth) if depth else [""]
         parts: dict[str, list[str]] = {}
         stats: dict[str, dict[str, dict]] = {}
+        nrows = 0
         for rel in leaves:
             src_dir = os.path.join(tmp, rel) if rel else tmp
             dst_dir = os.path.join(final, rel) if rel else final
@@ -2562,12 +2572,14 @@ class IncrementalRunner:
                 dst = os.path.join(dst_dir, new_name)
                 os.rename(os.path.join(src_dir, f), dst)
                 names.append(new_name)
-                stats.setdefault(rel, {})[new_name] = self._file_stats(dst)
+                fstats, frows = self._file_stats(dst)
+                stats.setdefault(rel, {})[new_name] = fstats
+                nrows += frows
                 if bloom_col is not None:
                     self._write_bloom_sidecar(dst, bloom_col)
             if names:
                 parts[rel] = names
-        return parts, stats
+        return parts, stats, nrows
 
     # Vacuum retention: data files referenced by the last N committed
     # manifests survive vacuum, so readers can time-travel back N-1
@@ -2836,11 +2848,10 @@ class IncrementalRunner:
             merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
             try:
                 _check_assert(spec, chk)  # abort BEFORE commit on violation
-                # explicit schema: a merge can legitimately produce ZERO
-                # rows for its touched partitions (a tombstone batch that
-                # deletes every row of a partition — the IVM
-                # count-reaches-zero case), and an empty dir can't infer
-                n = self.spark.read.schema(merged.schema).parquet(tmp).count()
+                # rows_written comes from the ingest's footer sum below —
+                # no post-write Spark count pass (r14 opt); an all-deleted
+                # partition (the IVM count-reaches-zero case) simply
+                # ingests zero rows
                 # write-time change data (spec.change_data): the merge's
                 # exact change rows are diff(pruned old slice, rewritten
                 # slice) — the same footprint the merge itself read, never
@@ -2861,7 +2872,7 @@ class IncrementalRunner:
                     spec.name, spec.partition_by
                 )
                 guard = self._premanifest_marker(spec.name, live)
-                parts_new, stats_new = self._ingest_files(
+                parts_new, stats_new, n = self._ingest_files(
                     tmp, spec.name, depth, bloom_col=spec.unique_key
                 )
                 # O(touched) overlay: untouched rels' segment refs ride
@@ -2942,7 +2953,8 @@ class IncrementalRunner:
         writer.parquet(tmp)
         try:
             _check_assert(spec, chk)  # abort BEFORE commit on violation
-            n = self.spark.read.parquet(tmp).count()
+            # rows_written comes from the ingest's parquet-footer sum
+            # below — no post-write Spark count pass (r14 opt)
             cdc = (
                 self._cdc_for_commit(
                     spec, cdc_old,
@@ -2953,7 +2965,7 @@ class IncrementalRunner:
             )
             base = self.current_manifest(spec.name)
             guard = self._premanifest_marker(spec.name, base)
-            parts, stats = self._ingest_files(
+            parts, stats, n = self._ingest_files(
                 tmp, spec.name, depth, bloom_col=spec.unique_key
             )
             manifest = {
@@ -3182,7 +3194,7 @@ class IncrementalRunner:
                 cdc = self._cdc_for_commit(
                     spec, cdc_old, self.spark.read.schema(ddl).parquet(tmp)
                 )
-            parts_new, stats_new = self._ingest_files(
+            parts_new, stats_new, _ = self._ingest_files(
                 tmp, name, depth, bloom_col=spec.unique_key
             )
             removed: dict[str, set] = {}
@@ -4705,12 +4717,11 @@ class IncrementalRunner:
         new.write.mode("overwrite").partitionBy(pcol).parquet(tmp)
         try:
             rebuilt = set(self._leaf_partition_dirs(tmp, 1))
-            n = self.spark.read.parquet(tmp).count() if rebuilt else 0
             guard = self._premanifest_marker(spec.name, live)
-            parts_new, stats_new = (
+            parts_new, stats_new, n = (
                 self._ingest_files(tmp, spec.name, 1, bloom_col=spec.unique_key)
                 if rebuilt
-                else ({}, {})
+                else ({}, {}, 0)
             )
             # the build is authoritative for the range; O(touched) overlay
             parts = _overlay(base["partitions"], parts_new, removes=in_range)
@@ -4843,7 +4854,7 @@ class IncrementalRunner:
                     f"compaction row-count mismatch on {name}: {before} -> {after}"
                 )
             guard = self._premanifest_marker(name, base)
-            parts, stats = self._ingest_files(tmp, name, len(part_cols))
+            parts, stats, _ = self._ingest_files(tmp, name, len(part_cols))
             manifest = {
                 "version": (base["version"] + 1) if base else 1,
                 "partition_by": part_cols,
