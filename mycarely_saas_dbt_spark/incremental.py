@@ -2777,6 +2777,29 @@ class IncrementalRunner:
                 except OSError:
                     continue
 
+    @staticmethod
+    def _cluster_for_write(df: DataFrame, part_by) -> DataFrame:
+        """Cluster rows on the hive partition columns before a partitionBy
+        write (guide §6, small files): without it every shuffle task that
+        holds rows of K partition values writes K files — tasks × values
+        tiny files PER COMMIT (the bm25 postings commit wrote ~500 files
+        at sf0.1, and each file costs a driver-side footer-stat read, a
+        bloom sidecar, an os.rename at ingest and a listing/planning
+        entry at every subsequent read). A REBALANCE-by-columns exchange
+        lands each partition value in one task — one file per dir —
+        while AQE's optimizeSkewsInRebalancePartitions (on by default)
+        SPLITS any partition past advisoryPartitionSizeInBytes, so a hot
+        partition at 100 TB still writes size-bounded files instead of
+        funneling through one task (the failure a plain
+        repartition(cols) would reintroduce). With no partition columns
+        the bare REBALANCE coalesces a small commit's output to few
+        advisory-sized files the same way. MYCARELY_WRITE_REBALANCE=0
+        restores the raw write."""
+        if os.environ.get("MYCARELY_WRITE_REBALANCE", "1") == "0":
+            return df
+        cols = list(part_by or [])
+        return df.hint("rebalance", *cols) if cols else df.hint("rebalance")
+
     def _partitioned_merge_write(
         self,
         spec: ModelSpec,
@@ -2813,9 +2836,9 @@ class IncrementalRunner:
         all_rows = new.withColumn("__tomb", F.lit(False))
         if tomb is not None:
             all_rows = all_rows.unionByName(tomb.withColumn("__tomb", F.lit(True)))
-        all_rows.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(
-            stage
-        )
+        self._cluster_for_write(all_rows, spec.partition_by).write.mode(
+            "overwrite"
+        ).partitionBy(*spec.partition_by).parquet(stage)
         try:
             touched_rels = self._leaf_partition_dirs(stage, depth)
             if not touched_rels:
@@ -2845,7 +2868,9 @@ class IncrementalRunner:
             merged = self._merge(spec, pruned, staged, staged_tomb)
             merged, chk = _check_observe(merged, spec)
             tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(tmp)
+            self._cluster_for_write(merged, spec.partition_by).write.mode(
+                "overwrite"
+            ).partitionBy(*spec.partition_by).parquet(tmp)
             try:
                 _check_assert(spec, chk)  # abort BEFORE commit on violation
                 # rows_written comes from the ingest's footer sum below —
@@ -2947,7 +2972,9 @@ class IncrementalRunner:
         depth = len(spec.partition_by or [])
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         df, chk = _check_observe(df, spec)
-        writer = df.write.mode("overwrite")
+        writer = self._cluster_for_write(df, spec.partition_by).write.mode(
+            "overwrite"
+        )
         if spec.partition_by:
             writer = writer.partitionBy(*spec.partition_by)
         writer.parquet(tmp)
@@ -3176,7 +3203,7 @@ class IncrementalRunner:
         depth = len(part_by)
         tmp = f"{root}.tmp-{uuid.uuid4().hex[:8]}"
         out_df, chk = _check_observe(out_df, spec)
-        writer = out_df.write.mode("overwrite")
+        writer = self._cluster_for_write(out_df, part_by).write.mode("overwrite")
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(tmp)
@@ -4714,7 +4741,9 @@ class IncrementalRunner:
             and str(start) <= rel.split("=", 1)[1] <= str(end)
         ]
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        new.write.mode("overwrite").partitionBy(pcol).parquet(tmp)
+        self._cluster_for_write(new, [pcol]).write.mode("overwrite").partitionBy(
+            pcol
+        ).parquet(tmp)
         try:
             rebuilt = set(self._leaf_partition_dirs(tmp, 1))
             guard = self._premanifest_marker(spec.name, live)

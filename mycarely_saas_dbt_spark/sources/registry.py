@@ -72,8 +72,8 @@ def register_sources(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     Idempotent and memoized per session; temp views are lazy — Catalyst
     inlines them, so filters/pruning still push down to the parquet scans.
     """
-    path = os.path.abspath(sf_dir) if sf_dir else ""
-    if _CURRENT.get(id(spark)) == path and not force:
+    dir_key = os.path.abspath(sf_dir) if sf_dir else ""
+    if _CURRENT.get(id(spark)) == dir_key and not force:
         return
     if sf_dir is None or not os.path.isdir(sf_dir):
         raise FileNotFoundError(
@@ -86,7 +86,11 @@ def register_sources(spark: SparkSession, sf_dir: str, *, force: bool = False) -
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     for name, sql in DERIVED_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
-    _CURRENT[id(spark)] = path
+    # NOTE (r14 opt): the memo key must be the DIRECTORY — a loop variable
+    # shadowing `path` here used to store ".../embeddings.parquet", so the
+    # check above never matched and every call re-registered all tables
+    # and views (~0.5s of JVM roundtrips per registered-query invocation).
+    _CURRENT[id(spark)] = dir_key
 
 
 def oracle_with_clause(*views: str) -> str:
