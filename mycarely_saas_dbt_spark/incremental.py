@@ -2433,7 +2433,9 @@ class IncrementalRunner:
 
     def _write_bloom_sidecar(self, data_path: str, col: str) -> None:
         import base64
+        import hashlib
 
+        import numpy as np
         import pyarrow.parquet as pq
 
         try:
@@ -2443,11 +2445,31 @@ class IncrementalRunner:
         n = max(len(vals), 1)
         m = 1 << max(10, (self.BLOOM_BITS_PER_ROW * n).bit_length())
         bits = bytearray(m // 8)
-        for v in vals:
-            if v is None:
-                continue
-            for idx in self._bloom_positions(v, m):
-                bits[idx >> 3] |= 1 << (idx & 7)
+        # Vectorized bit build (r14 opt, guide §5.3: this ran as a pure-
+        # Python per-row loop on the DRIVER — ~2s per lifecycle commit at
+        # sf0.1). Only the md5 calls stay per-value; position arithmetic
+        # and bit sets batch through numpy. uint64 WRAPAROUND IS EXACT
+        # here: m is a power of two dividing 2**64, so
+        # (x mod 2**64) mod m == x mod m — bit-identical positions to the
+        # reader's per-value _bloom_positions (pinned by pytest).
+        md5 = hashlib.md5
+        digests = b"".join(
+            md5(str(v).encode()).digest() for v in vals if v is not None
+        )
+        if digests:
+            h = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+            h1, h2 = h[:, 0], h[:, 1] | np.uint64(1)
+            j = np.arange(self.BLOOM_K, dtype=np.uint64)
+            idx = (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m)
+            arr = np.zeros(m // 8, dtype=np.uint8)
+            np.bitwise_or.at(
+                arr,
+                (idx >> np.uint64(3)).ravel(),
+                (
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+                ).ravel(),
+            )
+            bits = bytearray(arr.tobytes())
         tmp = self._bloom_sidecar_path(data_path) + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             json.dump(
@@ -2797,6 +2819,23 @@ class IncrementalRunner:
         restores the raw write."""
         if os.environ.get("MYCARELY_WRITE_REBALANCE", "1") == "0":
             return df
+        # respect builds that SHAPE their own output (repartitionByRange +
+        # sortWithinPartitions range clustering, z-order, explicit
+        # repartition): a rebalance on top would destroy the deliberate
+        # file-level clustering the manifest stats prune on
+        try:
+            node = df._jdf.queryExecution().analyzed()
+            while node.nodeName() == "CollectMetrics":
+                node = node.children().apply(0)
+            if node.nodeName() in (
+                "Sort",
+                "Repartition",
+                "RepartitionByExpression",
+                "RebalancePartitions",
+            ):
+                return df
+        except Exception:
+            pass
         cols = list(part_by or [])
         return df.hint("rebalance", *cols) if cols else df.hint("rebalance")
 
@@ -2832,10 +2871,15 @@ class IncrementalRunner:
         # tombstones stage WITH the batch (their row images carry the
         # partition values, so delete-only partitions still register as
         # touched) but re-split after the round-trip so they only ever
-        # feed the delete side of the merge
-        all_rows = new.withColumn("__tomb", F.lit(False))
+        # feed the delete side of the merge. A tomb-free batch stages
+        # schema-clean (no __tomb data column) so the blind-append fast
+        # path below can ingest the staged files VERBATIM.
         if tomb is not None:
-            all_rows = all_rows.unionByName(tomb.withColumn("__tomb", F.lit(True)))
+            all_rows = new.withColumn("__tomb", F.lit(False)).unionByName(
+                tomb.withColumn("__tomb", F.lit(True))
+            )
+        else:
+            all_rows = new
         self._cluster_for_write(all_rows, spec.partition_by).write.mode(
             "overwrite"
         ).partitionBy(*spec.partition_by).parquet(stage)
@@ -2843,34 +2887,97 @@ class IncrementalRunner:
             touched_rels = self._leaf_partition_dirs(stage, depth)
             if not touched_rels:
                 return 0, 0  # empty batch: nothing past the watermark
-            staged_all = self.spark.read.parquet(stage).select(
-                *new.columns, "__tomb"
-            )
-            staged = staged_all.filter(~F.col("__tomb")).drop("__tomb")
-            staged_tomb = (
-                staged_all.filter(F.col("__tomb")).drop("__tomb")
-                if tomb is not None
-                else None
-            )
+            live_pre = self.current_manifest(spec.name)
+            if tomb is not None:
+                staged_all = self.spark.read.parquet(stage).select(
+                    *new.columns, "__tomb"
+                )
+                staged = staged_all.filter(~F.col("__tomb")).drop("__tomb")
+                staged_tomb = staged_all.filter(F.col("__tomb")).drop("__tomb")
+            else:
+                staged_all = self.spark.read.parquet(stage).select(*new.columns)
+                staged = staged_all
+                staged_tomb = None
             # disjoint-from-vector check on the staged (on-disk) batch:
             # tombstones are exempt (deleting an already-DV'd key is a
             # no-op, never a resurrection)
             self._dv_guard_batch(
                 spec,
-                self.current_manifest(spec.name),
+                live_pre,
                 staged,
                 "incremental merge",
             )
-            touched = staged_all.select(*spec.partition_by).distinct().collect()
-            pruned = target.filter(
-                self._partition_predicate(spec.partition_by, touched)
+            # BLIND-APPEND fast path (r14 opt, guide §1.2: remove a full
+            # pass): when every touched partition holds ZERO committed
+            # files, the merge is provably the staged batch itself
+            # (_merge anti-joins an empty slice), so the merged rewrite
+            # would just copy the stage — ingest the staged files
+            # directly instead of writing the batch a second time. The
+            # Delta blind-append shape; exact because same key => same
+            # partition, so no key outside the touched (empty) rels can
+            # collide. Tomb batches and legacy (pre-manifest) layouts
+            # take the normal path.
+            blind = (
+                tomb is None
+                and live_pre is not None
+                # membership check only — ingest never records an empty
+                # rel, so a present key has files; this also avoids
+                # hydrating checkpointed manifest segments
+                and not any(
+                    rel in (live_pre.get("partitions") or {})
+                    for rel in touched_rels
+                )
             )
-            merged = self._merge(spec, pruned, staged, staged_tomb)
-            merged, chk = _check_observe(merged, spec)
-            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-            self._cluster_for_write(merged, spec.partition_by).write.mode(
-                "overwrite"
-            ).partitionBy(*spec.partition_by).parquet(tmp)
+            if blind and not (spec.change_data and spec.unique_key):
+                # the touched-values collect below only feeds the pruned
+                # old-slice plan (merge + CDC) — skip the job entirely
+                pruned = None
+            else:
+                touched = (
+                    staged_all.select(*spec.partition_by).distinct().collect()
+                )
+                pruned = target.filter(
+                    self._partition_predicate(spec.partition_by, touched)
+                )
+            if blind:
+                merged = staged
+                chk = None
+                if spec.check_constraints:
+                    # the normal path attaches an Observation to the
+                    # merged WRITE; with no second write, enforce via one
+                    # aggregate scan of the staged batch (same counters)
+                    row = staged.select(
+                        *[
+                            F.count(
+                                F.when(
+                                    ~F.coalesce(
+                                        F.expr(c).cast("boolean"),
+                                        F.lit(False),
+                                    ),
+                                    F.lit(1),
+                                )
+                            ).alias(f"c{i}")
+                            for i, c in enumerate(spec.check_constraints)
+                        ]
+                    ).first()
+                    bad = {
+                        spec.check_constraints[i]: int(v)
+                        for i, v in enumerate(row)
+                        if v
+                    }
+                    if bad:
+                        raise RuntimeError(
+                            f"{spec.name}: CHECK constraint violated "
+                            f"(constraint -> violating rows): {bad}"
+                        )
+                tmp = stage
+            else:
+                merged = self._merge(spec, pruned, staged, staged_tomb)
+                merged, chk = _check_observe(merged, spec)
+                tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+                self._cluster_for_write(merged, spec.partition_by).write.mode(
+                    "overwrite"
+                ).partitionBy(*spec.partition_by).parquet(tmp)
             try:
                 _check_assert(spec, chk)  # abort BEFORE commit on violation
                 # rows_written comes from the ingest's footer sum below —

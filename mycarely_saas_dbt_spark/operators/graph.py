@@ -71,10 +71,16 @@ def pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycarely_saas_dbt_spark.util import bounded_persist
 
     register_sources(spark, sf_dir)
+    # out_w via a window over the edge relation itself (r14 opt, guide
+    # §2.1): the former self-join built _edges() twice — two full event
+    # scans and two lag-window shuffles feeding a third join shuffle —
+    # all before the persist could help. sum(w) OVER (PARTITION BY src)
+    # reads the one edge build and adds a single src-hash exchange;
+    # inner-join-on-src row set is identical (every src matches its own
+    # aggregate).
+    w_src = Window.partitionBy("src")
     edges = bounded_persist(
-        _edges(spark).join(
-            _edges(spark).groupBy("src").agg(F.sum("w").alias("out_w")), "src"
-        ),
+        _edges(spark).withColumn("out_w", F.sum("w").over(w_src)),
         "graph:edges",
     )
     # Per-iteration rank LOCALIZATION (the PQ/k-means plan-flattening

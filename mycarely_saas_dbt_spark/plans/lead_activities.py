@@ -166,8 +166,6 @@ def lead_activities_agg(
     if traffic_daily is None:
         traffic_daily = traffic_daily_agg(spark, sf_dir, events=events)
 
-    le = latest_events(events, argmax_strategy)
-
     la = leads.select(
         "company_domain",
         "company_id",
@@ -192,6 +190,20 @@ def lead_activities_agg(
     if watermark is not None:
         la = la.filter(F.col("activity_date") > F.lit(watermark))
     la = la.distinct()
+
+    # r14 opt (guide §3.4, semi-join pre-filter): the LEFT join below can
+    # only surface argmax rows for users present on the CRM side, so the
+    # per-user window never needs the other users' events — semi-join the
+    # event scan down to lead users BEFORE the argmax. Exact: a semi join
+    # on the same equi-key can only drop rows the outer join would drop
+    # (NULL/absent user ids never match). Left unhinted so Spark
+    # broadcasts the (tiny) lead-user set at bench scale but can fall
+    # back to a shuffle semi-join at 100 TB — which lands on the same
+    # domain_userid hash partitioning the window reuses exchange-free.
+    lead_users = la.select("domain_userid").distinct()
+    le = latest_events(
+        events.join(lead_users, "domain_userid", "semi"), argmax_strategy
+    )
 
     ts = F.broadcast(traffic_spend(traffic_daily))
 

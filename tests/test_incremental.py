@@ -364,7 +364,9 @@ def test_incremental_predicates_limit_delete_scope(spark, target_root):
     assert dups == 0  # every uncovered re-emitted day has exactly old+new
 
 
-def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root):
+def test_compaction_preserves_content_and_shrinks_file_count(
+    spark, target_root, monkeypatch
+):
     """After incremental runs fragment the target into shuffle.partitions
     files, compact() must rewrite it to the byte-size-derived file count
     with identical content."""
@@ -372,6 +374,10 @@ def test_compaction_preserves_content_and_shrinks_file_count(spark, target_root)
     import os
 
     from mycarely_saas_dbt_spark import incremental as inc
+
+    # the premise is a FRAGMENTED target; the r14 rebalance-clustered
+    # write already lands one file — pin the raw layout for the fixture
+    monkeypatch.setenv("MYCARELY_WRITE_REBALANCE", "0")
 
     runner = inc.IncrementalRunner(spark, target_root)
     runner.run(_tp_batch1_spec(), SF_DIR)
@@ -1596,13 +1602,57 @@ def test_table_changes_reads_only_changed_partitions(spark, target_root):
     assert row[1]["v"] == 11 and row[2]["v"] == 20
 
 
+def test_bloom_sidecar_bits_match_reader_positions(spark, target_root):
+    """The r14 vectorized sidecar build (numpy uint64 wraparound) must set
+    EXACTLY the bits the per-value reader hash (_bloom_positions) expects —
+    the no-false-negative contract lives or dies on this equivalence."""
+    import base64
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mycarely_saas_dbt_spark.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, target_root)
+    vals = (
+        [f"key|{i}é" for i in range(997)]
+        + [None, "", "0", "None"]
+        + [str(-(1 << 62)), str((1 << 63) + 7)]
+    )
+    path = os.path.join(target_root, "bloomvals.parquet")
+    pq.write_table(pa.table({"k": vals}), path)
+    runner._write_bloom_sidecar(path, "k")
+    with open(runner._bloom_sidecar_path(path)) as fh:
+        j = json.load(fh)
+    got = base64.b64decode(j["bits"])
+    # reference: the reader's own per-value positions
+    ref = bytearray(len(got))
+    for v in vals:
+        if v is None:
+            continue
+        for idx in runner._bloom_positions(v, j["m"]):
+            ref[idx >> 3] |= 1 << (idx & 7)
+    assert bytes(ref) == got
+    assert all(
+        runner._bloom_might_contain(path, "k", v)
+        for v in vals
+        if v is not None
+    )
+
+
 def test_bloom_sidecars_prune_point_lookups_without_false_negatives(
     spark, target_root
 ):
     """r7 bloom index: on a hash-distributed key layout min/max stats
     keep every file, the bloom sidecars skip most of them, present keys
     are NEVER skipped (no false negatives by construction), and vacuum
-    reclaims a sidecar with its data file."""
+    reclaims a sidecar with its data file.
+
+    The build ends in an explicit .repartition(8) — the r14 rebalance-
+    clustered write must RESPECT that user-shaped layout (this test
+    doubles as the pin for that rule)."""
     import os
 
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec

@@ -13,6 +13,8 @@ def _mk(spark, rows):
 
 
 def _boot(spark, root):
+    import os
+
     from mycarely_saas_dbt_spark.incremental import IncrementalRunner, ModelSpec
 
     d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
@@ -27,11 +29,22 @@ def _boot(spark, root):
         ),
         "x",
     )
-    # wave 2: merge touches ONLY day-2 (rewrites it as many files)
-    runner.run(
-        spec(lambda sp, sfd, wm: _mk(sp, [(100 + i, d2, i) for i in range(20)])),
-        "x",
-    )
+    # wave 2: merge touches ONLY day-2, rewriting it FRAGMENTED (this
+    # suite's premise is a partition needing compaction; the r14
+    # rebalance-clustered write would land one file, so pin the raw
+    # layout for this wave only)
+    os.environ["MYCARELY_WRITE_REBALANCE"] = "0"
+    try:
+        runner.run(
+            spec(
+                lambda sp, sfd, wm: _mk(
+                    sp, [(100 + i, d2, i) for i in range(20)]
+                )
+            ),
+            "x",
+        )
+    finally:
+        os.environ.pop("MYCARELY_WRITE_REBALANCE", None)
     return runner, spec(None), d1, d2
 
 
