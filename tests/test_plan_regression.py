@@ -361,18 +361,20 @@ def test_delete_aware_bm25_keeps_pruning_and_broadcasts_deleted_set(spark):
 
 
 def test_semdedup_no_cross_cluster_cartesian(spark):
-    """SemDeDup's pairwise verify must be an equi-join on the cluster id
-    (plus the id inequality) — a CartesianProduct across clusters would
-    be the N^2 plan the clustering exists to avoid. The centroid
-    assignment's broadcast nested loop against the 8-row centroid table
-    is the documented tiny-side pattern."""
+    """SemDeDup's pairwise verify runs as ONE Arrow-batched matrix pass
+    per cluster (r15: FlatMapGroupsInPandas after the cid shuffle — each
+    vector crosses the exchange once, never as n²/K join rows). A
+    CartesianProduct across clusters would be the N^2 plan the
+    clustering exists to avoid. The centroid assignment's broadcast
+    nested loop against the 8-row centroid table is the documented
+    tiny-side pattern."""
     from mycarely_saas_dbt_spark.operators.similarity import semdedup
 
     plan = _plan(semdedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-        "BroadcastHashJoin" in plan
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # exactly one exchange feeds the pairwise group stage: hash on cid
+    assert "hashpartitioning(cid" in plan, plan
 
 
 def test_hybrid_rrf_query_path_uses_committed_prior(spark):
