@@ -441,6 +441,55 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # colmap_stream_restart rename compositions),
 # `rename_column_lifecycle` (3 artifacts; column mapping stays
 # in-window via the same two colmap compositions).
+# Round-15 rotation (VERDICT r14 item 8 — debt 66 -> 52): FOURTEEN
+# never-artifacted entries rotate IN, leading with families at zero
+# driver artifacts: `agg_rollup` (ROLLUP hierarchies — grouping_sets
+# covered r14, the rollup sibling never), `pivot_returnflag` (the pivot
+# family's first row), `win_rank_ntile` (rank/ntile window family),
+# `sample_stratified` (the sampling family's first row),
+# `text_pii_scrub` + `text_token_bpe` (PII scrubbing and BPE
+# tokenization — both zero-artifact text shapes), `sql_rfm_segmentation`
+# (SQL segmentation analytics), `format_json_roundtrip` (JSON format
+# roundtrip; csv covered r14), `streaming_admission_quota` (streaming
+# admission control), `knn_label_eval` (embedding-space classifier
+# eval), `range_join_pairs` (the range-join family), `ts_interpolate`
+# (time-series gap interpolation), `mm_frame_sample` (multimodal frame
+# sampling — keeps the mm family in-window as mm_image_decode demotes),
+# `stats_moments` (statistical-moments suite). Demoted, each keeping its
+# identical DuckDB compare in the parametrized
+# tests/test_microqueries.py sweep and the full-catalog oracle sweep,
+# each shape still pinned in-window:
+# `p11_notnull_gate` (11+ artifacts r1-r14; the multi-column NOT-NULL
+# output gate IS lead_activities_agg's final filter — executes in-window
+# every run),
+# `traffic_pages_agg_hash` (4 artifacts; the xxhash64 surrogate-id
+# algebra is pytest-pinned and the TP model slot stays in-window via the
+# parity row + streaming_ivm_traffic_pages' model-shaped aggregate),
+# `sql_api_traffic_pages`, `sql_api_traffic_daily` (4 artifacts each;
+# sql_api_lead_activities stays — its oracle inlines the full TD chain,
+# so it is the strict superset of the demoted two's SQL-API surface),
+# `format_csv_permissive` (4 artifacts; the format family keeps
+# format_csv_roundtrip in-window plus format_json_roundtrip rotating in),
+# `udtf_sentence_split` (4 artifacts; the UDTF lateral shape keeps its
+# pytest oracle),
+# `variant_shred_rollup` (4 artifacts; semistructured shredding keeps
+# pytest + sweep),
+# `scd2_hard_delete_two_batch` (4 artifacts; the two-batch S3 merge
+# machinery runs in-window via incremental_td/la_two_batch every run),
+# `streaming_incremental_merge` (4 artifacts; the foreachBatch-merge
+# sink shape executes inside five-plus in-window streaming entries),
+# `incremental_schema_evolution` (4 artifacts; on_schema_change
+# reconciliation is pytest-pinned in test_incremental),
+# `dml_delete_update` (3 artifacts; cow DELETE/UPDATE executes inside
+# in-window colmap_cdf_lifecycle and both streaming index maintenance
+# entries' mutate phases every run),
+# `hll_sketch_rollup` (3 artifacts; the HLL merge contract keeps pytest
+# + sweep; sketch family stays via streaming_user_profile's state rows),
+# `streaming_cms_sketch` (3 artifacts; CMS accumulation keeps pytest;
+# the stateful-stream family keeps four in-window entries),
+# `mm_image_decode` (5 artifacts since r10; the PNG codec is fully
+# pinned by tests/test_png_codec.py; mm_frame_sample keeps the family
+# in-window).
 DRIVER_WINDOW = [
     # reference models (end-to-end parity)
     "traffic_pages_agg",
@@ -448,15 +497,11 @@ DRIVER_WINDOW = [
     "lead_activities_agg",
     # r12: the ENGINE-DEFAULT id strategy (hash surrogate keys — the
     # scale path) gets its own driver artifact alongside the parity row
-    "traffic_pages_agg_hash",
     # r12: the model oracles run VERBATIM through spark.sql — SQL-API
     # portability proven in a driver artifact
-    "sql_api_traffic_pages",
-    "sql_api_traffic_daily",
     "sql_api_lead_activities",
     # SURVEY §2 operator micro-suite survivor (multi-column NOT-NULL
     # output gate — no in-window model runs it in isolation)
-    "p11_notnull_gate",
     # LLM-data-pipeline surface: dedup family (r13: simhash64 and
     # cc_clusters demoted — see rotation note above)
     "dedup_minhash_lsh",
@@ -472,12 +517,6 @@ DRIVER_WINDOW = [
     "incremental_td_two_batch",
     "incremental_la_two_batch",
     # r12 rotation (judge's never-artifacted picks)
-    "scd2_hard_delete_two_batch",
-    "incremental_schema_evolution",
-    "variant_shred_rollup",
-    "streaming_incremental_merge",
-    "format_csv_permissive",
-    "udtf_sentence_split",
     # r8 rotation survivors
     # r10 rotation survivors
     # r13: the generalized IVM engine API in the minmax entry's slot
@@ -493,14 +532,10 @@ DRIVER_WINDOW = [
     "streaming_interval_join",
     "streaming_enrich_join",
     "streaming_dedup",
-    "streaming_cms_sketch",
     # r13 rotation: the judge's remaining named picks
-    "hll_sketch_rollup",
-    "dml_delete_update",
     "pyds_incremental_rollup",
     # r10 new-build survivors
     "ann_index_retrain_recall",
-    "mm_image_decode",
     # r11 new builds (VERDICT r10 items 2, 3, 7 + the index-family
     # symmetry: BM25 live-docs maintenance)
     "streaming_bm25_maintenance",
@@ -530,6 +565,21 @@ DRIVER_WINDOW = [
     "bucketed_colocated_join",
     "agg_grouping_sets",
     "retention_cohorts",
+    # r15 rotation: fourteen never-artifacted picks (see rotation note)
+    "agg_rollup",
+    "pivot_returnflag",
+    "win_rank_ntile",
+    "sample_stratified",
+    "text_pii_scrub",
+    "text_token_bpe",
+    "sql_rfm_segmentation",
+    "format_json_roundtrip",
+    "streaming_admission_quota",
+    "knn_label_eval",
+    "range_join_pairs",
+    "ts_interpolate",
+    "mm_frame_sample",
+    "stats_moments",
 ]
 
 

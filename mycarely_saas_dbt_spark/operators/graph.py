@@ -281,12 +281,28 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     und = bounded_persist(und, "graph:tri_und")
-    deg = (
+    # n_edges FIRST: the entry needs this exact scalar anyway, and the
+    # count is the action that MATERIALIZES the persisted und — so the
+    # deg aggregate and both orientation broadcasts below read cached
+    # blocks instead of racing three concurrent rebuilds of the
+    # events-window edge pass (r15; the profile showed two ~0.65s
+    # broadcast-future jobs each recomputing und)
+    n_edges = und.count()
+    deg = bounded_persist(
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg")),
+        "graph:tri_deg",
     )
+    # n_nodes / n_wedges materialize the deg persist the same way, so the
+    # da/db broadcasts are cache reads
+    nrow = deg.agg(
+        F.count(F.lit(1)).cast("long"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long"),
+    ).first()
+    n_nodes = int(nrow[0])
+    n_wedges = int(nrow[1]) if nrow[1] is not None else 0
     # orient low-(deg, id) -> high-(deg, id); carry the endpoint ranks
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -307,41 +323,28 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vlt = (F.col("e1.dv") < F.col("e2.dv")) | (
         (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
     )
-    tri = (
+    n_tri = int(
         e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & vlt)
         .join(
             e3,
             (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .agg(F.count(F.lit(1)))
+        .first()[0]
     )
-    stats = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    wedges = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
-    )
-    out = (
-        wedges.crossJoin(stats)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.expr(
-                "CASE WHEN n_wedges > 0 THEN "
-                "3 * n_triangles * 1000000000 DIV n_wedges ELSE 0 END"
-            )
-            .cast("long")
-            .alias("clustering_ppb"),
-        )
-    )
-    from mycarely_saas_dbt_spark.util import materialize
-
-    res = materialize(out)
     release_persists("graph:tri_und")
+    release_persists("graph:tri_deg")
     release_persists("graph:tri_oriented")
-    return res
+    # ONE summary row: return it as a local relation instead of the old
+    # materialize() parquet round-trip (a dozen write/read jobs for one
+    # row — guide §5: a single row IS driver/metadata scale). Python //
+    # on non-negative ints == SQL DIV, so clustering_ppb is bit-identical.
+    cppb = (3 * n_tri * 1_000_000_000) // n_wedges if n_wedges > 0 else 0
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri, cppb)],
+        "n_nodes bigint, n_edges bigint, n_wedges bigint, "
+        "n_triangles bigint, clustering_ppb bigint",
+    )
 
 
 O_TRIANGLES = f"""

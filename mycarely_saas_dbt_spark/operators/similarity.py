@@ -1237,6 +1237,8 @@ def streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_spec = ModelSpec(
         ANN_M_BASE_NAME, "vec_id", "vec_id", build, change_data=True,
+        # change-file buckets sized to the fixture corpus (r15, guide §6)
+        cdc_buckets=16,
     )
 
     with timed_phase("build"):

@@ -1440,7 +1440,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dl.agg(
         F.sum("dl").cast("long").alias("S"), F.count(F.lit(1)).alias("N")
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df restricted to the QUERY terms (r15, guide §2.3 — aggregate only
+    # what the join consumes): the former full-vocabulary per-term
+    # aggregate built and broadcast df for EVERY term in the corpus when
+    # the scoring join reads exactly the 9 query terms' values. Same df
+    # per surviving term — identical scores; at lake scale this removes a
+    # vocabulary-sized shuffle + broadcast from the hot path.
+    qterms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    tf_q = tf.filter(F.col("term").isin(qterms))
+    df_ = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = F.broadcast(
         spark.createDataFrame(
             [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
@@ -1448,7 +1456,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        q.join(tf, "term")
+        q.join(tf_q, "term")
         .join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(totals))
@@ -2709,6 +2717,8 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_spec = ModelSpec(
         BM25_M_BASE_NAME, "doc_id", "doc_id", build, change_data=True,
+        # change-file buckets sized to the fixture corpus (r15, guide §6)
+        cdc_buckets=16,
     )
 
     with timed_phase("build"):

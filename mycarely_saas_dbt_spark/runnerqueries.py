@@ -1515,7 +1515,7 @@ def cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         spec = ModelSpec(
             "evo_cdf", "k", "k", boot,
-            change_data=True,
+            change_data=True, cdc_buckets=32,
             on_schema_change="append_new_columns",
         )
         runner.run(spec, sf_dir)                                  # v1
@@ -1808,7 +1808,9 @@ def colmap_cdf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows = rows.filter(F.col("k") > F.lit(wm))
             return rows
 
-        spec = ModelSpec("cm_cdf", "k", "k", boot, change_data=True)
+        spec = ModelSpec(
+            "cm_cdf", "k", "k", boot, change_data=True, cdc_buckets=16
+        )
         runner.run(spec, sf_dir)                                    # v1
         runner.update_where(spec, "k % 10 = 0", {"v": "v + 1000"})  # v2
         m2 = runner.current_manifest("cm_cdf")
@@ -1995,7 +1997,12 @@ def colmap_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows = rows.filter(F.col("k") > F.lit(wm))
             return rows
 
-        spec = ModelSpec("rr_base", "k", "k", boot, change_data=True)
+        spec = ModelSpec(
+            "rr_base", "k", "k", boot, change_data=True,
+            # orders-sized fixture: 32 buckets bound change files without
+            # the 256-bucket scale default's tiny-file fan-out (r15)
+            cdc_buckets=32,
+        )
         sink_spec = ModelSpec("rr_sink", "k", "k", None, tombstone_col="__del")
 
         def hop():
@@ -2008,12 +2015,23 @@ def colmap_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
             def apply_batch(batch_df, bid):
-                rows = batch_df.withColumn(
-                    "__del", F.col("_change_type") == "delete"
-                ).drop("_change_type")
-                runner.merge_txn(
-                    sink_spec, rows, app_id="rr_sink", txn_version=bid
-                )
+                # persist the microbatch (r15): the unpartitioned merge
+                # references the batch 2-3x in one plan (tombstone split +
+                # anti-join keys + union), and each reference re-ran the
+                # Python CDF source read — the pattern every other
+                # foreachBatch sink in the repo already follows
+                rows = batch_df.persist()
+                try:
+                    runner.merge_txn(
+                        sink_spec,
+                        rows.withColumn(
+                            "__del", F.col("_change_type") == "delete"
+                        ).drop("_change_type"),
+                        app_id="rr_sink",
+                        txn_version=bid,
+                    )
+                finally:
+                    rows.unpersist()
 
             q = (
                 feed.writeStream.foreachBatch(apply_batch)
@@ -2073,8 +2091,11 @@ def colmap_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         base = runner.read_target("rr_base").select("k", "amount", "s")
         sink = runner.read_target("rr_sink").select("k", "amount", "s")
+        # cheap row-count sanity only (r15): the full exceptAll content
+        # compare here duplicated the oracle hash-match the driver runs
+        # on the returned frame (and the hop-B exceptAll already proved
+        # the cross-rename mechanism mid-lifecycle)
         assert sink.count() == base.count()
-        assert sink.exceptAll(base).count() == 0
         return materialize(sink.orderBy("k"))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1763,7 +1763,7 @@ def q_streaming_cdf_propagate(spark, sf_dir: str):
         # write-time change files (r10): every mutating bronze commit
         # also commits its change rows, so the steady-state hops below
         # stream pure `_change_data/` reads — no snapshot diffed
-        change_data=True,
+        change_data=True, cdc_buckets=16,
     )
     silver_spec = ModelSpec(
         "cdf_silver", "k", "day", None, partition_by=["day"],
@@ -1893,7 +1893,8 @@ def q_streaming_ivm_aggregate(spark, sf_dir: str):
     bronze_spec = ModelSpec(
         "ivm_bronze", "k", "day", bronze_build(300), partition_by=["day"],
         # r10: the IVM deltas stream off write-time change files
-        change_data=True,
+        # (cdc_buckets sized to the 300-row fixture — r15, guide §6)
+        change_data=True, cdc_buckets=16,
     )
     gold_spec = ModelSpec(
         "ivm_gold", "day", "day", None, partition_by=["day"],
@@ -2085,9 +2086,11 @@ def q_streaming_ivm_join(spark, sf_dir: str):
 
     fact_spec = ModelSpec(
         "ivmj_fact", "k", "k", fact_build(300), partition_by=["kb"],
-        change_data=True,
+        change_data=True, cdc_buckets=16,
     )
-    dim_spec = ModelSpec("ivmj_dim", "ck", "ck", dim_build, change_data=True)
+    dim_spec = ModelSpec(
+        "ivmj_dim", "ck", "ck", dim_build, change_data=True, cdc_buckets=16
+    )
     mv_spec = ModelSpec(
         "ivmj_mv", "k", "k", None, partition_by=["kb"], tombstone_col="__del",
     )
@@ -2284,9 +2287,11 @@ def q_streaming_ivm_join_pruned(spark, sf_dir: str):
 
     fact_spec = ModelSpec(
         "ivmjp_fact", "k", "k", fact_build(300), partition_by=["ckb"],
-        change_data=True,
+        change_data=True, cdc_buckets=16,
     )
-    dim_spec = ModelSpec("ivmjp_dim", "ck", "ck", dim_build, change_data=True)
+    dim_spec = ModelSpec(
+        "ivmjp_dim", "ck", "ck", dim_build, change_data=True, cdc_buckets=16
+    )
     mv_spec = ModelSpec(
         "ivmjp_mv", "k", "k", None, partition_by=["kb"], tombstone_col="__del",
     )
@@ -2495,7 +2500,7 @@ def q_streaming_ivm_minmax(spark, sf_dir: str):
 
     base_spec = ModelSpec(
         "ivmx_base", "k", "k", base_build(400), partition_by=["gb"],
-        change_data=True,
+        change_data=True, cdc_buckets=16,
     )
     mv_spec = ModelSpec("ivmx_mv", "g", "g", None, tombstone_col="__del")
     path_log: list = []  # ("cheap"|"recompute", rels_read, rels_committed)
@@ -2751,6 +2756,13 @@ def q_streaming_ivm_distinct(spark, sf_dir: str):
     base_spec = ModelSpec(
         "ivmd_base", "k", "k", base_build(500), partition_by=["gb"],
         change_data=True,
+        # change-file bucket count sized to THIS table (r15, guide §6
+        # small files): the 256-bucket scale default made every 500-row
+        # commit write ~250 near-empty bucket files (one per non-empty
+        # hash bucket) that each CDF hop then re-opened. Constant per
+        # table lifetime, as the netting contract requires; a 100 TB
+        # table keeps the default.
+        cdc_buckets=16,
     )
     sup_spec = ModelSpec(
         "ivmd_sup", "sk", "sk", None, partition_by=["gb"],
@@ -2952,22 +2964,29 @@ def q_streaming_ivm_distinct(spark, sf_dir: str):
         # availableNow catch-up — never set maxVersionsPerBatch here.
         assert len(batches) - hop_start <= 1, batches
 
-    runner.run(base_spec, sf_dir)                          # v1 bootstrap
-    hop()                                                  # MV = full agg
-    runner.run(                                            # insert wave
-        __import__("dataclasses").replace(
-            base_spec, build=base_build(800)
-        ),
-        sf_dir,
-    )
-    hop()                                                  # new + repeat users
-    runner.update_where(base_spec, "k % 89 = 3", {"u": "(u + 5) % 23"})
-    runner.delete_where(base_spec, "k % 37 = 11")
-    hop()                                                  # netted catch-up
-    runner.delete_where(base_spec, "g = 17")               # full-day delete
-    hop()                                                  # day tombstones
+    from ..util import timed_phase
+
+    with timed_phase("bootstrap"):
+        runner.run(base_spec, sf_dir)                      # v1 bootstrap
+        hop()                                              # MV = full agg
+    with timed_phase("wave_insert"):
+        runner.run(                                        # insert wave
+            __import__("dataclasses").replace(
+                base_spec, build=base_build(800)
+            ),
+            sf_dir,
+        )
+        hop()                                              # new + repeat users
+    with timed_phase("wave_net"):
+        runner.update_where(base_spec, "k % 89 = 3", {"u": "(u + 5) % 23"})
+        runner.delete_where(base_spec, "k % 37 = 11")
+        hop()                                              # netted catch-up
+    with timed_phase("wave_day_delete"):
+        runner.delete_where(base_spec, "g = 17")           # full-day delete
+        hop()                                              # day tombstones
     v_mv = runner.current_manifest("ivmd_mv")["version"]
-    hop()                                                  # replay: no-op
+    with timed_phase("replay"):
+        hop()                                              # replay: no-op
     assert runner.current_manifest("ivmd_mv")["version"] == v_mv
     # every probe stayed inside the committed bucket set; the netted
     # catch-up moved uniques BOTH directions; the day-delete wave opened
@@ -3068,7 +3087,7 @@ def _mvr_flow(spark, sf_dir: str, make_maintainer):
 
     base_spec = ModelSpec(
         "mvr_base", "k", "k", base_build(600), partition_by=["gb"],
-        change_data=True,
+        change_data=True, cdc_buckets=16,
     )
     runner.run(base_spec, sf_dir)                          # v1 bootstrap
     m = make_maintainer(runner)
@@ -3220,9 +3239,11 @@ def q_jv_incremental_refresh(spark, sf_dir: str):
 
     fact_spec = ModelSpec(
         "jvr_fact", "k", "k", fact_build(300), partition_by=["ckb"],
-        change_data=True,
+        change_data=True, cdc_buckets=16,
     )
-    dim_spec = ModelSpec("jvr_dim", "ck", "ck", dim_build, change_data=True)
+    dim_spec = ModelSpec(
+        "jvr_dim", "ck", "ck", dim_build, change_data=True, cdc_buckets=16
+    )
     runner.run(fact_spec, sf_dir)                        # bootstrap both
     runner.run(dim_spec, sf_dir)
     jv = JoinViewDefinition(
@@ -3342,7 +3363,7 @@ def q_streaming_ivm_traffic_pages(spark, sf_dir: str):
 
     base_spec = ModelSpec(
         "tpv_base", "eid", "eid", base_build("eid % 5 != 4"),
-        partition_by=["db"], change_data=True,
+        partition_by=["db"], change_data=True, cdc_buckets=16,
     )
     sup_spec = ModelSpec(
         "tpv_sup", "sk", "sk", None, partition_by=["db"],
@@ -3545,25 +3566,32 @@ def q_streaming_ivm_traffic_pages(spark, sf_dir: str):
         # CURRENT-state contract (ADVICE r12): single-batch catch-up only
         assert len(batches) - hop_start <= 1, batches
 
-    runner.run(base_spec, sf_dir)                          # v1 bootstrap
-    hop()                                                  # MV = full agg
-    runner.run(                                            # insert backfill
-        __import__("dataclasses").replace(
-            base_spec, build=base_build("eid % 5 = 4")
-        ),
-        sf_dir,
-    )
-    hop()
-    runner.update_where(                                   # user reassignment
-        base_spec, "eid % 31 = 5",
-        {"domain_userid": "concat(domain_userid, '_x')"},
-    )
-    runner.delete_where(base_spec, "eid % 23 = 9")         # bot purge
-    hop()                                                  # netted catch-up
-    runner.delete_where(base_spec, "db = 7")               # whole bucket out
-    hop()                                                  # tombstone wave
+    from ..util import timed_phase
+
+    with timed_phase("bootstrap"):
+        runner.run(base_spec, sf_dir)                      # v1 bootstrap
+        hop()                                              # MV = full agg
+    with timed_phase("wave_insert"):
+        runner.run(                                        # insert backfill
+            __import__("dataclasses").replace(
+                base_spec, build=base_build("eid % 5 = 4")
+            ),
+            sf_dir,
+        )
+        hop()
+    with timed_phase("wave_net"):
+        runner.update_where(                               # user reassignment
+            base_spec, "eid % 31 = 5",
+            {"domain_userid": "concat(domain_userid, '_x')"},
+        )
+        runner.delete_where(base_spec, "eid % 23 = 9")     # bot purge
+        hop()                                              # netted catch-up
+    with timed_phase("wave_bucket_delete"):
+        runner.delete_where(base_spec, "db = 7")           # whole bucket out
+        hop()                                              # tombstone wave
     v_mv = runner.current_manifest("tpv_mv")["version"]
-    hop()                                                  # replay: no-op
+    with timed_phase("replay"):
+        hop()                                              # replay: no-op
     assert runner.current_manifest("tpv_mv")["version"] == v_mv
     for rels, committed, _, _ in path_log[1:]:
         assert set(rels) <= set(committed), (rels, committed)
@@ -3752,9 +3780,11 @@ def q_ivm_traffic_daily(spark, sf_dir: str):
 
     ev_spec = ModelSpec(
         "tdv_ev", "eid", "eid", ev_build("eid % 5 != 4"),
-        partition_by=["db"], change_data=True,
+        partition_by=["db"], change_data=True, cdc_buckets=16,
     )
-    sp_spec = ModelSpec("tdv_sp", "sid", "sid", sp_build, change_data=True)
+    sp_spec = ModelSpec(
+        "tdv_sp", "sid", "sid", sp_build, change_data=True, cdc_buckets=16
+    )
     runner.run(ev_spec, sf_dir)
     runner.run(sp_spec, sf_dir)
 

@@ -27,11 +27,10 @@ def test_driver_window_covers_llm_pipeline_surface():
 
     first50 = set(list(build_queries())[:50])
     must_have = {
-        # reference models — parity row_number path AND the r12-windowed
-        # ENGINE-DEFAULT hash-id path, plus the SQL-API verbatim trio
+        # reference models — parity row_number path + the SQL-API entry
+        # whose oracle inlines the full TD chain (r15: the hash-id twin
+        # and the two lighter sql_api_* rows demoted, pytest-pinned)
         "traffic_pages_agg", "traffic_daily_agg", "lead_activities_agg",
-        "traffic_pages_agg_hash",
-        "sql_api_traffic_pages", "sql_api_traffic_daily",
         "sql_api_lead_activities",
         # dedup family (r13: simhash64/cc_clusters demoted — banded
         # candidate generation stays via minhash_lsh, the CC iteration
@@ -43,25 +42,21 @@ def test_driver_window_covers_llm_pipeline_surface():
         "ann_index_retrain_recall", "streaming_ann_maintenance",
         # text analysis + retrieval
         "text_lang_id", "training_mix_pipeline",
-        # incremental (dbt-semantics) runtimes + the r12 rotation picks
+        # incremental (dbt-semantics) runtimes
         "incremental_td_two_batch", "incremental_la_two_batch",
-        "scd2_hard_delete_two_batch", "incremental_schema_evolution",
-        "variant_shred_rollup", "streaming_incremental_merge",
-        "format_csv_permissive", "udtf_sentence_split",
         # streaming — incl. the r13 stateful-family first-timers (the
         # applyInPandasWithState profile, interval/enrich stream joins,
-        # state-store dedup, CMS sketch accumulation)
+        # state-store dedup)
         "mv_incremental_refresh", "streaming_ivm_distinct",
         "streaming_ivm_traffic_pages",
         "streaming_user_profile", "streaming_interval_join",
-        "streaming_enrich_join", "streaming_dedup", "streaming_cms_sketch",
-        # lakehouse + DML + sketches (r13 picks)
-        "hll_sketch_rollup", "dml_delete_update", "pyds_incremental_rollup",
+        "streaming_enrich_join", "streaming_dedup",
+        # lakehouse + PyDS surface
+        "pyds_incremental_rollup",
         # BM25 lifecycle family (r14: append demoted — it runs as a
         # measured phase inside the tiered entry's fixture)
         "bm25_index_tiered_search",
         "streaming_bm25_maintenance",
-        "mm_image_decode",
         # column mapping compositions (the r12/r13 builds)
         "colmap_cdf_lifecycle", "jv_incremental_refresh",
         "colmap_stream_restart",
@@ -74,6 +69,17 @@ def test_driver_window_covers_llm_pipeline_surface():
         "format_csv_roundtrip", "asof_join_spend",
         "bucketed_colocated_join", "agg_grouping_sets",
         "retention_cohorts",
+        # r15 rotation: fourteen never-artifacted picks (families at
+        # zero driver artifacts — OLAP rollup/pivot, rank windows,
+        # sampling, PII scrub, BPE, RFM segmentation, JSON roundtrip,
+        # admission control, kNN eval, range join, interpolation,
+        # multimodal frame sampling, moments)
+        "agg_rollup", "pivot_returnflag", "win_rank_ntile",
+        "sample_stratified", "text_pii_scrub", "text_token_bpe",
+        "sql_rfm_segmentation", "format_json_roundtrip",
+        "streaming_admission_quota", "knn_label_eval",
+        "range_join_pairs", "ts_interpolate", "mm_frame_sample",
+        "stats_moments",
     }
     assert must_have <= first50
 
@@ -96,7 +102,7 @@ def test_every_query_has_an_oracle_except_documented_rows_only():
 # round as rotations land; raising it requires justifying every new
 # never-artifacted entry in the round's SURVEY delta. Entries currently
 # IN the window don't count (they will be artifacted at round close).
-NEVER_ARTIFACTED_CEILING = 66
+NEVER_ARTIFACTED_CEILING = 52  # r15: 66 - 14 rotated in
 
 
 def test_rotation_debt_only_decreases():
