@@ -1612,6 +1612,12 @@ def ann_index_delete_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     a = approx.drop_duplicates(["qid", "vid"])
+    # execute the persistent-index probe plan ONCE (r15): `a` fed both
+    # the deleted-served count and the recall join as two separate
+    # actions, so the whole delete-aware index read ran twice. The result
+    # is bounded by construction (<= N_QUERIES * TOP_K rows), so a local
+    # relation is the cheapest exact materialization.
+    a = spark.createDataFrame(a.collect(), a.schema)
     n_deleted_served = a.filter(F.expr(ANN_DELETE_PRED.replace("vec_id", "vid"))).count()
     hit = a.withColumn("hit", F.lit(1)).select("qid", "vid", "hit")
     total, hits = (

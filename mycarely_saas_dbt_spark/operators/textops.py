@@ -329,38 +329,42 @@ def gopher_quality(
     """Gopher-style repetition/shape filters (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", §A1.1): top-bigram repetition fraction,
     symbol-to-char ratio, mean token length, and the combined keep flag.
-    The repetition stat needs a per-(doc, bigram) count — explode + two
-    map-side-combining aggregations (the only shuffle here); everything
-    else is narrow Catalyst expressions. ``docs`` overrides the source
-    table (degenerate-doc regression tests)."""
+    The repetition stat needs each doc's TOP bigram multiplicity — the
+    old plan exploded every bigram of the corpus into a (doc, gram)
+    count shuffle, a second rollup exchange and a join back; a per-doc
+    count is per-row work, so r15 (guide §2.4) computes it with a
+    sort+run-length fold over the bigram array inside the scan — the op
+    is now one narrow pass with ZERO exchanges. max(multiplicity) and
+    the gram total are exact integers whatever order equal elements
+    group in, and the final double division is the same
+    exact-int / exact-int division as before, so the fractions are
+    bit-identical. ``docs`` overrides the source table (degenerate-doc
+    regression tests)."""
     if docs is None:
         register_sources(spark, sf_dir)
         docs = spark.table("documents")
     d = docs.withColumn("__toks", _toks())
-    grams = d.select(
-        "doc_id",
-        # size<2 guard: sequence(0, -1) would yield [0, -1] (negative step
-        # default), fabricating a NULL bigram and top_bigram_frac=1.0 for a
-        # single-token doc, where DuckDB's generate_series(1, 0) is empty —
-        # both engines must agree the doc has no bigrams (frac 0.0).
-        F.explode(
-            F.expr(
-                "CASE WHEN size(__toks) >= 2 THEN "
-                "transform(sequence(0, size(__toks) - 2), i -> "
-                "concat(__toks[i], ' ', __toks[i + 1])) "
-                "ELSE array() END"
-            )
-        ).alias("gram"),
+    # size<2 guard: sequence(0, -1) would yield [0, -1] (negative step
+    # default), fabricating a NULL bigram and top_bigram_frac=1.0 for a
+    # single-token doc, where DuckDB's generate_series(1, 0) is empty —
+    # both engines must agree the doc has no bigrams (frac 0.0).
+    bigrams = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(0, size(__toks) - 2), i -> "
+        "concat(__toks[i], ' ', __toks[i + 1])) "
+        "ELSE array() END"
     )
-    rep = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("n").cast("double") / F.sum("n")).alias("top_bigram_frac")
-        )
+    top_run = (
+        "aggregate(array_sort(__grams), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS top), "
+        "(acc, x) -> struct(x AS prev, "
+        "IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run, "
+        "GREATEST(acc.top, IF(x <=> acc.prev, acc.run + 1, "
+        "CAST(1 AS BIGINT))) AS top), "
+        "acc -> acc.top)"
     )
-    shape = d.select(
+    out = d.withColumn("__grams", F.expr(bigrams)).select(
         "doc_id",
         (
             F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
@@ -371,12 +375,9 @@ def gopher_quality(
             .cast("double")
             / F.size("__toks")
         ).alias("mean_token_len"),
-    )
-    out = shape.join(rep, "doc_id", "left").select(
-        "doc_id",
-        "symbol_ratio",
-        "mean_token_len",
-        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(F.size("__grams") == 0, F.lit(0.0))
+        .otherwise(F.expr(top_run).cast("double") / F.size("__grams"))
+        .alias("top_bigram_frac"),
     )
     keep = (
         (F.col("top_bigram_frac") <= 0.2)
@@ -2907,56 +2908,65 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, heavier constants) in integer ppm so the cross-engine compare
     is exact.
 
-    Scale shape: one narrow n-gram explode (2- and 3-grams tagged in the
-    same pass), one (doc_id, n, gram) count shuffle (map-side
-    combinable), one per-doc rollup — no corpus-wide state, the same
-    one-pass shape as line_dedup without the cross-doc join."""
+    Scale shape (r15, guide §2.4 — remove the shuffle outright): the
+    metrics are PER-DOCUMENT, so nothing needs to leave its row. The
+    former plan exploded every 2-/3-gram STRING of the corpus into a
+    (doc_id, n, gram) count shuffle (≈2x the corpus bytes over the wire)
+    plus a second rollup exchange and a join back; now one narrow scan
+    computes each doc's (total, top multiplicity, distinct count) with a
+    sort+run-length fold over the gram array inside the JVM — ZERO
+    exchanges, integer-exact (run counting over ANY total order of equal
+    elements yields the same multiplicities)."""
     register_sources(spark, sf_dir)
+
+    def _arr(n: int) -> str:
+        cat = ", ' ', ".join(
+            f"tk[i + {k}]" if k else "tk[i]" for k in range(n)
+        )
+        return (
+            f"CASE WHEN size(tk) >= {n} THEN transform("
+            f"sequence(0, size(tk) - {n}), i -> concat({cat})) "
+            "ELSE array() END"
+        )
+
+    def _stats(col: str) -> str:
+        one = "CAST(1 AS BIGINT)"
+        return (
+            f"aggregate(array_sort({col}), "
+            "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+            "CAST(0 AS BIGINT) AS top, CAST(0 AS BIGINT) AS dist), "
+            "(acc, x) -> struct(x AS prev, "
+            f"IF(x <=> acc.prev, acc.run + 1, {one}) AS run, "
+            f"GREATEST(acc.top, IF(x <=> acc.prev, acc.run + 1, {one})) AS top, "
+            "acc.dist + IF(x <=> acc.prev, CAST(0 AS BIGINT), "
+            f"{one}) AS dist), "
+            "acc -> struct(acc.top AS top, acc.dist AS dist))"
+        )
+
     docs = spark.table("documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
-    grams = docs.select(
+    g = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                """concat(
-                  CASE WHEN size(tk) >= 2 THEN transform(
-                    sequence(0, size(tk) - 2),
-                    i -> struct(2 AS n, concat(tk[i], ' ', tk[i+1]) AS g))
-                  ELSE array() END,
-                  CASE WHEN size(tk) >= 3 THEN transform(
-                    sequence(0, size(tk) - 3),
-                    i -> struct(3 AS n, concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]) AS g))
-                  ELSE array() END)"""
-            )
-        ).alias("ng"),
-    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_n = per_gram.groupBy("doc_id", "n").agg(
-        F.sum("c").alias("total"),
-        F.count(F.lit(1)).alias("distinct_"),
-        F.max("c").alias("top"),
+        F.expr(_arr(2)).alias("g2"),
+        F.expr(_arr(3)).alias("g3"),
+    ).select(
+        "doc_id",
+        F.size("g2").cast("long").alias("total2"),
+        F.size("g3").cast("long").alias("total3"),
+        F.expr(_stats("g2")).alias("s2"),
+        F.expr(_stats("g3")).alias("s3"),
     )
-    wide = per_n.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("n") == n, F.col(c))).alias(f"{c.rstrip('_')}{n}")
-            for n in (2, 3)
-            for c in ("total", "distinct_", "top")
-        ]
-    )
-    # docs too short for any 2-gram produce no per_n rows — keep them
-    # (zero metrics, passing), matching the oracle's LEFT JOIN from d
-    out = docs.select("doc_id").join(wide, "doc_id", "left")
     ppm = lambda num, den: F.when(  # noqa: E731
-        F.coalesce(F.col(den), F.lit(0)) == 0, F.lit(0)
+        F.col(den) == 0, F.lit(0)
     ).otherwise(F.expr(f"({num}) * 1000000 DIV {den}")).cast("long")
-    return out.select(
+    return g.select(
         "doc_id",
-        F.coalesce("total2", F.lit(0)).cast("long").alias("n_2grams"),
-        F.coalesce("total3", F.lit(0)).cast("long").alias("n_3grams"),
-        ppm("top2", "total2").alias("top2_ppm"),
-        ppm("total2 - distinct2", "total2").alias("dup2_ppm"),
-        ppm("total3 - distinct3", "total3").alias("dup3_ppm"),
+        F.col("total2").alias("n_2grams"),
+        F.col("total3").alias("n_3grams"),
+        ppm("s2.top", "total2").alias("top2_ppm"),
+        ppm("total2 - s2.dist", "total2").alias("dup2_ppm"),
+        ppm("total3 - s3.dist", "total3").alias("dup3_ppm"),
     ).withColumn(
         "passes_repetition",
         (F.col("top2_ppm") <= REP_TOP2_MAX_PPM)

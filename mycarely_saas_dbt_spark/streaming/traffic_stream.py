@@ -1090,7 +1090,13 @@ def interval_left_join_stream(
     ev = load_table(spark, sf_dir, "events")
     if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    hi = ev.agg(F.max("ts")).first()[0]
+    # MAX(ts) from the source parquet footer (exact, zero Spark jobs —
+    # r15 guide §1.2); the aggregate stays as the stats-free fallback
+    from mycarely_saas_dbt_spark.sources.registry import source_column_max
+
+    hi = source_column_max(sf_dir, "events.parquet", "ts")
+    if hi is None:
+        hi = ev.agg(F.max("ts")).first()[0]
 
     def sentinel(uid: int, etype: str, days: int) -> DataFrame:
         return ev.limit(1).select(
@@ -1192,7 +1198,13 @@ def interval_full_join_stream(
     ev = load_table(spark, sf_dir, "events")
     if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    hi = ev.agg(F.max("ts")).first()[0]
+    # MAX(ts) from the source parquet footer (exact, zero Spark jobs —
+    # r15 guide §1.2); the aggregate stays as the stats-free fallback
+    from mycarely_saas_dbt_spark.sources.registry import source_column_max
+
+    hi = source_column_max(sf_dir, "events.parquet", "ts")
+    if hi is None:
+        hi = ev.agg(F.max("ts")).first()[0]
 
     def sentinel(uid: int, etype: str, days: int) -> DataFrame:
         return ev.limit(1).select(
