@@ -1811,13 +1811,27 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
         n, dim = E.shape
-        dot = np.zeros((n, n), dtype=np.float64)
-        for d in range(dim):
-            col = E[:, d]
-            dot += col[:, None] * col[None, :]
-        cos = (dot / nrm[:, None]) / nrm[None, :]
-        # pruned := has a smaller-vec_id neighbor with cos >= τ
-        pruned = np.triu(cos >= SEMDEDUP_TAU, k=1).any(axis=0)
+        # pruned := has a smaller-vec_id neighbor with cos >= τ.
+        # ROW-BLOCKED so peak memory is ~2 * B * n doubles per task, not
+        # n² (the scale-stress 100x leg runs ~25k-vector clusters; a
+        # dense n² matrix there would be gigabytes per task). Blocking
+        # changes no value: each pair's fold runs once, in the same
+        # ascending-dimension order, and the OR over smaller-id
+        # neighbors is order-free.
+        pruned = np.zeros(n, dtype=bool)
+        B = 2048
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            blk = E[i0:i1]
+            dot = np.zeros((i1 - i0, n), dtype=np.float64)
+            for d in range(dim):
+                dot += blk[:, d, None] * E[None, :, d]
+            cos = (dot / nrm[i0:i1, None]) / nrm[None, :]
+            hit = cos >= SEMDEDUP_TAU
+            # keep only i < j cells (i = global row id of the block row)
+            cols = np.arange(n)[None, :]
+            rows = (i0 + np.arange(i1 - i0))[:, None]
+            pruned |= (hit & (cols > rows)).any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],

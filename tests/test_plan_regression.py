@@ -242,15 +242,21 @@ def test_bm25_broadcasts_query_and_df_sides(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_repetition_filter_is_one_shuffle_rollup(spark):
-    """The within-doc repetition metrics are a narrow n-gram explode plus
-    doc-keyed aggregations — no joins between corpus-sized relations
-    beyond the final doc_id equi-join, no cartesian product."""
-    from mycarely_saas_dbt_spark.operators.textops import repetition_filter
+def test_repetition_filter_is_shuffle_free(spark):
+    """The within-doc repetition metrics are per-document (r15): one
+    narrow scan computing the gram stats with an in-row sort+run-length
+    fold — ZERO exchanges, no join, no explode of corpus n-grams."""
+    from mycarely_saas_dbt_spark.operators.textops import (
+        gopher_quality,
+        repetition_filter,
+    )
 
     plan = _plan(repetition_filter(spark, SF_DIR))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    gplan = _plan(gopher_quality(spark, SF_DIR))
+    assert "Exchange" not in gplan, gplan
+    assert "Join" not in gplan, gplan
 
 
 def test_pagerank_iterations_broadcast_ranks_over_persisted_edges(spark):
