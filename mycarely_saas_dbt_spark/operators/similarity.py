@@ -1748,6 +1748,35 @@ SEMDEDUP_K = 8        # clusters; centroids = the first K vectors (see note)
 SEMDEDUP_TAU = 0.45   # within-cluster prune threshold (testdata max ~0.51)
 
 
+def _pairwise_pruned(E, nrm, vids):
+    """Row-blocked within-set pairwise prune: pruned[j] := exists i with
+    vids[i] < vids[j] and cos(i, j) >= τ. Rows MUST arrive sorted by
+    vids. Ascending-dimension accumulation and the
+    (dot / n_smaller_id) / n_larger_id division order make every cosine
+    bit-identical to the Catalyst aggregate(zip_with(...)) left-fold
+    formulation; the row blocking (BLK) bounds peak memory at
+    ~2 * BLK * n doubles and changes no value (each pair folds once)."""
+    import numpy as np
+
+    n = E.shape[0]
+    dim = E.shape[1] if n else 0
+    pruned = np.zeros(n, dtype=bool)
+    BLK = 2048
+    cols = np.arange(n)[None, :]
+    for i0 in range(0, n, BLK):
+        i1 = min(i0 + BLK, n)
+        blk = E[i0:i1]
+        dot = np.zeros((i1 - i0, n), dtype=np.float64)
+        tmp = np.empty_like(dot)
+        for d in range(dim):
+            np.multiply(blk[:, d, None], E[None, :, d], out=tmp)
+            dot += tmp
+        cos = (dot / nrm[i0:i1, None]) / nrm[None, :]
+        rows = (i0 + np.arange(i1 - i0))[:, None]
+        pruned |= ((cos >= SEMDEDUP_TAU) & (cols > rows)).any(axis=0)
+    return pruned
+
+
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: assign every vector to its nearest centroid by cosine,
     then within each cluster prune every vector that has a smaller-id
@@ -1810,28 +1839,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id", ignore_index=True)
         E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        n, dim = E.shape
-        # pruned := has a smaller-vec_id neighbor with cos >= τ.
-        # ROW-BLOCKED so peak memory is ~2 * B * n doubles per task, not
-        # n² (the scale-stress 100x leg runs ~25k-vector clusters; a
-        # dense n² matrix there would be gigabytes per task). Blocking
-        # changes no value: each pair's fold runs once, in the same
-        # ascending-dimension order, and the OR over smaller-id
-        # neighbors is order-free.
-        pruned = np.zeros(n, dtype=bool)
-        B = 2048
-        for i0 in range(0, n, B):
-            i1 = min(i0 + B, n)
-            blk = E[i0:i1]
-            dot = np.zeros((i1 - i0, n), dtype=np.float64)
-            for d in range(dim):
-                dot += blk[:, d, None] * E[None, :, d]
-            cos = (dot / nrm[i0:i1, None]) / nrm[None, :]
-            hit = cos >= SEMDEDUP_TAU
-            # keep only i < j cells (i = global row id of the block row)
-            cols = np.arange(n)[None, :]
-            rows = (i0 + np.arange(i1 - i0))[:, None]
-            pruned |= (hit & (cols > rows)).any(axis=0)
+        # pruned := has a smaller-vec_id neighbor with cos >= τ
+        # (row-blocked shared helper; see _pairwise_pruned)
+        pruned = _pairwise_pruned(E, nrm, pdf["vec_id"].to_numpy())
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -1840,9 +1850,109 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # SKEW split (guide §2.5 — a single giant key serializes the group
+    # stage, and AQE cannot split a groupBy): the first-8-vector centroid
+    # rule can land a large share of a big corpus in ONE cluster, turning
+    # the per-cluster pandas pass into one serial task (observed on the
+    # scale harness's synthetic 10x corpus: one cid held 44% of vectors).
+    # Above a metadata-resolved size threshold, clusters sub-split into S
+    # hash blocks and every (block, block) pair becomes its own task —
+    # each unordered vector pair is evaluated in exactly one task with
+    # the identical fold (the smaller-id side's norm divides first, as in
+    # the join formulation), and the per-vector OR re-aggregates
+    # order-free, so results stay bit-identical (pinned by
+    # tests/test_plan_regression.py's forced-split oracle compare). The
+    # corpus size comes from the parquet footer (no job); sf0.1 stays on
+    # the single-task-per-cluster path.
+    import os
+
+    from mycarely_saas_dbt_spark.sources.registry import source_num_rows
+
+    n_total = source_num_rows(sf_dir, "embeddings.parquet")
+    if n_total is None:
+        n_total = spark.table("embeddings").count()
+    target = int(os.environ.get("MYCARELY_SEMDEDUP_BLOCK", "4096"))
+    S = max(1, min(32, -(-int(n_total) // max(1, target))))
+    if S == 1:
+        return (
+            v.groupBy("cid")
+            .applyInPandas(
+                _prune_cluster, "vec_id bigint, cid bigint, status string"
+            )
+            .orderBy("vec_id")
+        )
+
+    def _prune_block(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        _cid, b1, b2 = key
+        if b1 == b2:
+            blk = pdf[pdf["b"] == b1].sort_values("vec_id", ignore_index=True)
+            E = np.stack(blk["embedding"].to_numpy()).astype(np.float64)
+            nrm = blk["nrm"].to_numpy(dtype=np.float64)
+            pruned = _pairwise_pruned(E, nrm, blk["vec_id"].to_numpy())
+            return pd.DataFrame(
+                {"vec_id": blk["vec_id"], "cid": blk["cid"], "pruned": pruned}
+            )
+        A = pdf[pdf["b"] == b1].sort_values("vec_id", ignore_index=True)
+        Bb = pdf[pdf["b"] == b2].sort_values("vec_id", ignore_index=True)
+        EA = np.stack(A["embedding"].to_numpy()).astype(np.float64)
+        EB = np.stack(Bb["embedding"].to_numpy()).astype(np.float64)
+        na = A["nrm"].to_numpy(dtype=np.float64)
+        nb = Bb["nrm"].to_numpy(dtype=np.float64)
+        va = A["vec_id"].to_numpy()
+        vb_ = Bb["vec_id"].to_numpy()
+        nA, dim = EA.shape
+        nB = EB.shape[0]
+        prunedA = np.zeros(nA, dtype=bool)
+        prunedB = np.zeros(nB, dtype=bool)
+        BLK = 2048
+        for i0 in range(0, nA, BLK):
+            i1 = min(i0 + BLK, nA)
+            blk = EA[i0:i1]
+            dot = np.zeros((i1 - i0, nB), dtype=np.float64)
+            tmp = np.empty_like(dot)
+            for d in range(dim):
+                np.multiply(blk[:, d, None], EB[None, :, d], out=tmp)
+                dot += tmp
+            # the smaller-id side's norm divides FIRST (the join
+            # formulation's (dot / n_small) / n_large order)
+            cos_ab = (dot / na[i0:i1, None]) / nb[None, :]
+            cos_ba = (dot / nb[None, :]) / na[i0:i1, None]
+            a_lt = va[i0:i1, None] < vb_[None, :]
+            prunedB |= ((cos_ab >= SEMDEDUP_TAU) & a_lt).any(axis=0)
+            prunedA[i0:i1] |= ((cos_ba >= SEMDEDUP_TAU) & ~a_lt).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate([va, vb_]),
+                "cid": np.concatenate(
+                    [A["cid"].to_numpy(), Bb["cid"].to_numpy()]
+                ),
+                "pruned": np.concatenate([prunedA, prunedB]),
+            }
+        )
+
+    pair_rows = [(b1, b2) for b1 in range(S) for b2 in range(b1, S)]
+    pairs = F.broadcast(
+        spark.createDataFrame(pair_rows, "b1 int, b2 int")
+    )
+    vb = v.withColumn(
+        "b", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(S)).cast("int")
+    )
+    part = (
+        vb.join(pairs, (F.col("b") == F.col("b1")) | (F.col("b") == F.col("b2")))
+        .groupBy("cid", "b1", "b2")
+        .applyInPandas(_prune_block, "vec_id bigint, cid bigint, pruned boolean")
+    )
     return (
-        v.groupBy("cid")
-        .applyInPandas(_prune_cluster, "vec_id bigint, cid bigint, status string")
+        part.groupBy("vec_id", "cid")
+        .agg(F.max("pruned").alias("p"))
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("p"), "pruned").otherwise("kept").alias("status"),
+        )
         .orderBy("vec_id")
     )
 

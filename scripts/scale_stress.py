@@ -232,8 +232,16 @@ def timed(fn, *args, reps: int = 2, spark=None) -> tuple[float, dict]:
         w0 = work_snapshot(spark) if spark is not None else None
         t0 = time.monotonic()
         df = fn(*args)
-        if df is not None and hasattr(df, "count"):
-            df.count()
+        if df is not None and hasattr(df, "write"):
+            # noop sink, NOT count() (r15 measurement-bug fix, guide
+            # §1.4): count() lets Catalyst prune whole subtrees — on the
+            # old semdedup it ELIMINATED the left join against the
+            # provably-unique pruned relation and with it the entire
+            # within-cluster pairwise stage, so the r12-r14 semdedup
+            # scale legs timed a no-op (sec_100x 1.11s with 30 KB of
+            # input). The noop sink computes every output column of
+            # every row, same as bench.py.
+            df.write.mode("overwrite").format("noop").save()
         dt = time.monotonic() - t0
         if best is None or dt < best:
             best = dt

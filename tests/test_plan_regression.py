@@ -383,6 +383,25 @@ def test_semdedup_no_cross_cluster_cartesian(spark):
     assert "hashpartitioning(cid" in plan, plan
 
 
+def test_semdedup_block_split_path_matches_single_task_path(
+    spark, monkeypatch
+):
+    """The skew-split path (r15: oversized corpora sub-split each cluster
+    into hash blocks, one task per block pair — guide §2.5, a groupBy's
+    giant key cannot be split by AQE) must return EXACTLY the single-
+    task-per-cluster result: every unordered pair is evaluated in exactly
+    one task with the identical fold and the per-vector OR is order-free.
+    Forced here via the block-size knob so sf0.001 (N=500) splits S=5."""
+    from mycarely_saas_dbt_spark.operators.similarity import semdedup
+
+    base = [tuple(r) for r in semdedup(spark, SF_DIR).collect()]
+    monkeypatch.setenv("MYCARELY_SEMDEDUP_BLOCK", "100")
+    split = [tuple(r) for r in semdedup(spark, SF_DIR).collect()]
+    assert base == split
+    plan = _plan(semdedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_hybrid_rrf_query_path_uses_committed_prior(spark):
     """VERDICT r8 item 1: hybrid_rrf_search's quality prior must be the
     PRECOMPUTED committed column, not a query-time global Window over
